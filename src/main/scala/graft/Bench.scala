@@ -7,18 +7,35 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // Failures are reported per-query as {"err": msg} and excluded from
+    // `total` so a broken query can never masquerade as a timing.
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      }
+    val qs = results.map {
+      case (k, Right(v)) => s"${jstr(k)}:$v"
+      case (k, Left(m))  => s"${jstr(k)}:{${jstr("err")}:${jstr(m)}}"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val nerr = results.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

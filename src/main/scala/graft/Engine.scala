@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.model.FeatureView
+import graft.sources.FeatureSource
+
+/** Engine configuration (ref: feast_hive/hive.py:44-107 `HiveOfflineStoreConfig`).
+  * The reference's connection knobs (host/port/auth/...) have no Spark
+  * equivalent; what survives is the session-conf overlay (`hive_conf`,
+  * ref hive.py:61-62,97-107 — S10) applied before every retrieval.
+  */
+final case class EngineConfig(sessionConf: Map[String, String] = Map.empty)
+
+/** Entity dataframe input: a DataFrame or a SQL string evaluated in-engine
+  * (ref: feast_hive/hive.py:197,363-391 — pandas DataFrame | str; anything
+  * else raises InvalidEntityType, hive.py:391). */
+sealed trait EntityInput
+final case class EntityFrame(df: DataFrame) extends EntityInput
+final case class EntitySql(sql: String) extends EntityInput
+
+/** Orchestration layer: the two offline-store entry points plus the table
+  * surface (S3–S7). All methods return lazy handles / lazy DataFrames;
+  * nothing executes until a caller acts. */
+final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
+
+  /** S10: session conf overlay (ref: hive.py:249-254 prefixes SET statements
+    * to every query batch; here the overlay is applied to the session before
+    * building each plan). */
+  private def applySessionConf(): Unit =
+    config.sessionConf.foreach { case (k, v) => spark.conf.set(k, v) }
+
+  private def resolveEntityDf(entity: EntityInput): DataFrame = entity match {
+    case EntityFrame(df) => df
+    case EntitySql(sql)  => spark.sql(sql) // S2; no CTAS round-trip needed
+  }
+
+  /** Entry point 1 — the flagship point-in-time join
+    * (ref: feast_hive/hive.py:192-269). */
+  def getHistoricalFeatures(
+      entity: EntityInput,
+      views: Seq[FeatureView],
+      entityTsCol: String = "event_timestamp",
+      fullFeatureNames: Boolean = false): RetrievalJob =
+    RetrievalJob {
+      applySessionConf()
+      PointInTime.getHistoricalFeatures(
+        resolveEntityDf(entity), views, entityTsCol, fullFeatureNames)
+    }
+
+  /** ref: hive.py:391 — non-DataFrame/non-string entity df is a type error.
+    * Scala's types make the invalid case unrepresentable through the sealed
+    * trait; this shim keeps the reference's dynamic contract for callers
+    * holding an untyped value. */
+  def getHistoricalFeaturesAny(
+      entity: Any,
+      views: Seq[FeatureView],
+      entityTsCol: String = "event_timestamp",
+      fullFeatureNames: Boolean = false): RetrievalJob = entity match {
+    case df: org.apache.spark.sql.Dataset[_] =>
+      getHistoricalFeatures(EntityFrame(df.toDF()), views, entityTsCol, fullFeatureNames)
+    case sql: String =>
+      getHistoricalFeatures(EntitySql(sql), views, entityTsCol, fullFeatureNames)
+    case other =>
+      throw new InvalidEntityTypeException(
+        if (other == null) "null" else other.getClass.getName)
+  }
+
+  /** Entry point 2 — materialization's latest-per-key pull
+    * (ref: feast_hive/hive.py:143-190). */
+  def pullLatest(
+      source: FeatureSource,
+      joinKeys: Seq[String],
+      featureNames: Seq[String],
+      eventTsCol: String,
+      createdTsCol: Option[String],
+      startDate: Timestamp,
+      endDate: Timestamp,
+      tieBreakColumns: Seq[String] = Nil): RetrievalJob =
+    RetrievalJob {
+      applySessionConf()
+      PullLatest.pullLatest(spark, source, joinKeys, featureNames,
+        eventTsCol, createdTsCol, startDate, endDate, tieBreakColumns)
+    }
+
+  // ── Table surface ───────────────────────────────────────────────────────
+  // The reference needs a physical upload round-trip because Hive owns all
+  // storage (CREATE TABLE + chunked INSERT VALUES, hive.py:363-460). In
+  // Spark the client df already lives in the engine, so "upload" is a temp
+  // view; the physical forms are kept for API parity.
+
+  /** S5-equivalent upload: register the entity df for SQL access
+    * (ref: hive.py:207-212 — temp entity table; no data movement here). */
+  def uploadEntityDf(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** Remove an orphaned managed-table location left behind by a previous
+    * session (the in-memory catalog forgets the table, the directory stays,
+    * and `saveAsTable` then refuses with LOCATION_ALREADY_EXISTS). */
+  private def dropOrphanedLocation(name: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!spark.catalog.tableExists(name) && fs.exists(loc))
+      fs.delete(loc, true)
+  }
+
+  /** S3: CTAS — materialize a query result as a Parquet table
+    * (ref: hive.py:380 `CREATE TABLE ... STORED AS PARQUET AS ...`). */
+  def createTableAs(name: String, df: DataFrame): Unit = {
+    dropOrphanedLocation(name)
+    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+  }
+
+  /** S4: create an empty Parquet table from a schema (ref: hive.py:413-419). */
+  def createTable(name: String, schema: StructType): Unit = {
+    dropOrphanedLocation(name)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("ignore").format("parquet").saveAsTable(name)
+  }
+
+  /** S5: row insert (ref: hive.py:439-460 — chunked INSERT VALUES; Spark
+    * appends partition-parallel, no chunk knob needed). */
+  def insertInto(name: String, df: DataFrame): Unit =
+    df.write.mode("append").insertInto(name)
+
+  /** S6: truncate (ref: hive.py:443-445). */
+  def truncateTable(name: String): Unit =
+    spark.sql(s"TRUNCATE TABLE `$name`")
+
+  /** S7: drop (ref: hive.py:258-260 cleanup). */
+  def dropTable(name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+}

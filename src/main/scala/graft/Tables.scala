@@ -1,14 +1,23 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
-/** Loader for the driver testdata (`/root/testdata/sf*`, see TESTDATA.md).
+/** Parquet loader used both for the driver testdata (`/root/testdata/sf*`,
+  * see TESTDATA.md) and for arbitrary user parquet paths via
+  * [[graft.sources.FeatureSource]].
   *
-  * One quirk: `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS),
-  * which Spark's parquet reader rejects outright. We read nanos as a long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
+  * One quirk: some files (e.g. `events.parquet`) store timestamps as parquet
+  * TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright. We
+  * detect NANOS columns from the parquet footer (schema-driven — no
+  * file-name heuristics), read them as longs
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to microsecond
   * `TimestampType` with integer division — the same truncation DuckDB
   * applies when casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons
   * agree to the microsecond.
@@ -18,16 +27,50 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Convert any nanos-as-long `ts` column back into a proper timestamp.
-    // `div` (integer division) is essential: epoch-nanos ≈ 1.7e18 exceeds
-    // the 2^53 exact-double range, so a `/` would corrupt low bits.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) if name == "events" =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    readParquet(spark, s"$dir/$name.parquet")
+
+  /** Read a parquet file/directory, transparently repairing any
+    * TIMESTAMP(NANOS) columns into microsecond timestamps. */
+  def readParquet(spark: SparkSession, path: String): DataFrame = {
+    val nanosCols = nanosTimestampColumns(spark, path)
+    if (nanosCols.isEmpty) spark.read.parquet(path)
+    else {
+      // Only needed (and only set) when the footer actually has NANOS cols.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(path)
+      nanosCols.foldLeft(df) { (d, c) =>
+        // `div` (integer division) is essential: epoch-nanos ≈ 1.7e18
+        // exceeds the 2^53 exact-double range, so `/` would corrupt low bits.
+        d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      }
+    }
+  }
+
+  /** Top-level column names declared TIMESTAMP(NANOS) in the parquet footer
+    * of `path` (a single file or a directory of part files). */
+  private def nanosTimestampColumns(
+      spark: SparkSession, path: String): Seq[String] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) return Nil
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      else Some(p)
+    file.toSeq.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, hconf))
+      try {
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+          case fld if fld.isPrimitive && (fld.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          }) => fld.getName
+        }.toSeq
+      } finally reader.close()
     }
   }
 }

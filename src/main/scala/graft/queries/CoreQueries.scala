@@ -1,0 +1,611 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+import graft._
+import graft.model.FeatureView
+import graft.sources.FeatureSource
+
+/** Driver-contract queries for the core (reference-parity) operator
+  * inventory, SURVEY.md §2 — one entry per operator, each with a DuckDB
+  * oracle over the same parquet tables.
+  *
+  * Determinism rules shared by every query/oracle pair:
+  *  - ties in windows are broken on `event_id DESC` in BOTH formulations;
+  *  - no double→string casts or FP-sum outputs unless rounded with a wide
+  *    safety margin;
+  *  - column names are identical on both sides (driver sorts by name).
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "events")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "lineitem")
+
+  /** Register the events table for SQL/table-source access. */
+  private def regEvents(s: SparkSession, dir: String): Unit =
+    events(s, dir).createOrReplaceTempView("graft_events")
+
+  /** The entity-df "spine" used by the PIT queries: a deterministic sample
+    * of events, looking back from 30 minutes after each sampled event. */
+  private[queries] def spine(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_id") % 37 === 0)
+      .select(
+        col("event_id").as("row_tag"),
+        col("user_id"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("event_timestamp"))
+
+  private val SpineSql =
+    """entity AS (
+      |  SELECT event_id AS row_tag, user_id,
+      |         ts + INTERVAL 30 MINUTE AS event_timestamp
+      |  FROM events WHERE event_id % 37 = 0
+      |)""".stripMargin
+
+  /** Feature view over raw events (entity user_id, ts, no created col). */
+  private def eventsView(dir: String, ttl: Long): FeatureView =
+    FeatureView(
+      name = "recent",
+      entities = Seq("user_id"),
+      source = FeatureSource(
+        path = Some(s"$dir/events.parquet"),
+        eventTimestampColumn = "ts"),
+      features = Seq("value", "event_type", "event_id"),
+      ttlSeconds = ttl,
+      tieBreakColumns = Seq("event_id"))
+
+  /** Hourly-bucketed view from a QUERY source with a created-ts column:
+    * many rows share one (user, hour) event ts, so the created-timestamp
+    * dedup path (ref A3, hive.py:645-653) is actually exercised. */
+  private def hourlyView(ttl: Long): FeatureView =
+    FeatureView(
+      name = "hourly",
+      entities = Seq("user_id"),
+      source = FeatureSource(
+        query = Some(
+          """SELECT user_id, date_trunc('HOUR', ts) AS ts_hour,
+            |       value AS hour_value, event_id AS hour_event_id,
+            |       ts AS created
+            |FROM graft_events""".stripMargin),
+        eventTimestampColumn = "ts_hour",
+        createdTimestampColumn = Some("created"),
+        name = Some("hourly_src")),
+      features = Seq("hour_value", "hour_event_id"),
+      ttlSeconds = ttl)
+
+  private def pitOracle(
+      ttlCond: String, features: String, outCols: String): String =
+    s"""WITH $SpineSql,
+       |cand AS (
+       |  SELECT e.user_id, e.event_timestamp, $features,
+       |         row_number() OVER (
+       |           PARTITION BY e.user_id, e.event_timestamp
+       |           ORDER BY f.ts DESC, f.event_id DESC) AS rn
+       |  FROM (SELECT DISTINCT user_id, event_timestamp FROM entity) e
+       |  JOIN events f ON f.user_id = e.user_id
+       |   AND f.ts <= e.event_timestamp $ttlCond
+       |)
+       |SELECT en.row_tag, en.user_id, en.event_timestamp, $outCols
+       |FROM entity en
+       |LEFT JOIN (SELECT * FROM cand WHERE rn = 1) m
+       |  ON en.user_id = m.user_id
+       | AND en.event_timestamp = m.event_timestamp""".stripMargin
+
+  // ───────────────────────────── queries ─────────────────────────────
+
+  val queries: Map[String, Q] = Map(
+    // S1: table scan through the source abstraction.
+    "s1_scan_table" -> ((s, dir) => {
+      regEvents(s, dir)
+      FeatureSource(table = Some("graft_events"), eventTimestampColumn = "ts")
+        .resolve(s)
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
+    // S2: arbitrary-SQL query as a source.
+    "s2_query_source" -> ((s, dir) => {
+      regEvents(s, dir)
+      FeatureSource(
+        query = Some(
+          "SELECT user_id, ts, value FROM graft_events WHERE event_type = 'purchase'"),
+        eventTimestampColumn = "ts",
+        name = Some("purchases")).resolve(s)
+    }),
+
+    // S3: CTAS sink — materialize an aggregate as a Parquet table, read back.
+    "s3_ctas" -> ((s, dir) => {
+      val eng = new Engine(s)
+      val agg = events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+      eng.createTableAs("graft_ctas", agg)
+      s.table("graft_ctas")
+    }),
+
+    // S4+S5+S6+S7: DDL lifecycle — create, insert, truncate, re-insert, drop
+    // of a scratch table; result proves truncate emptied the first batch.
+    "s4567_table_lifecycle" -> ((s, _) => {
+      import s.implicits._
+      val eng = new Engine(s)
+      val schema = StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType)))
+      eng.dropTable("graft_scratch")
+      eng.createTable("graft_scratch", schema)
+      eng.insertInto("graft_scratch", Seq((9, "gone"), (8, "gone")).toDF("a", "b"))
+      eng.truncateTable("graft_scratch")
+      eng.insertInto("graft_scratch",
+        Seq((1, "x"), (2, "y"), (3, "z")).toDF("a", "b"))
+      s.table("graft_scratch")
+    }),
+
+    // S8: temp-view materialization as a pipeline stage.
+    "s8_temp_view" -> ((s, dir) => {
+      events(s, dir).groupBy("event_type").agg(count(lit(1)).as("n"))
+        .createOrReplaceTempView("graft_stage")
+      s.sql("SELECT event_type, n FROM graft_stage WHERE n > 0")
+    }),
+
+    // S9: RetrievalJob — lazy handle + odfv-style post-transform.
+    "s9_retrieval_job" -> ((s, dir) => {
+      RetrievalJob(events(s, dir).select("event_id", "value"))
+        .withTransform(df =>
+          df.withColumn("value_bucket",
+            floor(col("value") / 100).cast("long")))
+        .toDF
+    }),
+
+    // S10: session-conf overlay applied through the Engine, with the entity
+    // df supplied as SQL (EntitySql — ref hive.py:377-389).
+    "s10_conf_overlay" -> ((s, dir) => {
+      regEvents(s, dir)
+      val eng = new Engine(s,
+        EngineConfig(sessionConf = Map("spark.sql.shuffle.partitions" -> "16")))
+      eng.getHistoricalFeatures(
+        EntitySql(
+          """SELECT event_id AS row_tag, user_id,
+            |       ts + INTERVAL 30 MINUTE AS event_timestamp
+            |FROM graft_events WHERE event_id % 37 = 0""".stripMargin),
+        Seq(eventsView(dir, 3600))).toDF
+    }),
+
+    // P1: column projection (pruned scan).
+    "p1_projection" -> ((s, dir) =>
+      lineitem(s, dir).select("l_orderkey", "l_partkey", "l_quantity")),
+
+    // P2: field_mapping renames applied at the source.
+    "p2_field_mapping" -> ((s, dir) =>
+      FeatureSource(
+        path = Some(s"$dir/events.parquet"),
+        eventTimestampColumn = "event_ts",
+        fieldMapping = Map("ts" -> "event_ts", "user_id" -> "driver_id"))
+        .resolve(s)
+        .select("driver_id", "event_ts", "value")),
+
+    // P3: literal projection (dummy entity id).
+    "p3_dummy_literal" -> ((s, dir) =>
+      events(s, dir).select("event_type").distinct()
+        .withColumn(FeatureView.DummyEntityId, lit(FeatureView.DummyEntityVal))),
+
+    // P4: computed row key (reference uses string CONCAT, hive.py:537-545;
+    // epoch micros instead of ts→string keeps formatting engine-neutral).
+    "p4_row_key" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        concat(
+          col("user_id").cast("string"), lit("#"),
+          unix_micros(col("ts")).cast("string")).as("row_key"))),
+
+    // P5: negative projection.
+    "p5_drop" -> ((s, dir) => events(s, dir).drop("props", "value")),
+
+    // P6: inclusive BETWEEN range predicate.
+    "p6_between" -> ((s, dir) =>
+      events(s, dir)
+        .filter(col("ts").between(
+          lit(Timestamp.valueOf("2024-01-10 00:00:00")),
+          lit(Timestamp.valueOf("2024-01-20 00:00:00"))))
+        .select("event_id", "ts")),
+
+    // P8: interval arithmetic (TTL lower bound).
+    "p8_interval" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        col("ts"),
+        (col("ts") - expr("INTERVAL 90 SECONDS")).as("ttl_lower"))),
+
+    // P9: casts (narrowing, widening, int→string — all engine-neutral;
+    // double→string and double→int are deliberately avoided: formatting and
+    // rounding rules differ across engines).
+    "p9_cast" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        col("user_id").cast("int").as("uid_int"),
+        col("event_id").cast("double").as("eid_double"),
+        col("event_id").cast("string").as("eid_str"))),
+
+    // P10: existence/schema probe — analysis-only schema, LIMIT-1 existence.
+    "p10_probe" -> ((s, dir) => {
+      val src = FeatureSource(
+        path = Some(s"$dir/events.parquet"), eventTimestampColumn = "ts")
+      src.validate(s) // Catalyst analysis only, no scan
+      src.resolve(s).limit(1).select(lit(1).as("ok"))
+    }),
+
+    // J1: coarse global time-range filter from driver-side scalar MIN/MAX
+    // (replaces the reference's 1-row cartesian join, hive.py:592-605).
+    "j1_coarse_range" -> ((s, dir) => {
+      val b = spine(s, dir)
+        .agg(min("event_timestamp"), max("event_timestamp")).head()
+      val (lo, hi) = (b.getTimestamp(0), b.getTimestamp(1))
+      events(s, dir)
+        .filter(col("ts") <= lit(hi) &&
+          col("ts") >= lit(lo) - expr("INTERVAL 3600 SECONDS"))
+        .select("event_id", "user_id", "ts")
+    }),
+
+    // J2: as-of inner join (equi + range residual), matched rows only.
+    "j2_asof_inner" -> ((s, dir) => {
+      val ent = spine(s, dir).select("user_id", "event_timestamp").distinct()
+      val f = events(s, dir)
+      val joined = f.join(ent,
+        f("user_id") === ent("user_id") &&
+          f("ts") <= ent("event_timestamp") &&
+          f("ts") >= ent("event_timestamp") - expr("INTERVAL 3600 SECONDS"),
+        "inner")
+        .select(ent("user_id"), ent("event_timestamp"),
+          f("ts"), f("event_id"), f("value"))
+      val w = Window.partitionBy("user_id", "event_timestamp")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }),
+
+    // J3: grouped-max + join-back (latest-row recovery, the reference's
+    // A4+J3 shape, hive.py:660-696).
+    "j3_joinback" -> ((s, dir) => {
+      val f = events(s, dir).as("f")
+      val g = events(s, dir).groupBy("user_id")
+        .agg(max("ts").as("max_ts")).as("g")
+      f.join(g, col("f.user_id") === col("g.user_id") &&
+          col("f.ts") === col("g.max_ts"))
+        .select(col("f.user_id"), col("f.ts"), col("f.event_id"),
+          col("f.value"))
+    }),
+
+    // A1: GROUP BY with no aggregates = DISTINCT (entity dedup).
+    "a1_distinct" -> ((s, dir) =>
+      events(s, dir).select("user_id", "event_type").distinct()),
+
+    // A2: global scalar MIN/MAX.
+    "a2_scalar_minmax" -> ((s, dir) =>
+      events(s, dir).agg(
+        min("ts").as("min_ts"), max("ts").as("max_ts"),
+        min("value").as("min_value"), max("value").as("max_value"))),
+
+    // A3: grouped MAX of created-ts (created-dedup shape).
+    "a3_grouped_max_created" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("ts_hour"))
+        .agg(max("ts").as("latest_created"))),
+
+    // A4: grouped MAX of event-ts (latest event per key).
+    "a4_grouped_max_event" -> ((s, dir) =>
+      events(s, dir).groupBy("user_id").agg(max("ts").as("latest_ts"))),
+
+    // A5: latest-value pick — Spark has max_by natively (the reference had
+    // to emulate ANY_VALUE with MAX, hive.py:514).
+    "a5_latest_value" -> ((s, dir) =>
+      events(s, dir).groupBy("user_id")
+        .agg(max_by(col("value"), col("ts")).as("latest_value"))),
+
+    // W1 + P7: latest-per-key materialization pull (entry point 2).
+    "pull_latest_events" -> ((s, dir) =>
+      new Engine(s).pullLatest(
+        FeatureSource(
+          path = Some(s"$dir/events.parquet"), eventTimestampColumn = "ts"),
+        joinKeys = Seq("user_id"),
+        featureNames = Seq("value", "event_type"),
+        eventTsCol = "ts",
+        createdTsCol = None,
+        startDate = Timestamp.valueOf("2024-01-10 00:00:00"),
+        endDate = Timestamp.valueOf("2024-01-20 00:00:00"),
+        tieBreakColumns = Seq("event_id")).toDF),
+
+    // W1 keyless branch: global top-1 + dummy entity (ref hive.py:160-163).
+    "pull_latest_dummy" -> ((s, dir) =>
+      new Engine(s).pullLatest(
+        FeatureSource(
+          path = Some(s"$dir/events.parquet"), eventTimestampColumn = "ts"),
+        joinKeys = Nil,
+        featureNames = Seq("value", "event_type"),
+        eventTsCol = "ts",
+        createdTsCol = None,
+        startDate = Timestamp.valueOf("2024-01-10 00:00:00"),
+        endDate = Timestamp.valueOf("2024-01-20 00:00:00"),
+        tieBreakColumns = Seq("event_id")).toDF),
+
+    // W1 generalized: top-3 per key with the rank exposed.
+    "w1_topk_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("user_id", "event_id", "ts", "rn")
+    }),
+
+    // The flagship: full PIT join, single view, TTL 1h.
+    "pit_events_ttl1h" -> ((s, dir) =>
+      PointInTime.getHistoricalFeatures(
+        spine(s, dir), Seq(eventsView(dir, 3600)))),
+
+    // TTL 0 ⇒ unbounded lookback (NOT zero-width; ref hive.py:614-624).
+    "pit_events_ttl0" -> ((s, dir) =>
+      PointInTime.getHistoricalFeatures(
+        spine(s, dir), Seq(eventsView(dir, 0)))),
+
+    // Two feature views (one query-sourced with created-ts dedup),
+    // full_feature_names prefixing (ref hive.py:590,713).
+    "pit_two_views_full_names" -> ((s, dir) => {
+      regEvents(s, dir)
+      PointInTime.getHistoricalFeatures(
+        spine(s, dir),
+        Seq(eventsView(dir, 3600), hourlyView(7200)),
+        fullFeatureNames = true)
+    }),
+
+    // Entity-less feature view: as-of on timestamp alone (dummy-entity
+    // branch, ref hive.py:543-545).
+    "pit_dummy_entity" -> ((s, dir) => {
+      val ent = spine(s, dir).select("row_tag", "event_timestamp")
+      PointInTime.getHistoricalFeatures(
+        ent,
+        Seq(FeatureView(
+          name = "global",
+          entities = Nil,
+          source = FeatureSource(
+            path = Some(s"$dir/events.parquet"), eventTimestampColumn = "ts"),
+          features = Seq("value", "event_id"),
+          ttlSeconds = 600,
+          tieBreakColumns = Seq("event_id"))))
+    }),
+
+    // ── Classic OLAP extras (bench headliners; not in §2 but part of a
+    //    complete analytics engine) ──────────────────────────────────────
+    "x_q1_lineitem_agg" -> ((s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("n_rows"))),
+
+    "x_join_orders_lineitem" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+      lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "x_top_customers" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+      val c = Tables.read(s, dir, "customer")
+      o.groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "n_orders")
+        .orderBy(col("n_orders").desc, col("c_custkey"))
+        .limit(10)
+    })
+  )
+
+  // ───────────────────────────── oracles ─────────────────────────────
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_scan_table" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    "s2_query_source" ->
+      "SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'",
+    "s3_ctas" ->
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
+    "s4567_table_lifecycle" ->
+      "SELECT a, b FROM (VALUES (1,'x'),(2,'y'),(3,'z')) t(a, b)",
+    "s8_temp_view" ->
+      """SELECT event_type, n FROM (
+        |  SELECT event_type, count(*) AS n FROM events GROUP BY event_type) t
+        |WHERE n > 0""".stripMargin,
+    "s9_retrieval_job" ->
+      """SELECT event_id, value,
+        |       CAST(floor(value / 100) AS BIGINT) AS value_bucket
+        |FROM events""".stripMargin,
+    "s10_conf_overlay" -> pitOracle(
+      "AND f.ts >= e.event_timestamp - INTERVAL 3600 SECOND",
+      "f.value, f.event_type, f.event_id AS f_eid",
+      "m.value AS value, m.event_type AS event_type, m.f_eid AS event_id"),
+    "p1_projection" ->
+      "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+    "p2_field_mapping" ->
+      "SELECT user_id AS driver_id, ts AS event_ts, value FROM events",
+    "p3_dummy_literal" ->
+      "SELECT DISTINCT event_type, '' AS dummy_entity_id FROM events",
+    "p4_row_key" ->
+      """SELECT event_id,
+        |       CAST(user_id AS VARCHAR) || '#' || CAST(epoch_us(ts) AS VARCHAR)
+        |         AS row_key
+        |FROM events""".stripMargin,
+    "p5_drop" -> "SELECT event_id, ts, user_id, event_type FROM events",
+    "p6_between" ->
+      """SELECT event_id, ts FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |             AND TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+    "p8_interval" ->
+      "SELECT event_id, ts, ts - INTERVAL 90 SECOND AS ttl_lower FROM events",
+    "p9_cast" ->
+      """SELECT event_id, CAST(user_id AS INTEGER) AS uid_int,
+        |       CAST(event_id AS DOUBLE) AS eid_double,
+        |       CAST(event_id AS VARCHAR) AS eid_str
+        |FROM events""".stripMargin,
+    "p10_probe" -> "SELECT 1 AS ok FROM events LIMIT 1",
+    "j1_coarse_range" ->
+      s"""WITH $SpineSql
+         |SELECT event_id, user_id, ts FROM events
+         |WHERE ts <= (SELECT max(event_timestamp) FROM entity)
+         |  AND ts >= (SELECT min(event_timestamp) FROM entity)
+         |             - INTERVAL 3600 SECOND""".stripMargin,
+    "j2_asof_inner" ->
+      s"""WITH $SpineSql
+         |SELECT user_id, event_timestamp, ts, event_id, value FROM (
+         |  SELECT e.user_id, e.event_timestamp, f.ts, f.event_id, f.value,
+         |         row_number() OVER (
+         |           PARTITION BY e.user_id, e.event_timestamp
+         |           ORDER BY f.ts DESC, f.event_id DESC) AS rn
+         |  FROM (SELECT DISTINCT user_id, event_timestamp FROM entity) e
+         |  JOIN events f ON f.user_id = e.user_id
+         |   AND f.ts <= e.event_timestamp
+         |   AND f.ts >= e.event_timestamp - INTERVAL 3600 SECOND) t
+         |WHERE rn = 1""".stripMargin,
+    "j3_joinback" ->
+      """SELECT f.user_id, f.ts, f.event_id, f.value
+        |FROM events f
+        |JOIN (SELECT user_id, max(ts) AS max_ts FROM events GROUP BY user_id) g
+        |  ON f.user_id = g.user_id AND f.ts = g.max_ts""".stripMargin,
+    "a1_distinct" -> "SELECT DISTINCT user_id, event_type FROM events",
+    "a2_scalar_minmax" ->
+      """SELECT min(ts) AS min_ts, max(ts) AS max_ts,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events""".stripMargin,
+    "a3_grouped_max_created" ->
+      """SELECT user_id, date_trunc('hour', ts) AS ts_hour,
+        |       max(ts) AS latest_created
+        |FROM events GROUP BY user_id, date_trunc('hour', ts)""".stripMargin,
+    "a4_grouped_max_event" ->
+      "SELECT user_id, max(ts) AS latest_ts FROM events GROUP BY user_id",
+    "a5_latest_value" ->
+      """SELECT user_id, arg_max(value, ts) AS latest_value
+        |FROM events GROUP BY user_id""".stripMargin,
+    "pull_latest_events" ->
+      """SELECT user_id, value, event_type, ts FROM (
+        |  SELECT user_id, value, event_type, ts,
+        |         row_number() OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |               AND TIMESTAMP '2024-01-20 00:00:00') t
+        |WHERE rn = 1""".stripMargin,
+    "pull_latest_dummy" ->
+      """SELECT '' AS dummy_entity_id, value, event_type, ts FROM (
+        |  SELECT value, event_type, ts,
+        |         row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |               AND TIMESTAMP '2024-01-20 00:00:00') t
+        |WHERE rn = 1""".stripMargin,
+    "w1_topk_per_key" ->
+      """SELECT user_id, event_id, ts, rn FROM (
+        |  SELECT user_id, event_id, ts,
+        |         row_number() OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3""".stripMargin,
+    "pit_events_ttl1h" -> pitOracle(
+      "AND f.ts >= e.event_timestamp - INTERVAL 3600 SECOND",
+      "f.value, f.event_type, f.event_id AS f_eid",
+      "m.value AS value, m.event_type AS event_type, m.f_eid AS event_id"),
+    "pit_events_ttl0" -> pitOracle(
+      "",
+      "f.value, f.event_type, f.event_id AS f_eid",
+      "m.value AS value, m.event_type AS event_type, m.f_eid AS event_id"),
+    "pit_two_views_full_names" ->
+      s"""WITH $SpineSql,
+         |cand1 AS (
+         |  SELECT e.user_id, e.event_timestamp, f.value, f.event_type,
+         |         f.event_id AS f_eid,
+         |         row_number() OVER (
+         |           PARTITION BY e.user_id, e.event_timestamp
+         |           ORDER BY f.ts DESC, f.event_id DESC) AS rn
+         |  FROM (SELECT DISTINCT user_id, event_timestamp FROM entity) e
+         |  JOIN events f ON f.user_id = e.user_id
+         |   AND f.ts <= e.event_timestamp
+         |   AND f.ts >= e.event_timestamp - INTERVAL 3600 SECOND),
+         |hourly AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS ts_hour,
+         |         value AS hour_value, event_id AS hour_event_id,
+         |         ts AS created
+         |  FROM events),
+         |cand2 AS (
+         |  SELECT e.user_id, e.event_timestamp, h.hour_value, h.hour_event_id,
+         |         row_number() OVER (
+         |           PARTITION BY e.user_id, e.event_timestamp
+         |           ORDER BY h.ts_hour DESC, h.created DESC) AS rn
+         |  FROM (SELECT DISTINCT user_id, event_timestamp FROM entity) e
+         |  JOIN hourly h ON h.user_id = e.user_id
+         |   AND h.ts_hour <= e.event_timestamp
+         |   AND h.ts_hour >= e.event_timestamp - INTERVAL 7200 SECOND)
+         |SELECT en.row_tag, en.user_id, en.event_timestamp,
+         |       m1.value AS recent__value,
+         |       m1.event_type AS recent__event_type,
+         |       m1.f_eid AS recent__event_id,
+         |       m2.hour_value AS hourly__hour_value,
+         |       m2.hour_event_id AS hourly__hour_event_id
+         |FROM entity en
+         |LEFT JOIN (SELECT * FROM cand1 WHERE rn = 1) m1
+         |  ON en.user_id = m1.user_id
+         | AND en.event_timestamp = m1.event_timestamp
+         |LEFT JOIN (SELECT * FROM cand2 WHERE rn = 1) m2
+         |  ON en.user_id = m2.user_id
+         | AND en.event_timestamp = m2.event_timestamp""".stripMargin,
+    "pit_dummy_entity" ->
+      """WITH entity AS (
+        |  SELECT event_id AS row_tag,
+        |         ts + INTERVAL 30 MINUTE AS event_timestamp
+        |  FROM events WHERE event_id % 37 = 0),
+        |cand AS (
+        |  SELECT e.event_timestamp, f.value, f.event_id AS f_eid,
+        |         row_number() OVER (
+        |           PARTITION BY e.event_timestamp
+        |           ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM (SELECT DISTINCT event_timestamp FROM entity) e
+        |  JOIN events f ON f.ts <= e.event_timestamp
+        |   AND f.ts >= e.event_timestamp - INTERVAL 600 SECOND)
+        |SELECT en.row_tag, en.event_timestamp,
+        |       m.value AS value, m.f_eid AS event_id
+        |FROM entity en
+        |LEFT JOIN (SELECT * FROM cand WHERE rn = 1) m
+        |  ON en.event_timestamp = m.event_timestamp""".stripMargin,
+    "x_q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "x_join_orders_lineitem" ->
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "x_top_customers" ->
+      """SELECT c_custkey, c_name, n_orders FROM (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  GROUP BY o_custkey) o
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY n_orders DESC, c_custkey LIMIT 10""".stripMargin
+  )
+}

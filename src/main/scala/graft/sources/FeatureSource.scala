@@ -41,6 +41,14 @@ final case class FeatureSource(
       .orElse(query.map(q => s"($q)"))
       .getOrElse(s"parquet.`${path.get}`")
 
+  /** Source name, defaulting to the table name / parquet path like the
+    * reference defaults a table-backed source's name to its table
+    * (ref: feast_hive/hive_source.py:102-108). Query sources were already
+    * required to carry an explicit name at construction. */
+  def resolvedName: String =
+    name.orElse(table).orElse(path)
+      .getOrElse(throw new DataSourceNoNameException())
+
   /** Resolve to a DataFrame with `fieldMapping` renames applied. Lazy —
     * nothing executes until an action. */
   def resolve(spark: SparkSession): DataFrame = {
@@ -54,17 +62,10 @@ final case class FeatureSource(
     val attempt = Try {
       table.map(spark.table)
         .orElse(query.map(spark.sql))
-        .getOrElse {
-          // testdata-aware parquet read ("<dir>/<name>.parquet" layout)
-          val p = path.get
-          val (dir, file) = (p.lastIndexOf('/') match {
-            case i if i > 0 => (p.substring(0, i), p.substring(i + 1))
-            case _          => (".", p)
-          })
-          if (file.endsWith(".parquet"))
-            Tables.read(spark, dir, file.stripSuffix(".parquet"))
-          else spark.read.parquet(p)
-        }
+        // Footer-driven read: repairs TIMESTAMP(NANOS) columns for any file
+        // that actually declares them — no name heuristics, no silent
+        // rewriting of ordinary long columns.
+        .getOrElse(Tables.readParquet(spark, path.get))
     }
     attempt match {
       case Success(df) => df

@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's CORRECTNESS gate: run each oracle_sql in
+DuckDB over the sf tables, load the matching Spark parquet dump, normalize
+(sort columns by name, sort rows), and diff. Usage:
+    python3 tools/compare.py /root/testdata/sf0.01 /tmp/verify_out [name...]
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = []
+for name in sorted(oracle):
+    if only and name not in only:
+        continue
+    pq = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not pq:
+        print(f"MISS  {name}: no spark output")
+        fails.append(name); continue
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"ORERR {name}: {str(e)[:160]}")
+        fails.append(name); continue
+    got = pd.concat([pd.read_parquet(p) for p in pq], ignore_index=True)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        print(f"COLS  {name}: oracle={list(exp.columns)} spark={list(got.columns)}")
+        fails.append(name); continue
+    if len(exp) != len(got):
+        print(f"ROWS  {name}: oracle={len(exp)} spark={len(got)}")
+        fails.append(name); continue
+    key = list(exp.columns)
+    exp = exp.sort_values(key, ignore_index=True)
+    got = got.sort_values(key, ignore_index=True)
+    try:
+        pd.testing.assert_frame_equal(exp, got, check_dtype=False,
+                                      check_exact=True)
+        print(f"OK    {name} ({len(exp)} rows)")
+    except AssertionError as e:
+        print(f"DIFF  {name}: {str(e).splitlines()[-1][:200]}")
+        fails.append(name)
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} green" +
+      (f"; failing: {fails}" if fails else ""))
+sys.exit(1 if fails else 0)
