@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus a decode/feature-extract
+  * stage shaped the way a real pipeline would run it (partition-parallel
+  * batch UDF over binary payloads).
+  *
+  * The actual media codecs are NOT in this environment, so the decode step
+  * is a clearly marked deterministic STUB (see [[FakeDecoder]]) — the
+  * Spark-side plumbing (schema, binary payloads, typed mapPartitions batch
+  * shape, partitioning) is real and tested. Swapping in a real decoder
+  * means replacing ONE pure function.
+  *
+  * Scale posture: decode is `mapPartitions` — per-partition batch work,
+  * no shuffle, no driver involvement; metadata extraction is pure column
+  * expressions. Payload size governs `spark.sql.files.maxPartitionBytes`
+  * tuning, nothing else.
+  */
+object Multimodal {
+
+  /** A typed media row: opaque payload + declared modality. */
+  final case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte])
+
+  /** Decoded-media metadata (what a real image/audio decoder would emit). */
+  final case class MediaMeta(
+      doc_id: Long, modality: String, n_bytes: Long, sha256: String,
+      width: Int, height: Int, channels: Int)
+
+  /** Wrap a string column as a binary payload column with a modality tag —
+    * stands in for reading real image/audio bytes. */
+  def asBinary(df: DataFrame, idCol: String, payloadCol: String,
+      modality: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      lit(modality).as("modality"),
+      col(payloadCol).cast("binary").as("payload"))
+
+  /** Pure-column metadata over the opaque payload (no decode needed). */
+  def extractMeta(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"), col("modality"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      sha2(col("payload"), 256).as("sha256"))
+
+  /** ─ STUB ─ deterministic fake decoder. A real implementation would
+    * parse the codec headers / decode frames here; this derives plausible
+    * dimensions arithmetically from the byte length so the full pipeline
+    * (including the oracle) stays reproducible. Replace the body — nothing
+    * else — to integrate a real codec. */
+  object FakeDecoder {
+    def decode(r: MediaRow, sha: String): MediaMeta = {
+      val n = r.payload.length.toLong
+      MediaMeta(
+        doc_id = r.doc_id,
+        modality = r.modality,
+        n_bytes = n,
+        sha256 = sha,
+        width = (64 + n % 577).toInt,
+        height = (64 + (n * 31) % 353).toInt,
+        channels = 3)
+    }
+  }
+
+  /** The decode stage: typed, partition-parallel batch processing over the
+    * binary payloads — the exact shape a real decode/feature-extract pass
+    * takes (batch in, batch out, per-executor native resources amortized
+    * across a partition). */
+  def decode(df: DataFrame): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withSha = df.withColumn("sha", sha2(col("payload"), 256))
+    withSha.select("doc_id", "modality", "payload", "sha")
+      .as[(Long, String, Array[Byte], String)]
+      .mapPartitions { it =>
+        // per-partition: a real decoder would init native codecs ONCE here
+        it.map { case (id, mod, bytes, sha) =>
+          FakeDecoder.decode(MediaRow(id, mod, bytes), sha)
+        }
+      }
+  }
+}

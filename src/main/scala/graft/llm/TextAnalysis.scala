@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Text-analysis operators: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting, JSON property extraction.
+  *
+  * All pure per-row column expressions (codegen'd, embarrassingly
+  * parallel — trivially 100 TB-safe), each with an exact ANSI-SQL oracle:
+  * integer counts, single-division ratios and fixed-order FP arithmetic
+  * only, so results are bit-identical across engines.
+  */
+object TextAnalysis {
+
+  /** Languages scored by the marker-word heuristic, in tie-break
+    * precedence order. */
+  val Langs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "que", "por"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Token counts: whitespace tokens and a BPE-ish regex tokenization
+    * (letter runs / digit runs / single punctuation). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      size(words(col(textCol))).as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** Quality scoring: alphabetic ratio, average word length, stopword
+    * ratio, and a fixed-order combined score. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val nChars = length(col(textCol)).cast("double")
+    val nAlpha = length(regexp_replace(col(textCol), "[^A-Za-z]", ""))
+      .cast("double")
+    val nWords = size(w).cast("double")
+    val sumWlen = aggregate(transform(w, x => length(x)), lit(0),
+      (acc, x) => acc + x).cast("double")
+    val nStop = size(filter(w,
+      x => x.isInCollection(Stopwords))).cast("double")
+    val alphaRatio = nAlpha / nChars
+    val stopRatio = nStop / nWords
+    df.select(
+      col(idCol).as("doc_id"),
+      round(alphaRatio, 6).as("alpha_ratio"),
+      round(sumWlen / nWords, 6).as("avg_word_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(
+        lit(0.4) * alphaRatio + lit(0.4) * stopRatio +
+          lit(0.2) * least(nWords / lit(100d), lit(1d)), 6).as("quality"))
+  }
+
+  /** Marker-word language-ID heuristic: per-language marker-occurrence
+    * counts, predicted = argmax with fixed precedence (en→de→fr→es→zh). */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      actualCol: Option[String] = None): DataFrame = {
+    val w = words(col(textCol))
+    val scores = Langs.map { case (lang, markers) =>
+      lang -> size(filter(w, x => x.isInCollection(markers)))
+    }
+    val pred = scores.tail.foldLeft(
+      (when(lit(true), Langs.head._1), scores.head._2)) {
+      case ((acc, best), (lang, s)) =>
+        (when(s > best, lang).otherwise(acc), greatest(best, s))
+    }._1
+    val base = Seq(col(idCol).as("doc_id")) ++
+      scores.map { case (l, s) => s.as(s"score_$l") } :+ pred.as("pred_lang")
+    val cols = actualCol match {
+      case Some(a) => base ++ Seq(col(a).as("actual_lang"),
+        (pred === col(a)).as("match"))
+      case None => base
+    }
+    df.select(cols: _*)
+  }
+
+  /** Position-weighted document fingerprint: a polynomial-style rolling
+    * hash, order-sensitive (so permuted documents fingerprint differently)
+    * but computed with order-independent integer sums so it is
+    * shuffle-safe: fp = Σ_i h32(w_i)·((i-1) mod 64 + 1) mod P. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      (aggregate(
+        zip_with(
+          transform(words(col(textCol)), x => hash32(x)),
+          transform(sequence(lit(1), size(words(col(textCol)))),
+            i => ((i - 1) % 64 + 1).cast("long")),
+          (h, p) => (h * p) % P),
+        lit(0L), (acc, x) => acc + x) % P).as("fp"))
+
+  /** JSON property extraction from a string column (the `events.props`
+    * shape): `get_json_object` — codegen'd, no UDF. */
+  def jsonExtract(df: DataFrame, idCol: String, jsonCol: String,
+      path: String, outCol: String): DataFrame =
+    df.select(col(idCol),
+      get_json_object(col(jsonCol), path).cast("long").as(outCol))
+}

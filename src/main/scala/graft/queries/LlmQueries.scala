@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+
+/** Driver-contract queries for the LLM-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal), each with an exact
+  * DuckDB oracle. The oracle SQL mirrors the Spark pipeline step by step —
+  * portable md5-derived hashes, fixed permutation/hyperplane constants
+  * (injected from the SAME Scala values the Spark side uses) and
+  * identical left-fold FP arithmetic make the match exact, not
+  * approximate. */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+
+  // ── shared oracle fragments (mirror TextOps) ───────────────────────────
+  private val NormSql = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+  private val DocsCte =
+    s"docs AS (SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents)"
+  private def shCte(n: Int) =
+    s"""sh AS (SELECT doc_id, list_distinct(list_transform(
+       |  range(1, greatest(len(w) - ${n - 1}, 0) + 1),
+       |  i -> array_to_string(w[i:i+${n - 1}], ' '))) AS s FROM docs)""".stripMargin
+  private def h32(x: String) = TextOps.hash32Sql(x)
+  /** DuckDB left-fold with 0.0 init — the exact IEEE sequence of Spark's
+    * `aggregate(..., lit(0d), _ + _)`. */
+  private def foldSql(terms: String) =
+    s"list_reduce([0.0::DOUBLE] || $terms, (a, b) -> a + b)"
+  private def dotSql(a: String, b: String) =
+    foldSql(s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])")
+
+  private val PermsSql = TextOps.permConstants(16)
+    .map { case (i, a, b) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+    .mkString("perms(pi, pa, pb) AS (VALUES ", ", ", ")")
+
+  private def planesSql(nPlanes: Int): String =
+    Similarity.planeSigns(nPlanes, 64).zipWithIndex
+      .map { case (row, j) =>
+        row.map(v => s"$v.0").mkString(s"($j, [", ",", "]::DOUBLE[])")
+      }
+      .mkString("planes(j, s) AS (VALUES ", ", ", ")")
+
+  /** Per-vector LSH bucket CTEs (needs `n` = (vec_id, v) CTE in scope). */
+  private def bucketCtes(nPlanes: Int): String =
+    s"""${planesSql(nPlanes)},
+       |pb AS (SELECT n.vec_id, p.j, ${dotSql("n.v", "p.s")} AS d
+       |       FROM n CROSS JOIN planes p),
+       |bkt AS (SELECT vec_id,
+       |          sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS bkt
+       |        FROM pb GROUP BY vec_id)""".stripMargin
+
+  // ───────────────────────────── queries ─────────────────────────────
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(docs(s, dir), "doc_id", "text")),
+
+    "dedup_drop_exact" -> ((s, dir) =>
+      Dedup.dropExactDuplicates(docs(s, dir), "doc_id", "text")),
+
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+        n = 3, tau = 0.5)),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, tau = 0.5)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", hammingMax = 3)),
+
+    "knn_cosine_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceKnn(
+        e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 5)
+    }),
+
+    "knn_lsh_bucketed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshKnn(
+        e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nPlanes = 4, dim = 64)
+    }),
+
+    "embed_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding",
+        tau = 0.4, nPlanes = 4, dim = 64)),
+
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir), "doc_id", "text", Some("lang"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
+
+    "text_json_extract" -> ((s, dir) =>
+      TextAnalysis.jsonExtract(
+        Tables.read(s, dir, "events"), "event_id", "props", "$.k", "k")),
+
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(
+        Multimodal.asBinary(docs(s, dir), "doc_id", "text", "text/plain"))),
+
+    "mm_decode_stub" -> ((s, dir) =>
+      Multimodal.decode(
+        Multimodal.asBinary(docs(s, dir), "doc_id", "text", "text/plain"))
+        .toDF())
+  )
+
+  // ───────────────────────────── oracles ─────────────────────────────
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT min(doc_id) AS keep_id, count(*) AS n_dups,
+         |       md5($NormSql) AS text_hash
+         |FROM documents GROUP BY md5($NormSql)""".stripMargin,
+
+    "dedup_drop_exact" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY md5($NormSql) ORDER BY doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn = 1""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      s"""WITH $DocsCte, ${shCte(3)},
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+         |       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $DocsCte, ${shCte(3)},
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |hashed AS (SELECT doc_id, ${h32("g")} AS h FROM ex),
+         |$PermsSql,
+         |pv AS (SELECT doc_id, pi, min((pa * h + pb) % 2147483647) AS mh
+         |       FROM hashed CROSS JOIN perms GROUP BY doc_id, pi),
+         |bands AS (SELECT doc_id, pi // 4 AS band,
+         |            array_to_string(list(mh ORDER BY pi), ',') AS bkey
+         |          FROM pv GROUP BY doc_id, pi // 4),
+         |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.bkey = b.bkey
+         |           AND a.doc_id < b.doc_id),
+         |sig AS (SELECT doc_id, list(mh ORDER BY pi) AS sg FROM pv
+         |        GROUP BY doc_id),
+         |ver AS (
+         |  SELECT c.id_a, c.id_b,
+         |         len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS inter,
+         |         len(sa.s) AS za, len(sb.s) AS zb,
+         |         len(list_filter(range(1, 17), i -> ga.sg[i] = gb.sg[i])) AS neq
+         |  FROM cands c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b
+         |  JOIN sig ga ON ga.doc_id = c.id_a
+         |  JOIN sig gb ON gb.doc_id = c.id_b)
+         |SELECT id_a, id_b, round(neq / 16.0, 6) AS est_sim,
+         |       round(inter::DOUBLE / (za + zb - inter), 6) AS jaccard
+         |FROM ver
+         |WHERE round(inter::DOUBLE / (za + zb - inter), 6) >= 0.5""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $DocsCte,
+         |bg AS (SELECT doc_id,
+         |         unnest(list_transform(range(1, len(w)),
+         |                i -> array_to_string(w[i:i+1], ' '))) AS g
+         |       FROM docs),
+         |gh AS (SELECT doc_id, ${h32("g")} AS h FROM bg),
+         |bits AS (SELECT doc_id, k,
+         |           sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS sm
+         |         FROM gh CROSS JOIN (SELECT unnest(range(0, 32)) AS k) ks
+         |         GROUP BY doc_id, k),
+         |sim AS (SELECT doc_id,
+         |          sum(CASE WHEN sm > 0 THEN (1::BIGINT << k)
+         |              ELSE 0::BIGINT END)::BIGINT AS sh
+         |        FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       bit_count(xor(a.sh, b.sh)) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    "knn_cosine_brute" ->
+      s"""WITH v AS (SELECT vec_id,
+         |             list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+         |      WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, n.vec_id AS nid,
+         |         ${dotSql("q.qv", "n.v")} / (q.qn * n.nrm) AS sim
+         |  FROM q JOIN n ON n.vec_id != q.qid),
+         |r AS (SELECT qid, nid, sim, row_number() OVER (
+         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM scored)
+         |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+         |WHERE rank <= 5""".stripMargin,
+
+    "knn_lsh_bucketed" ->
+      s"""WITH v AS (SELECT vec_id,
+         |             list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
+         |${bucketCtes(4)},
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bkt.bkt FROM n
+         |       JOIN bkt ON n.vec_id = bkt.vec_id),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bkt FROM nb
+         |      WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, nb.vec_id AS nid,
+         |         ${dotSql("q.qv", "nb.v")} / (q.qn * nb.nrm) AS sim
+         |  FROM q JOIN nb ON nb.bkt = q.bkt AND nb.vec_id != q.qid),
+         |r AS (SELECT qid, nid, sim, row_number() OVER (
+         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM scored)
+         |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+         |WHERE rank <= 5""".stripMargin,
+
+    "embed_cosine_pairs" ->
+      s"""WITH v AS (SELECT vec_id,
+         |             list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
+         |${bucketCtes(4)},
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bkt.bkt FROM n
+         |       JOIN bkt ON n.vec_id = bkt.vec_id)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS sim
+         |FROM nb a JOIN nb b
+         |  ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |       len(string_split($NormSql, ' ')) AS n_ws_tokens,
+         |       len(regexp_extract_all(lower(text),
+         |           '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+         |       length(text) AS n_chars
+         |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH $DocsCte,
+         |m AS (SELECT d.doc_id,
+         |        length(d2.text)::DOUBLE AS nc,
+         |        length(regexp_replace(d2.text, '[^A-Za-z]', '', 'g'))::DOUBLE AS na,
+         |        len(d.w)::DOUBLE AS nw,
+         |        list_sum(list_transform(d.w, x -> length(x)))::DOUBLE AS swl,
+         |        len(list_filter(d.w, x -> x IN
+         |          ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE AS ns
+         |      FROM docs d JOIN documents d2 ON d.doc_id = d2.doc_id)
+         |SELECT doc_id,
+         |       round(na / nc, 6) AS alpha_ratio,
+         |       round(swl / nw, 6) AS avg_word_len,
+         |       round(ns / nw, 6) AS stopword_ratio,
+         |       round(0.4 * (na / nc) + 0.4 * (ns / nw) +
+         |             0.2 * least(nw / 100.0, 1.0), 6) AS quality
+         |FROM m""".stripMargin,
+
+    "text_langid" -> {
+      val scoreCols = TextAnalysis.Langs.map { case (l, ms) =>
+        val set = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(w, x -> x IN ($set))) AS score_$l"
+      }.mkString(",\n         ")
+      val caseArms = TextAnalysis.Langs.map { case (l, _) =>
+        s"WHEN score_$l = m THEN '$l'"
+      }.mkString(" ")
+      val greatestArgs = TextAnalysis.Langs.map(l => s"score_${l._1}").mkString(", ")
+      s"""WITH $DocsCte,
+         |sc AS (SELECT d.doc_id, d2.lang,
+         |         $scoreCols
+         |       FROM docs d JOIN documents d2 ON d.doc_id = d2.doc_id),
+         |scm AS (SELECT *, greatest($greatestArgs) AS m FROM sc)
+         |SELECT doc_id, ${TextAnalysis.Langs.map(l => s"score_${l._1}").mkString(", ")},
+         |       CASE $caseArms END AS pred_lang,
+         |       lang AS actual_lang,
+         |       (CASE $caseArms END = lang) AS match
+         |FROM scm""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""WITH $DocsCte
+         |SELECT doc_id,
+         |       (list_sum(list_transform(range(1, len(w) + 1),
+         |          i -> (${h32("w[i]")} * ((i - 1) % 64 + 1)) % 2147483647))
+         |        % 2147483647)::BIGINT AS fp
+         |FROM docs""".stripMargin,
+
+    "text_json_extract" ->
+      "SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events",
+
+    "mm_meta" ->
+      """SELECT doc_id, 'text/plain' AS modality,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       sha256(text) AS sha256
+        |FROM documents""".stripMargin,
+
+    "mm_decode_stub" ->
+      """SELECT doc_id, 'text/plain' AS modality,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       sha256(text) AS sha256,
+        |       (64 + octet_length(encode(text)) % 577)::INTEGER AS width,
+        |       (64 + (octet_length(encode(text)) * 31) % 353)::INTEGER AS height,
+        |       3::INTEGER AS channels
+        |FROM documents""".stripMargin
+  )
+}
