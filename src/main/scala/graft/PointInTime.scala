@@ -50,6 +50,7 @@ object PointInTime {
   private val EventTs = "__graft_event_ts"
   private val CreatedTs = "__graft_created_ts"
   private val Rn = "__graft_rn"
+  private val Bkt = "__graft_bkt"
 
   def getHistoricalFeatures(
       entityDf: DataFrame,
@@ -123,25 +124,48 @@ object PointInTime {
     // re-attached in the final left join).
     val entKeys = fv.entities :+ entityTsCol
     val entDistinct0 = entityDf.select(entKeys.map(col): _*).distinct()
-    // Entity-less view: no equi keys, so the join is a broadcast
-    // nested-loop on the range residual — broadcast the (small) distinct
-    // timestamp list explicitly rather than shuffling the feature table.
-    val entDistinct =
-      if (fv.entities.isEmpty) broadcast(entDistinct0) else entDistinct0
 
     // J2: as-of inner join — equi on entity keys, range residual on ts.
     // Inclusive on both ends; ttl == 0 ⇒ unbounded lookback
     // (ref: hive.py:614-624, tests/feast_tests_funcs.py:263-269).
-    val range0 = feats(EventTs) <= entDistinct(entityTsCol)
-    val range =
+    def rangeCond(f: DataFrame, e: DataFrame): Column = {
+      val upper = f(EventTs) <= e(entityTsCol)
       if (fv.ttlSeconds > 0)
-        range0 && feats(EventTs) >= entDistinct(entityTsCol) -
+        upper && f(EventTs) >= e(entityTsCol) -
           expr(s"INTERVAL ${fv.ttlSeconds} SECONDS")
-      else range0
-    val cond = fv.entities
-      .map(k => feats(k) === entDistinct(k))
-      .foldLeft(range)(_ && _)
-    val joined = feats.join(entDistinct, cond, "inner")
+      else upper
+    }
+    val joined: DataFrame =
+      if (fv.entities.nonEmpty) {
+        // Equi keys present: hash/SMJ on the keys, range as residual —
+        // Catalyst/AQE picks broadcast when the entity side is small.
+        val cond = fv.entities
+          .map(k => feats(k) === entDistinct0(k))
+          .foldLeft(rangeCond(feats, entDistinct0))(_ && _)
+        feats.join(entDistinct0, cond, "inner")
+      } else if (fv.ttlSeconds > 0) {
+        // Entity-less + bounded TTL: TIME-BUCKETED range join. Bucket width
+        // = ttl, so a feature row in [entity_ts - ttl, entity_ts] is always
+        // in the entity's bucket or the one before — the entity side probes
+        // both, turning the θ-join into a hash equi-join on the bucket id
+        // (at 100 TB the alternative broadcast nested-loop is O(|feat|·|ts|)
+        // and was the measured bottleneck at sf0.1 already).
+        val w = fv.ttlSeconds * 1000000L
+        val fB = feats.withColumn(Bkt, floor(unix_micros(col(EventTs)) / w))
+        val eB = entDistinct0
+          .withColumn(Bkt, explode(array(
+            floor(unix_micros(col(entityTsCol)) / w),
+            floor(unix_micros(col(entityTsCol)) / w) - 1)))
+        fB.join(eB, fB(Bkt) === eB(Bkt) && rangeCond(fB, eB), "inner")
+          .drop(Bkt)
+      } else {
+        // Entity-less + unbounded lookback: no bucketing possible — keep
+        // the broadcast nested-loop with the (small) distinct-ts side
+        // broadcast. Scales with |distinct entity ts|, documented.
+        feats.join(broadcast(entDistinct0),
+          rangeCond(feats, entDistinct0), "inner")
+      }
+    val entDistinct = entDistinct0
 
     // Flatten: entity key columns from the entity side, features from the
     // feature side (names are disjoint by construction).

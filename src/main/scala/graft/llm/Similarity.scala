@@ -112,7 +112,7 @@ object Similarity {
       nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val withB =
+    val withB0 =
       if (bucketless) base.withColumn("bkt", lit(0L))
       else {
         val signs = planeSigns(nPlanes, dim)
@@ -123,6 +123,7 @@ object Similarity {
               lit(1L << j)).otherwise(lit(0L))
           }.reduce(_ + _))
       }
+    val withB = withB0
     withB.as("a")
       .join(withB.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))

@@ -31,12 +31,21 @@ object TextOps {
 
   /** Word n-grams (order-preserving, with duplicates) of a word-array
     * column. Guarded so docs shorter than `n` words yield an empty array
-    * (Spark's `sequence(1, 0)` would DESCEND, not return empty). */
+    * (Spark's `sequence(1, 0)` would DESCEND, not return empty).
+    *
+    * The word array is bound ONCE as a lambda variable via the
+    * one-element-array wrapper: a naive
+    * `transform(sequence(...), i -> slice($col, i, n))` re-evaluates the
+    * full `$col` expression (regexp + split after projection collapse) for
+    * EVERY sequence element — measured as a ~25× slowdown on the shingle
+    * pipeline. CSE does not reach inside lambda bodies; the explicit
+    * binding does. */
   def wordNgrams(wordsCol: String, n: Int): Column = expr(
-    s"""CASE WHEN size($wordsCol) >= $n
-       |  THEN transform(sequence(1, size($wordsCol) - ${n - 1}),
-       |                 i -> concat_ws(' ', slice($wordsCol, i, $n)))
-       |  ELSE filter($wordsCol, x -> false) END""".stripMargin)
+    s"""element_at(transform(array($wordsCol), arr ->
+       |  CASE WHEN size(arr) >= $n
+       |    THEN transform(sequence(1, size(arr) - ${n - 1}),
+       |                   i -> concat_ws(' ', slice(arr, i, $n)))
+       |    ELSE filter(arr, x -> false) END), 1)""".stripMargin)
 
   /** Portable 32-bit hash: first 8 hex chars of md5, as a long in
     * [0, 2^32). DuckDB: `('0x' || substr(md5(x),1,8))::BIGINT`. */

@@ -29,6 +29,14 @@ object LlmQueries {
     s"""sh AS (SELECT doc_id, list_distinct(list_transform(
        |  range(1, greatest(len(w) - ${n - 1}, 0) + 1),
        |  i -> array_to_string(w[i:i+${n - 1}], ' '))) AS s FROM docs)""".stripMargin
+  /** Hashed-shingle variant: shingles become 32-bit md5-derived longs (the
+    * Spark side hashes immediately, so the oracle must too — identical
+    * values even under hash collisions). */
+  private def shCte32(n: Int) =
+    s"""sh AS (SELECT doc_id, list_distinct(list_transform(
+       |  list_transform(range(1, greatest(len(w) - ${n - 1}, 0) + 1),
+       |                 i -> array_to_string(w[i:i+${n - 1}], ' ')),
+       |  g -> ${h32("g")})) AS s FROM docs)""".stripMargin
   private def h32(x: String) = TextOps.hash32Sql(x)
   /** DuckDB left-fold with 0.0 init — the exact IEEE sequence of Spark's
     * `aggregate(..., lit(0d), _ + _)`. */
@@ -136,7 +144,7 @@ object LlmQueries {
          |WHERE rn = 1""".stripMargin,
 
     "dedup_jaccard_pairs" ->
-      s"""WITH $DocsCte, ${shCte(3)},
+      s"""WITH $DocsCte, ${shCte32(3)},
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
          |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
          |pairs AS (
@@ -151,9 +159,8 @@ object LlmQueries {
          |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin,
 
     "dedup_minhash_lsh" ->
-      s"""WITH $DocsCte, ${shCte(3)},
-         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |hashed AS (SELECT doc_id, ${h32("g")} AS h FROM ex),
+      s"""WITH $DocsCte, ${shCte32(3)},
+         |hashed AS (SELECT doc_id, unnest(s) AS h FROM sh),
          |$PermsSql,
          |pv AS (SELECT doc_id, pi, min((pa * h + pb) % 2147483647) AS mh
          |       FROM hashed CROSS JOIN perms GROUP BY doc_id, pi),
