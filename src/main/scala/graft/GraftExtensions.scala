@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.DotProduct
+
+/** SQL surface for the engine's native expressions, injected through the
+  * PUBLIC extensions API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT graft_dot(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * The DataFrame operators do NOT require the extension to be installed —
+  * they build the expressions directly — so the library works in any
+  * session; the extension only adds the SQL names. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+  }
+}
