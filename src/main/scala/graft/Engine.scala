@@ -38,6 +38,30 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
     case EntitySql(sql)  => spark.sql(sql) // S2; no CTAS round-trip needed
   }
 
+  /** Infer the entity df's event-timestamp column (ref: feast's
+    * `infer_event_timestamp_from_entity_df`, used at hive.py:214-216):
+    * prefer a column literally named `event_timestamp`; otherwise accept a
+    * UNIQUE timestamp-typed column; ambiguity or absence is an error
+    * naming the candidates. */
+  def inferEventTimestampColumn(entityDf: DataFrame): String = {
+    val byName = entityDf.columns.find(_ == "event_timestamp")
+    byName.getOrElse {
+      val tsCols = entityDf.schema.fields.filter(f =>
+        f.dataType == org.apache.spark.sql.types.TimestampType ||
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        .map(_.name).toSeq
+      tsCols match {
+        case Seq(only) => only
+        case Seq() => throw new EntityDfMissingColumnsError(
+          Seq("event_timestamp"), Seq("event_timestamp"))
+        case many => throw new IllegalArgumentException(
+          "Ambiguous entity event-timestamp column; found multiple " +
+            s"timestamp columns: ${many.mkString(", ")} — name one " +
+            "'event_timestamp' or pass entityTsCol explicitly")
+      }
+    }
+  }
+
   /** Entry point 1 — the flagship point-in-time join
     * (ref: feast_hive/hive.py:192-269). */
   def getHistoricalFeatures(

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.model.FeatureView
+import graft.sources.{FeatureSource, SourceJson}
+
+/** Engine orchestration surface: ts-column inference, view validation,
+  * source registry round-trip, conf overlay. */
+class EngineSpec extends SparkSpec {
+
+  private def eng = new Engine(spark)
+
+  test("inferEventTimestampColumn prefers event_timestamp, then unique ts") {
+    import spark.implicits._
+    val named = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "event_timestamp")
+    assert(eng.inferEventTimestampColumn(named) == "event_timestamp")
+    val single = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "e_ts")
+    assert(eng.inferEventTimestampColumn(single) == "e_ts")
+    val none = Seq((1L, "x")).toDF("id", "s")
+    intercept[EntityDfMissingColumnsError] {
+      eng.inferEventTimestampColumn(none)
+    }
+    val two = Seq((Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("a_ts", "b_ts")
+    val e = intercept[IllegalArgumentException] {
+      eng.inferEventTimestampColumn(two)
+    }
+    assert(e.getMessage.contains("a_ts"))
+  }
+
+  test("absent structural columns fail fast; absent features are dropped") {
+    import spark.implicits._
+    val src = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("driver_id", "event_timestamp", "conv_rate")
+    src.createOrReplaceTempView("engine_spec_src")
+    val entity = Seq((1L, Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("driver_id", "event_timestamp")
+    // absent feature (reference fixture behavior): dropped, query works
+    val fvExtraFeature = FeatureView("v", Seq("driver_id"),
+      FeatureSource(table = Some("engine_spec_src")),
+      features = Seq("conv_rate", "avg_daily_trips"))
+    val out = PointInTime.getHistoricalFeatures(entity, Seq(fvExtraFeature))
+    assert(out.columns.toSet ==
+      Set("driver_id", "event_timestamp", "conv_rate"))
+    assert(out.count() == 1)
+    // absent entity key: fail fast with the view and column named
+    val fvBadKey = FeatureView("v2", Seq("nope_id"),
+      FeatureSource(table = Some("engine_spec_src")))
+    val entity2 = entity.withColumnRenamed("driver_id", "nope_id")
+    val e = intercept[IllegalArgumentException] {
+      PointInTime.getHistoricalFeatures(entity2, Seq(fvBadKey))
+    }
+    assert(e.getMessage.contains("v2") && e.getMessage.contains("nope_id"))
+  }
+
+  test("FeatureSource JSON registry round-trip") {
+    val src = FeatureSource(
+      query = Some("SELECT a, b FROM t WHERE s = 'x\"y'\n AND b > 0"),
+      eventTimestampColumn = "ts",
+      createdTimestampColumn = Some("created"),
+      fieldMapping = Map("a" -> "alpha", "b" -> "beta"),
+      datePartitionColumn = Some("dt"),
+      name = Some("round_trip"))
+    assert(SourceJson.fromJson(SourceJson.toJson(src)) == src)
+    val minimal = FeatureSource(path = Some("/tmp/x.parquet"))
+    assert(SourceJson.fromJson(SourceJson.toJson(minimal)) == minimal)
+  }
+
+  test("session conf overlay applies at retrieval build") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val overlay = new Engine(spark, EngineConfig(
+      sessionConf = Map("spark.sql.shuffle.partitions" -> "7")))
+    val src = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("driver_id", "event_timestamp", "conv_rate")
+    src.createOrReplaceTempView("engine_spec_conf")
+    val entity = Seq((1L, Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("driver_id", "event_timestamp")
+    overlay.getHistoricalFeatures(EntityFrame(entity), Seq(
+      FeatureView("v", Seq("driver_id"),
+        FeatureSource(table = Some("engine_spec_conf"))))).toDF.count()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}
