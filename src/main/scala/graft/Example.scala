@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.FeatureView
+import graft.sources.FeatureSource
+
+/** Executable usage tour (ref: the reference ships `example.py` as its
+  * user-facing walkthrough). Runs against the sf0.001 testdata:
+  *
+  * {{{ sbt "runMain graft.Example" }}}
+  */
+object Example {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val engine = new Engine(spark)
+
+    // 1. Define a feature source + view (table, query or parquet path;
+    //    ref: example.py defines a HiveSource over a query).
+    val events = FeatureSource(
+      path = Some(s"$dir/events.parquet"),
+      eventTimestampColumn = "ts",
+      name = Some("user_events"))
+    val view = FeatureView(
+      name = "user_stats",
+      entities = Seq("user_id"),
+      source = events,
+      features = Seq("value", "event_type"),
+      ttlSeconds = 3600)
+
+    // 2. Historical retrieval: entity df (here: a SQL spine) + PIT join.
+    Tables.read(spark, dir, "events").createOrReplaceTempView("raw_events")
+    val job = engine.getHistoricalFeatures(
+      EntitySql(
+        """SELECT user_id, ts + INTERVAL 30 MINUTE AS event_timestamp
+          |FROM raw_events WHERE event_id % 200 = 0""".stripMargin),
+      Seq(view), fullFeatureNames = true)
+    println("— historical features (as-of join) —")
+    job.toDF.show(5, truncate = false)
+
+    // 3. Materialization: latest row per key over a window.
+    println("— pull latest (materialize) —")
+    engine.pullLatest(events, Seq("user_id"), Seq("value", "event_type"),
+      "ts", None,
+      Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-02-01 00:00:00")).toDF.show(5)
+
+    // 4. LLM-pipeline operators over documents/embeddings.
+    val docs = Tables.read(spark, dir, "documents")
+    println("— near-duplicate documents (MinHash-LSH, verified) —")
+    llm.Dedup.minHashLshPairs(docs, "doc_id", "text").show(5)
+    println("— top-3 nearest neighbours (native graft_dot cosine) —")
+    val emb = Tables.read(spark, dir, "embeddings")
+    llm.Similarity.bruteForceKnn(
+      emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", 3).show()
+
+    // 5. The native expression is SQL-callable via GraftExtensions.
+    emb.createOrReplaceTempView("emb")
+    spark.sql(
+      """SELECT a.vec_id, round(graft_dot(a.embedding, b.embedding), 4) AS dot
+        |FROM emb a JOIN emb b ON b.vec_id = 0 AND a.vec_id < 3
+        |ORDER BY a.vec_id""".stripMargin).show()
+
+    spark.stop()
+  }
+}
