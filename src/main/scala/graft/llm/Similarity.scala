@@ -48,10 +48,22 @@ object Similarity {
     val scored = v.join(broadcast(q), col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 6).as("sim"))
+    topK(scored, k)
+  }
+
+  /** Per-query top-k via the bounded [[graft.functions.TopKAgg]]
+    * aggregator: map-side partial top-k per partition, then a k-sized
+    * merge — no window sort of the full scored set (the scored relation
+    * is corpus-sized; at scale the window formulation shuffles all of it).
+    * Ordering (score DESC, id ASC) matches the oracle's row_number. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    scored.groupBy("qid")
+      .agg(topk(col("sim"), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("nid"),
+        (col("pos") + 1).as("rank"),
+        round(col("col.score"), 6).as("sim"))
   }
 
   /** Deterministic ±1 hyperplane matrix (nPlanes × dim), derived from a
@@ -97,10 +109,7 @@ object Similarity {
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 6).as("sim"))
+    topK(scored, k)
   }
 
   /** Embedding-cosine near-dup pairs above `tau`, via bucketed candidates:
