@@ -347,6 +347,22 @@ object CoreQueries {
       PointInTime.getHistoricalFeatures(
         spine(s, dir), Seq(eventsView(dir, 3600)))),
 
+    // The same semantics through the NATIVE sort-merge as-of operator
+    // (custom LogicalPlan/Strategy/SparkPlan, graft.plans.AsOfJoin) —
+    // identical oracle proves plan-level equivalence. event_id doubles as
+    // the created-ts so exact ties break like the oracle's
+    // `ORDER BY ts DESC, event_id DESC`.
+    "pit_native_asof" -> ((s, dir) => {
+      val feats = events(s, dir)
+        .select("user_id", "ts", "value", "event_type", "event_id")
+      graft.plans.AsOf.join(
+        spine(s, dir), feats,
+        keys = Seq("user_id"),
+        entityTsCol = "event_timestamp", featureTsCol = "ts",
+        createdCol = Some("event_id"), ttlSeconds = 3600)
+        .drop("ts")
+    }),
+
     // TTL 0 ⇒ unbounded lookback (NOT zero-width; ref hive.py:614-624).
     "pit_events_ttl0" -> ((s, dir) =>
       PointInTime.getHistoricalFeatures(
@@ -523,6 +539,10 @@ object CoreQueries {
         |  FROM events) t
         |WHERE rn <= 3""".stripMargin,
     "pit_events_ttl1h" -> pitOracle(
+      "AND f.ts >= e.event_timestamp - INTERVAL 3600 SECOND",
+      "f.value, f.event_type, f.event_id AS f_eid",
+      "m.value AS value, m.event_type AS event_type, m.f_eid AS event_id"),
+    "pit_native_asof" -> pitOracle(
       "AND f.ts >= e.event_timestamp - INTERVAL 3600 SECOND",
       "f.value, f.event_type, f.event_id AS f_eid",
       "m.value AS value, m.event_type AS event_type, m.f_eid AS event_id"),
