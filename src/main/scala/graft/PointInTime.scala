@@ -79,6 +79,61 @@ object PointInTime {
     }
   }
 
+  /** The flagship on the NATIVE sort-merge as-of operator
+    * ([[graft.plans.AsOfJoin]]): each view is ONE as-of join of the full
+    * entity df — no distinct, no window, no join-back; the operator's
+    * single merge pass per partition handles duplicate entity rows and
+    * null attachment natively. Same results as
+    * [[getHistoricalFeatures]] (spec-asserted); ~2× fewer shuffles per
+    * view. The coarse scan filter (J1 replacement) is still applied so
+    * parquet pruning is identical. */
+  def getHistoricalFeaturesNative(
+      entityDf: DataFrame,
+      views: Seq[FeatureView],
+      entityTsCol: String = "event_timestamp",
+      fullFeatureNames: Boolean = false): DataFrame = {
+    val spark = entityDf.sparkSession
+    val expected = views.flatMap(_.entities).distinct :+ entityTsCol
+    val missing = expected.filterNot(entityDf.columns.contains)
+    if (missing.nonEmpty)
+      throw new EntityDfMissingColumnsError(expected, missing)
+    val bounds: Row =
+      entityDf.agg(min(col(entityTsCol)), max(col(entityTsCol))).head()
+    val (minTs, maxTs) = (bounds.get(0), bounds.get(1))
+
+    views.foldLeft(entityDf) { (acc, fv) =>
+      val src = fv.source.resolve(spark)
+      val evtCol = fv.source.eventTimestampColumn
+      val createdCol = fv.source.createdTimestampColumn
+      val srcCols = src.columns.toSet
+      val featNames =
+        (if (fv.features.nonEmpty) fv.features.filter(srcCols.contains)
+         else src.columns.toSeq.filterNot(c =>
+           fv.entities.contains(c) || c == evtCol || createdCol.contains(c)))
+      val prefix = if (fullFeatureNames) s"${fv.name}__" else ""
+      val coarse: DataFrame =
+        if (maxTs == null) src.filter(lit(false))
+        else {
+          val upper = col(evtCol) <= lit(maxTs)
+          val lower =
+            if (fv.ttlSeconds > 0)
+              col(evtCol) >=
+                lit(minTs) - expr(s"INTERVAL ${fv.ttlSeconds} SECONDS")
+            else lit(true)
+          src.filter(upper && lower)
+        }
+      val feats = coarse.select(
+        fv.entities.map(col) ++
+          Seq(col(evtCol).as(EventTs)) ++
+          createdCol.map(c => col(c).as(CreatedTs)).toSeq ++
+          featNames.map(f => col(f).as(prefix + f)): _*)
+      graft.plans.AsOf.join(
+        acc, feats, fv.entities, entityTsCol, EventTs,
+        createdCol.map(_ => CreatedTs), fv.ttlSeconds)
+        .drop(EventTs).drop(CreatedTs)
+    }
+  }
+
   /** One row per distinct (entity keys, entity ts): the as-of-latest feature
     * values, already renamed for output. */
   private def latestPerEntityRow(

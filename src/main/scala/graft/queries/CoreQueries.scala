@@ -378,6 +378,17 @@ object CoreQueries {
         fullFeatureNames = true)
     }),
 
+    // The two-view flagship again, but orchestrated ENTIRELY on the native
+    // as-of operator (getHistoricalFeaturesNative) — same oracle as
+    // pit_two_views_full_names proves end-to-end plan equivalence.
+    "pit_native_two_views" -> ((s, dir) => {
+      regEvents(s, dir)
+      PointInTime.getHistoricalFeaturesNative(
+        spine(s, dir),
+        Seq(eventsView(dir, 3600), hourlyView(7200)),
+        fullFeatureNames = true)
+    }),
+
     // Entity-less feature view: as-of on timestamp alone (dummy-entity
     // branch, ref hive.py:543-545).
     "pit_dummy_entity" -> ((s, dir) => {
@@ -429,7 +440,10 @@ object CoreQueries {
 
   // ───────────────────────────── oracles ─────────────────────────────
 
-  val oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = baseOracleSql +
+    ("pit_native_two_views" -> baseOracleSql("pit_two_views_full_names"))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "s1_scan_table" ->
       "SELECT event_id, user_id, event_type, value FROM events",
     "s2_query_source" ->
