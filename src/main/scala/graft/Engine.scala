@@ -63,7 +63,11 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
   }
 
   /** Entry point 1 — the flagship point-in-time join
-    * (ref: feast_hive/hive.py:192-269). */
+    * (ref: feast_hive/hive.py:192-269). When the entity df has no column
+    * named `entityTsCol`, the timestamp column is INFERRED like the
+    * reference does (hive.py:214-216 via
+    * `infer_event_timestamp_from_entity_df`) — see
+    * [[inferEventTimestampColumn]]. */
   def getHistoricalFeatures(
       entity: EntityInput,
       views: Seq[FeatureView],
@@ -71,8 +75,11 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
       fullFeatureNames: Boolean = false): RetrievalJob =
     RetrievalJob {
       applySessionConf()
-      PointInTime.getHistoricalFeatures(
-        resolveEntityDf(entity), views, entityTsCol, fullFeatureNames)
+      val df = resolveEntityDf(entity)
+      val tsCol =
+        if (df.columns.contains(entityTsCol)) entityTsCol
+        else inferEventTimestampColumn(df)
+      PointInTime.getHistoricalFeatures(df, views, tsCol, fullFeatureNames)
     }
 
   /** ref: hive.py:391 — non-DataFrame/non-string entity df is a type error.

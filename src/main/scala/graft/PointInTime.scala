@@ -14,136 +14,46 @@ import graft.model.FeatureView
   * the latest feature values with `event_ts <= entity_ts` and, when
   * `ttl > 0`, `event_ts >= entity_ts - ttl` (both bounds inclusive;
   * `ttl == 0` means no lower bound at all). Among candidates the greatest
-  * `event_ts` wins; ties broken by greatest `created_ts`. Unmatched entity
-  * rows keep NULL features (final join is LEFT).
+  * `event_ts` wins; ties broken by greatest `created_ts`, then the view's
+  * `tieBreakColumns`. Unmatched entity rows keep NULL features (final
+  * join is LEFT).
   *
-  * The PLAN is Spark-first, not a translation of the reference's 4-stage
-  * Hive workaround pipeline (temp tables, 1-row MIN/MAX joins, regex drops):
+  * Two orchestrations with identical results (spec-asserted):
   *
-  *  1. driver-side scalar min/max of the entity timestamp, inlined as
-  *     literals — the coarse range filter constant-folds into Parquet
-  *     predicate pushdown (replaces the reference's J1 cartesian join,
-  *     hive.py:592-605);
-  *  2. DISTINCT entity rows per view (ref A1, hive.py:555-565);
-  *  3. one inner equi-join on entity keys with the as-of range as residual
-  *     (ref J2, hive.py:611-629); entity-less views join on the range alone
-  *     against a broadcast of the distinct timestamps;
-  *  4. a single `row_number` window per view (partition = entity keys +
-  *     entity ts; order = event_ts DESC, created_ts DESC) replaces the
-  *     reference's A3+A4+J3 dedup/latest/join-back chain (hive.py:635-696)
-  *     with one shuffle per view;
-  *  5. LEFT join features back onto the full entity df on
-  *     (entity keys, entity ts) — a `struct`-free natural join key; the
-  *     reference's string CONCAT unique id (hive.py:537-545) is avoided
-  *     (collision class "1"+"23" == "12"+"3", plus cast cost). Duplicate
-  *     (keys, ts) entity rows each match the single deduped feature row, so
-  *     they yield one output row per input row (trap: hive.py:706-720 vs
-  *     :555-565).
+  *  - [[getHistoricalFeatures]] — pure DataFrame API: coarse range from
+  *    driver-side scalar min/max (constant-folds into Parquet pushdown,
+  *    replacing the reference's J1 cartesian join), DISTINCT entity
+  *    lookup, inner equi-join with the range residual (time-bucketed for
+  *    entity-less views), ONE row_number window per view (replacing the
+  *    reference's A3+A4+J3 chain), LEFT join-back on (keys, ts);
+  *  - [[getHistoricalFeaturesNative]] — each view is one
+  *    [[graft.plans.AsOfJoin]] (custom sort-merge operator): no distinct,
+  *    no window, no join-back; ~2× fewer shuffles per view.
   *
-  * At scale: the only data-sized shuffles are the per-view equi-join and its
-  * window (both keyed on entity keys, co-partitionable); the feature scan is
-  * pre-filtered by the pushed-down coarse range; nothing but two scalar
-  * aggregates ever reaches the driver.
+  * At scale: the only data-sized shuffles are per-view joins keyed on the
+  * entity keys; the feature scan is pre-filtered by the pushed-down
+  * coarse range; nothing but two scalar aggregates reaches the driver.
   */
 object PointInTime {
 
   private val EventTs = "__graft_event_ts"
   private val CreatedTs = "__graft_created_ts"
+  private val OrderTs = "__graft_order_ts"
   private val Rn = "__graft_rn"
   private val Bkt = "__graft_bkt"
 
-  def getHistoricalFeatures(
-      entityDf: DataFrame,
-      views: Seq[FeatureView],
-      entityTsCol: String = "event_timestamp",
-      fullFeatureNames: Boolean = false): DataFrame = {
-    val spark = entityDf.sparkSession
+  /** Validated, coarse-filtered, renamed feature relation for one view:
+    * columns = entities ++ EventTs ++ [CreatedTs] ++ prefixed features. */
+  private final case class ViewRel(
+      feats: DataFrame, outNames: Seq[String], hasCreated: Boolean,
+      prefix: String)
 
-    // ref: hive.py:222-224 — assert expected columns in the entity df.
-    val expected = views.flatMap(_.entities).distinct :+ entityTsCol
-    val missing = expected.filterNot(entityDf.columns.contains)
-    if (missing.nonEmpty)
-      throw new EntityDfMissingColumnsError(expected, missing)
-
-    // A2: driver-side scalar min/max of the entity ts (null ⇔ empty df).
-    val bounds: Row =
-      entityDf.agg(min(col(entityTsCol)), max(col(entityTsCol))).head()
-    val (minTs, maxTs) = (bounds.get(0), bounds.get(1))
-
-    views.foldLeft(entityDf) { (acc, fv) =>
-      val feat =
-        latestPerEntityRow(spark, fv, entityDf, entityTsCol, minTs, maxTs,
-          fullFeatureNames)
-      // J4: left join keeps unmatched entity rows with NULL features.
-      acc.join(feat, fv.entities :+ entityTsCol, "left")
-    }
-  }
-
-  /** The flagship on the NATIVE sort-merge as-of operator
-    * ([[graft.plans.AsOfJoin]]): each view is ONE as-of join of the full
-    * entity df — no distinct, no window, no join-back; the operator's
-    * single merge pass per partition handles duplicate entity rows and
-    * null attachment natively. Same results as
-    * [[getHistoricalFeatures]] (spec-asserted); ~2× fewer shuffles per
-    * view. The coarse scan filter (J1 replacement) is still applied so
-    * parquet pruning is identical. */
-  def getHistoricalFeaturesNative(
-      entityDf: DataFrame,
-      views: Seq[FeatureView],
-      entityTsCol: String = "event_timestamp",
-      fullFeatureNames: Boolean = false): DataFrame = {
-    val spark = entityDf.sparkSession
-    val expected = views.flatMap(_.entities).distinct :+ entityTsCol
-    val missing = expected.filterNot(entityDf.columns.contains)
-    if (missing.nonEmpty)
-      throw new EntityDfMissingColumnsError(expected, missing)
-    val bounds: Row =
-      entityDf.agg(min(col(entityTsCol)), max(col(entityTsCol))).head()
-    val (minTs, maxTs) = (bounds.get(0), bounds.get(1))
-
-    views.foldLeft(entityDf) { (acc, fv) =>
-      val src = fv.source.resolve(spark)
-      val evtCol = fv.source.eventTimestampColumn
-      val createdCol = fv.source.createdTimestampColumn
-      val srcCols = src.columns.toSet
-      val featNames =
-        (if (fv.features.nonEmpty) fv.features.filter(srcCols.contains)
-         else src.columns.toSeq.filterNot(c =>
-           fv.entities.contains(c) || c == evtCol || createdCol.contains(c)))
-      val prefix = if (fullFeatureNames) s"${fv.name}__" else ""
-      val coarse: DataFrame =
-        if (maxTs == null) src.filter(lit(false))
-        else {
-          val upper = col(evtCol) <= lit(maxTs)
-          val lower =
-            if (fv.ttlSeconds > 0)
-              col(evtCol) >=
-                lit(minTs) - expr(s"INTERVAL ${fv.ttlSeconds} SECONDS")
-            else lit(true)
-          src.filter(upper && lower)
-        }
-      val feats = coarse.select(
-        fv.entities.map(col) ++
-          Seq(col(evtCol).as(EventTs)) ++
-          createdCol.map(c => col(c).as(CreatedTs)).toSeq ++
-          featNames.map(f => col(f).as(prefix + f)): _*)
-      graft.plans.AsOf.join(
-        acc, feats, fv.entities, entityTsCol, EventTs,
-        createdCol.map(_ => CreatedTs), fv.ttlSeconds)
-        .drop(EventTs).drop(CreatedTs)
-    }
-  }
-
-  /** One row per distinct (entity keys, entity ts): the as-of-latest feature
-    * values, already renamed for output. */
-  private def latestPerEntityRow(
+  private def prepareView(
       spark: SparkSession,
       fv: FeatureView,
-      entityDf: DataFrame,
-      entityTsCol: String,
       minTs: Any,
       maxTs: Any,
-      fullFeatureNames: Boolean): DataFrame = {
+      fullFeatureNames: Boolean): ViewRel = {
     val src = fv.source.resolve(spark)
     val evtCol = fv.source.eventTimestampColumn
     val createdCol = fv.source.createdTimestampColumn
@@ -188,6 +98,96 @@ object PointInTime {
         Seq(col(evtCol).as(EventTs)) ++
         createdCol.map(c => col(c).as(CreatedTs)).toSeq ++
         featNames.zip(outNames).map { case (f, o) => col(f).as(o) }: _*)
+    ViewRel(feats, outNames, createdCol.isDefined, prefix)
+  }
+
+  private def entityBounds(
+      entityDf: DataFrame, entityTsCol: String): (Any, Any) = {
+    // A2: driver-side scalar min/max of the entity ts (null ⇔ empty df).
+    val bounds: Row =
+      entityDf.agg(min(col(entityTsCol)), max(col(entityTsCol))).head()
+    (bounds.get(0), bounds.get(1))
+  }
+
+  private def validateEntityDf(
+      entityDf: DataFrame, views: Seq[FeatureView],
+      entityTsCol: String): Unit = {
+    // ref: hive.py:222-224 — assert expected columns in the entity df.
+    val expected = views.flatMap(_.entities).distinct :+ entityTsCol
+    val missing = expected.filterNot(entityDf.columns.contains)
+    if (missing.nonEmpty)
+      throw new EntityDfMissingColumnsError(expected, missing)
+  }
+
+  def getHistoricalFeatures(
+      entityDf: DataFrame,
+      views: Seq[FeatureView],
+      entityTsCol: String = "event_timestamp",
+      fullFeatureNames: Boolean = false): DataFrame = {
+    val spark = entityDf.sparkSession
+    validateEntityDf(entityDf, views, entityTsCol)
+    val (minTs, maxTs) = entityBounds(entityDf, entityTsCol)
+
+    views.foldLeft(entityDf) { (acc, fv) =>
+      val feat =
+        latestPerEntityRow(spark, fv, entityDf, entityTsCol, minTs, maxTs,
+          fullFeatureNames)
+      // J4: left join keeps unmatched entity rows with NULL features.
+      acc.join(feat, fv.entities :+ entityTsCol, "left")
+    }
+  }
+
+  /** The flagship on the NATIVE sort-merge as-of operator
+    * ([[graft.plans.AsOfJoin]]): each view is ONE as-of join of the full
+    * entity df — no distinct, no window, no join-back; the operator's
+    * single merge pass per partition handles duplicate entity rows and
+    * null attachment natively. Same results as [[getHistoricalFeatures]]
+    * (spec-asserted), including created-ts and tieBreakColumns ordering,
+    * which are folded into one lexicographic order column. */
+  def getHistoricalFeaturesNative(
+      entityDf: DataFrame,
+      views: Seq[FeatureView],
+      entityTsCol: String = "event_timestamp",
+      fullFeatureNames: Boolean = false): DataFrame = {
+    val spark = entityDf.sparkSession
+    validateEntityDf(entityDf, views, entityTsCol)
+    val (minTs, maxTs) = entityBounds(entityDf, entityTsCol)
+
+    views.foldLeft(entityDf) { (acc, fv) =>
+      val rel = prepareView(spark, fv, minTs, maxTs, fullFeatureNames)
+      // The native operator takes ONE ascending tie-break column; fold
+      // (created_ts, tieBreakColumns...) into a lexicographic struct so
+      // "last row in sort order" == the compositional window's
+      // (created DESC, tieBreaks DESC) pick.
+      val orderNames =
+        (if (rel.hasCreated) Seq(CreatedTs) else Nil) ++
+          fv.tieBreakColumns.map(rel.prefix + _)
+      val (feats, orderCol) = orderNames match {
+        case Seq()    => (rel.feats, None)
+        case Seq(one) => (rel.feats, Some(one))
+        case many =>
+          (rel.feats.withColumn(OrderTs, struct(many.map(col): _*)),
+            Some(OrderTs))
+      }
+      graft.plans.AsOf.join(
+        acc, feats, fv.entities, entityTsCol, EventTs,
+        orderCol, fv.ttlSeconds)
+        .drop(EventTs).drop(CreatedTs).drop(OrderTs)
+    }
+  }
+
+  /** One row per distinct (entity keys, entity ts): the as-of-latest feature
+    * values, already renamed for output. */
+  private def latestPerEntityRow(
+      spark: SparkSession,
+      fv: FeatureView,
+      entityDf: DataFrame,
+      entityTsCol: String,
+      minTs: Any,
+      maxTs: Any,
+      fullFeatureNames: Boolean): DataFrame = {
+    val rel = prepareView(spark, fv, minTs, maxTs, fullFeatureNames)
+    val feats = rel.feats
 
     // A1: distinct entity rows for the lookup (the full entity df is only
     // re-attached in the final left join).
@@ -241,17 +241,18 @@ object PointInTime {
     val flat = joined.select(
       entKeys.map(entDistinct(_)) ++
         Seq(col(EventTs)) ++
-        createdCol.map(_ => col(CreatedTs)).toSeq ++
-        outNames.map(col): _*)
+        (if (rel.hasCreated) Seq(col(CreatedTs)) else Nil) ++
+        rel.outNames.map(col): _*)
 
     // W1-shaped latest pick: one window replaces A3 + A4 + J3.
     val order: Seq[Column] =
-      (col(EventTs).desc +: createdCol.map(_ => col(CreatedTs).desc).toSeq) ++
-        fv.tieBreakColumns.map(c => col(prefix + c).desc)
+      (col(EventTs).desc +:
+        (if (rel.hasCreated) Seq(col(CreatedTs).desc) else Nil)) ++
+        fv.tieBreakColumns.map(c => col(rel.prefix + c).desc)
     val w = Window.partitionBy(entKeys.map(col): _*).orderBy(order: _*)
     flat
       .withColumn(Rn, row_number().over(w))
       .filter(col(Rn) === 1)
-      .select((entKeys ++ outNames).map(col): _*)
+      .select((entKeys ++ rel.outNames).map(col): _*)
   }
 }

@@ -27,11 +27,19 @@ object Skew {
     *   finals   = Seq(sum("n").as("n"), sum("s").as("s")))
     * }}}
     */
+  /** Deterministic per-row salt: a content hash, so shuffle-stage
+    * recomputation after executor loss regenerates IDENTICAL salts (a
+    * nondeterministic salt is the repartition-by-rand correctness bug,
+    * SPARK-23207 — retried map tasks would disagree with already-fetched
+    * outputs). Identical duplicate rows share a salt; real skewed data
+    * varies in non-key columns, which is what spreads the hot key. */
+  private def contentSalt(df: DataFrame, buckets: Int): Column =
+    pmod(hash(df.columns.map(col): _*), lit(buckets))
+
   def saltedAggregate(
       df: DataFrame, keys: Seq[String], buckets: Int,
       partials: Seq[Column], finals: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__graft_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val salted = df.withColumn("__graft_salt", contentSalt(df, buckets))
     salted
       .groupBy((keys :+ "__graft_salt").map(col): _*)
       .agg(partials.head, partials.tail: _*)
@@ -49,8 +57,7 @@ object Skew {
       big: DataFrame, small: DataFrame, key: String, buckets: Int,
       joinType: String = "inner"): DataFrame = {
     val saltedBig = big.withColumn("__graft_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets))
-        .cast("int"))
+      contentSalt(big, buckets).cast("int"))
     val replicatedSmall = small.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig

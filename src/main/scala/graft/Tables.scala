@@ -61,10 +61,19 @@ object Tables {
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
     if (!fs.exists(p)) return Nil
+    // Recursive: partitioned layouts keep part files in subdirectories
+    // (dir/date=…/part-*.parquet) — one footer anywhere suffices.
+    def firstParquet(dir: Path, depth: Int): Option[Path] = {
+      if (depth > 10) return None
+      val entries = fs.listStatus(dir).filterNot(_.getPath.getName.startsWith("_"))
+      entries.find(e => !e.isDirectory && e.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+        .orElse(entries.filter(_.isDirectory).sortBy(_.getPath.getName)
+          .iterator.flatMap(d => firstParquet(d.getPath, depth + 1))
+          .nextOption())
+    }
     val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      if (fs.getFileStatus(p).isDirectory) firstParquet(p, 0)
       else Some(p)
     file.toSeq.flatMap { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, hconf))

@@ -49,6 +49,10 @@ case class DotProduct(left: Expression, right: Expression)
         s"graft_dot requires array<float>/array<double> inputs, got " +
           s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
 
+  // A null ARRAY or any null ELEMENT in the zipped range yields NULL —
+  // exactly the HOF fold's semantics (a null product poisons the sum).
+  override def nullable: Boolean = true
+
   private def getter(t: DataType, x: ArrayData, i: Int): Double = t match {
     case FloatType => x.getFloat(i).toDouble
     case _         => x.getDouble(i)
@@ -60,7 +64,11 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += getter(lt, x, i) * getter(rt, y, i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += getter(lt, x, i) * getter(rt, y, i)
+      i += 1
+    }
     acc
   }
 
@@ -78,8 +86,12 @@ case class DotProduct(left: Expression, right: Expression)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getL(a, i)} * ${getR(b, i)};
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    $acc += ${getL(a, i)} * ${getR(b, i)};
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -53,9 +53,12 @@ object Dedup {
     *    The DuckDB oracles hash with the identical function, so results
     *    match exactly even in the (≈2^-32) event of a hash collision.
     *
-    * `ex` is persisted: the frequency table, prefix index and both verify
-    * sides all branch off it; one compact (long, long) relation, reclaimed
-    * by the ContextCleaner once the result plan is GC'd. */
+    * `ex` is NOT persisted, deliberately: the downstream branches (freq,
+    * prefix, verify sides) do recompute it, but the pipeline is cheap
+    * whole-stage codegen after this rewrite and persisting it was
+    * measured to change join strategies for the worse (InMemoryRelation
+    * stats) — callers running many dedup passes over one corpus should
+    * materialize the corpus themselves. */
   private def hashedShingles(
       df: DataFrame, idCol: String, textCol: String, n: Int)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -216,8 +219,6 @@ object Dedup {
         (0 until 32).map(k =>
           when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
           .reduce(_ + _).as("sh"))
-      // one row per doc; both sides of the banded self-join consume it
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Banded candidates: 4 bytes of the fingerprint.
     val banded = sims.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>

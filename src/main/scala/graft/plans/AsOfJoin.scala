@@ -119,8 +119,12 @@ final case class AsOfJoinExec(
           // invalidate a candidate left over from a previous key
           if (candidate != null && keyOrd.compare(rKeyProj(candidate), lk) != 0)
             candidate = null
-          if (l.isNullAt(lTsOrd)) {
-            // null entity ts matches nothing (SQL comparison semantics)
+          // SQL equi-join semantics: NULL keys match nothing (the natural
+          // ordering would treat NULL == NULL; a null-keyed entity row
+          // must NOT pair with null-keyed feature rows). Nulls sort first,
+          // so not advancing here is safe: a later non-null left key skips
+          // the right side's null-key rows via the cmp < 0 branch.
+          if (lk.anyNull || l.isNullAt(lTsOrd)) {
             return outProj(joined(l, nullRight))
           }
           val lt = l.getLong(lTsOrd)
@@ -128,8 +132,10 @@ final case class AsOfJoinExec(
           // this key with ts <= entity ts into the candidate
           var advancing = true
           while (advancing && rHead != null) {
-            val cmp = keyOrd.compare(rKeyProj(rHead), lk)
-            if (cmp < 0) {
+            val rk = rKeyProj(rHead)
+            val cmp = keyOrd.compare(rk, lk)
+            if (cmp < 0 || rk.anyNull) {
+              // earlier key, or a null-keyed feature row (matches nothing)
               rHead = if (rIter.hasNext) rIter.next().copy() else null
             } else if (cmp == 0 && !rHead.isNullAt(rTsOrd) &&
                 rHead.getLong(rTsOrd) <= lt) {

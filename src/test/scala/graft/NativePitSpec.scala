@@ -13,6 +13,26 @@ class NativePitSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
   }
 
+  test("native orchestration honours tieBreakColumns on exact (key, ts) ties") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // two feature rows with IDENTICAL (key, ts) and no created col: the
+    // tie must fall to tieBreakColumns in BOTH orchestrations
+    Seq((1L, ts, 5.0, 100L), (1L, ts, 9.0, 200L))
+      .toDF("driver_id", "event_timestamp", "v", "seq")
+      .createOrReplaceTempView("native_tie_src")
+    val fv = FeatureView("tied", Seq("driver_id"),
+      FeatureSource(table = Some("native_tie_src")),
+      features = Seq("v", "seq"), tieBreakColumns = Seq("seq"))
+    val entity = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00")))
+      .toDF("driver_id", "event_timestamp")
+    val classic = PointInTime.getHistoricalFeatures(entity, Seq(fv)).collect()
+    val native = PointInTime.getHistoricalFeaturesNative(entity, Seq(fv)).collect()
+    assert(classic.head.getAs[Double]("v") == 9.0)
+    assert(native.head.getAs[Double]("v") == 9.0,
+      "native path must apply the same tie-break")
+  }
+
   test("native orchestration equals compositional PIT on fixtures") {
     val stats = Fixtures.driverStats(spark)
     stats.createOrReplaceTempView("native_pit_stats")

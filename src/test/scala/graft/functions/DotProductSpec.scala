@@ -33,6 +33,17 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("null ELEMENT yields null (matches the HOF fold)") {
+    val df = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE)) AS a, array(1.0D, 2.0D) AS b")
+    val native = df.select(dotCol("a", "b")).collect().head
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0d), (acc, x) => acc + x)).collect().head
+    assert(hof.isNullAt(0), "HOF reference must be NULL")
+    assert(native.isNullAt(0), "native must match the HOF's NULL")
+  }
+
   test("null array yields null; mixed float/double widens") {
     import spark.implicits._
     val df = Seq(

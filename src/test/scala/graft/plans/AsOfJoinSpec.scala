@@ -72,6 +72,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.contains("ts_asof"))
   }
 
+  test("NULL keys match nothing (SQL equi-join semantics)") {
+    import spark.implicits._
+    val feats = Seq(
+      (Option.empty[Long], Timestamp.valueOf("2024-01-01 09:00:00"), 1.0),
+      (Some(1L), Timestamp.valueOf("2024-01-01 09:00:00"), 2.0)
+    ).toDF("k", "f_ts", "v")
+    val ent = Seq(
+      (Option.empty[Long], Timestamp.valueOf("2024-01-01 10:00:00")),
+      (Some(1L), Timestamp.valueOf("2024-01-01 10:00:00"))
+    ).toDF("k", "ts")
+    val out = AsOf.join(ent, feats, Seq("k"), "ts", "f_ts", None, 0L)
+      .collect().map(r =>
+        Option(r.getAs[Any]("k")) -> Option(r.getAs[Any]("v"))).toMap
+    assert(out(None) == None, "null-keyed entity row must get NULL features")
+    assert(out(Some(1L)) == Some(2.0))
+  }
+
   test("plan contains AsOfJoinExec and exactly one exchange per side") {
     val events = graft.Tables.read(spark, sf(), "events")
       .select("user_id", "ts", "value")

@@ -49,6 +49,8 @@ for name in sorted(oracle):
     except AssertionError as e:
         print(f"DIFF  {name}: {str(e).splitlines()[-1][:200]}")
         fails.append(name)
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} green" +
+checked = [n for n in oracle if not only or n in only]
+print(f"\n{len(checked) - len(fails)}/{len(checked)} green" +
+      (" (subset)" if only else "") +
       (f"; failing: {fails}" if fails else ""))
 sys.exit(1 if fails else 0)
