@@ -76,9 +76,14 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
     RetrievalJob {
       applySessionConf()
       val df = resolveEntityDf(entity)
+      // Infer ONLY when the caller left the default name — an explicitly
+      // named-but-absent column must error (silent inference would mask a
+      // typo and join on an unintended timestamp).
       val tsCol =
         if (df.columns.contains(entityTsCol)) entityTsCol
-        else inferEventTimestampColumn(df)
+        else if (entityTsCol == "event_timestamp")
+          inferEventTimestampColumn(df)
+        else throw new EntityDfMissingColumnsError(Seq(entityTsCol), Seq(entityTsCol))
       PointInTime.getHistoricalFeatures(df, views, tsCol, fullFeatureNames)
     }
 

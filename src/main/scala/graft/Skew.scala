@@ -56,6 +56,14 @@ object Skew {
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String, buckets: Int,
       joinType: String = "inner"): DataFrame = {
+    // Right/full outer would emit each unmatched SMALL row once per
+    // replica (buckets× duplication); only probe-side-preserving types
+    // are correct under replication.
+    val allowed = Set("inner", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched " +
+        "build-side rows across salt replicas; use inner/left variants")
     val saltedBig = big.withColumn("__graft_salt",
       contentSalt(big, buckets).cast("int"))
     val replicatedSmall = small.withColumn("__graft_salt",

@@ -99,6 +99,28 @@ object TextAnalysis {
           (h, p) => (h * p) % P),
         lit(0L), (acc, x) => acc + x) % P).as("fp"))
 
+  /** Repetition metrics (the Gopher-rule family used to filter
+    * low-quality training text): duplicate-bigram fraction and
+    * most-frequent-bigram share. High values flag degenerate/repetitive
+    * documents. One groupBy per doc — embarrassingly parallel. */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"), explode(wordNgrams("w", 2)).as("g"))
+    val perGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    perGram.groupBy("doc_id").agg(
+      sum("c").as("n_bigrams"),
+      count(lit(1)).as("distinct_bigrams"),
+      max("c").as("top_bigram_count"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("distinct_bigrams"),
+        col("top_bigram_count"),
+        round((col("n_bigrams") - col("distinct_bigrams")).cast("double") /
+          col("n_bigrams"), 6).as("dup_bigram_ratio"),
+        round(col("top_bigram_count").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_ratio"))
+  }
+
   /** JSON property extraction from a string column (the `events.props`
     * shape): `get_json_object` — codegen'd, no UDF. */
   def jsonExtract(df: DataFrame, idCol: String, jsonCol: String,

@@ -22,9 +22,14 @@ object TextOps {
     * engine, ANSI mode included). */
   val P: Long = 2147483647L
 
-  /** Whitespace-collapsed, trimmed, lower-cased text. */
+  /** Whitespace-collapsed, trimmed, lower-cased text. The whitespace
+    * class is spelled EXPLICITLY because Java's `\s` and RE2's (DuckDB's)
+    * `\s` differ on vertical tab — an implicit class would silently
+    * desync the oracles on exotic input. Keep in lockstep with
+    * `LlmQueries.NormSql`. */
+  val WhitespaceClass = "[ \\t\\n\\r\\f\\x0B]+"
   def normText(c: Column): Column =
-    lower(trim(regexp_replace(c, "\\s+", " ")))
+    lower(trim(regexp_replace(c, WhitespaceClass, " ")))
 
   /** Normalized word array. */
   def words(c: Column): Column = split(normText(c), " ")

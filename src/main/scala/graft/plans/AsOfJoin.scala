@@ -198,10 +198,22 @@ object AsOf {
         throw new IllegalArgumentException(
           s"as-of join: column '$name' not found in " +
             plan.output.map(_.name).mkString("[", ", ", "]")))
+    // The merge reads timestamps via getLong (micros) — any other type
+    // would read garbage silently, so reject it here.
+    def tsAttr(plan: LogicalPlan, name: String): Attribute = {
+      val a = attr(plan, name)
+      a.dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => a
+        case other => throw new IllegalArgumentException(
+          s"as-of join: '$name' must be a timestamp column, got " +
+            other.catalogString)
+      }
+    }
     val joined = GraftSql.ofRows(spark, AsOfJoin(
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, rName(k))),
-      attr(lPlan, entityTsCol), attr(rPlan, rName(featureTsCol)),
+      tsAttr(lPlan, entityTsCol), tsAttr(rPlan, rName(featureTsCol)),
       createdCol.map(c => attr(rPlan, rName(c))),
       ttlSeconds))
     joined.drop(keys.map(k => s"__asof_key_$k"): _*)

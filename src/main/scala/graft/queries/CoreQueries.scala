@@ -166,14 +166,20 @@ object CoreQueries {
     // df supplied as SQL (EntitySql — ref hive.py:377-389).
     "s10_conf_overlay" -> ((s, dir) => {
       regEvents(s, dir)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
       val eng = new Engine(s,
         EngineConfig(sessionConf = Map("spark.sql.shuffle.partitions" -> "16")))
-      eng.getHistoricalFeatures(
+      val df = eng.getHistoricalFeatures(
         EntitySql(
           """SELECT event_id AS row_tag, user_id,
             |       ts + INTERVAL 30 MINUTE AS event_timestamp
             |FROM graft_events WHERE event_id % 37 = 0""".stripMargin),
         Seq(eventsView(dir, 3600))).toDF
+      // The overlay is session-scoped by design (reference semantics);
+      // restore here so this QUERY doesn't leak 16 partitions into the
+      // rest of the Bench/Verify run.
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      df
     }),
 
     // P1: column projection (pruned scan).
@@ -407,13 +413,19 @@ object CoreQueries {
 
     // ── Classic OLAP extras (bench headliners; not in §2 but part of a
     //    complete analytics engine) ──────────────────────────────────────
+    // FP-exactness note for both aggregates: double sums depend on
+    // partition/accumulation order, so sums here are per-row-rounded
+    // SCALED INTEGERS (values are exact multiples of the scale in true
+    // arithmetic, so per-row rounding is error-free and the bigint sums
+    // are order-independent — immune to cpu-count/AQE variation).
     "x_q1_lineitem_agg" -> ((s, dir) =>
       lineitem(s, dir)
         .filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-01 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_price"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("sum_price_cents"),
           count(lit(1)).as("n_rows"))),
 
     "x_join_orders_lineitem" -> ((s, dir) => {
@@ -422,8 +434,10 @@ object CoreQueries {
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"),
+          // price(2dp) × (1-discount)(2dp) has ≤4 decimals — ×10000 is
+          // integer-valued, never at a rounding boundary
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000).cast("long")).as("revenue_x10000"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -624,14 +638,15 @@ object CoreQueries {
     "x_q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       sum(round(l_extendedprice * 100)::BIGINT) AS sum_price_cents,
         |       count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "x_join_orders_lineitem" ->
       """SELECT o_orderpriority,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+        |         AS revenue_x10000,
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,

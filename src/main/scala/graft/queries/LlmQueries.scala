@@ -22,13 +22,11 @@ object LlmQueries {
     Tables.read(s, dir, "embeddings")
 
   // ── shared oracle fragments (mirror TextOps) ───────────────────────────
-  private val NormSql = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+  // whitespace class spelled explicitly — see TextOps.WhitespaceClass
+  private val NormSql =
+    "lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))"
   private val DocsCte =
     s"docs AS (SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents)"
-  private def shCte(n: Int) =
-    s"""sh AS (SELECT doc_id, list_distinct(list_transform(
-       |  range(1, greatest(len(w) - ${n - 1}, 0) + 1),
-       |  i -> array_to_string(w[i:i+${n - 1}], ' '))) AS s FROM docs)""".stripMargin
   /** Hashed-shingle variant: shingles become 32-bit md5-derived longs (the
     * Spark side hashes immediately, so the oracle must too — identical
     * values even under hash collisions). */
@@ -117,6 +115,9 @@ object LlmQueries {
     "text_json_extract" -> ((s, dir) =>
       TextAnalysis.jsonExtract(
         Tables.read(s, dir, "events"), "event_id", "props", "$.k", "k")),
+
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir), "doc_id", "text")),
 
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
@@ -316,6 +317,22 @@ object LlmQueries {
 
     "text_json_extract" ->
       "SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events",
+
+    "text_repetition" ->
+      s"""WITH $DocsCte,
+         |bg AS (SELECT doc_id,
+         |         unnest(list_transform(range(1, len(w)),
+         |                i -> array_to_string(w[i:i+1], ' '))) AS g
+         |       FROM docs),
+         |pg AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+         |SELECT doc_id,
+         |       sum(c)::BIGINT AS n_bigrams,
+         |       count(*) AS distinct_bigrams,
+         |       max(c) AS top_bigram_count,
+         |       round((sum(c) - count(*))::DOUBLE / sum(c), 6)
+         |         AS dup_bigram_ratio,
+         |       round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_ratio
+         |FROM pg GROUP BY doc_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id, 'text/plain' AS modality,

@@ -23,25 +23,31 @@ object StreamingOps {
     * event time, feature value). */
   final case class KeyedEvent(user_id: Long, ts: Timestamp, value: Double)
 
-  /** Streaming pull-latest: one state row per key holding the newest
-    * event (event-ts, then value as the deterministic tie-break — the
-    * same ordering as the batch [[graft.PullLatest]]). Emits the updated
-    * latest row for every key touched by a micro-batch (update mode).
-    *
-    * This is the streaming materialize path: feed the output to an
-    * online-store sink and each key converges to its as-of-now feature
-    * values. */
-  def latestPerKey(events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
-    import events.sparkSession.implicits._
+  /** Generic streaming pull-latest: one state row per key holding the
+    * "newest" element under the caller's ordering — arbitrary key and row
+    * types, mirroring batch [[graft.PullLatest]]'s generality. Emits the
+    * updated latest row for every key touched by a micro-batch (update
+    * mode). Feed the output to an online-store sink and each key
+    * converges to its as-of-now feature values. */
+  def latestPerKeyTyped[K, T](
+      events: Dataset[T], key: T => K, ordering: Ordering[T])(
+      implicit kEnc: org.apache.spark.sql.Encoder[K],
+      tEnc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
     events
-      .groupByKey(_.user_id)
-      .mapGroupsWithState[KeyedEvent, KeyedEvent](GroupStateTimeout.NoTimeout) {
-        (key: Long, batch: Iterator[KeyedEvent], state: GroupState[KeyedEvent]) =>
-          val candidates = batch ++ state.getOption.iterator
-          val newest = candidates.maxBy(e => (e.ts.getTime, e.value))
+      .groupByKey(key)
+      .mapGroupsWithState[T, T](GroupStateTimeout.NoTimeout) {
+        (_: K, batch: Iterator[T], state: GroupState[T]) =>
+          val newest = (batch ++ state.getOption.iterator).max(ordering)
           state.update(newest)
           newest
       }
+
+  /** Concrete convenience shape (entity key, event time, feature value)
+    * with the batch tie-break ordering (ts, then value). */
+  def latestPerKey(events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    latestPerKeyTyped[Long, KeyedEvent](
+      events, _.user_id, Ordering.by(e => (e.ts.getTime, e.value)))
   }
 
   /** Watermarked sliding/tumbling event-time aggregation: events per
@@ -56,14 +62,17 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowLength), col(keyCol))
       .agg(count(lit(1)).as("n_events"), max(col(tsCol)).as("latest_ts"))
 
-  /** Streaming exact dedup: first occurrence per id wins within the
+  /** Streaming exact dedup: first occurrence PER ID wins within the
     * watermark horizon (the streaming analogue of
-    * [[graft.llm.Dedup.dropExactDuplicates]] — state bounded by the
-    * watermark instead of unbounded). */
+    * [[graft.llm.Dedup.dropExactDuplicates]]).
+    * `dropDuplicatesWithinWatermark` is the primitive that implements
+    * exactly this contract with watermark-bounded state — a plain
+    * `dropDuplicates(idCols :+ ts)` would only drop rows identical in
+    * BOTH id and timestamp, letting re-ingested duplicates through. */
   def dedupStream(
       events: DataFrame, idCols: Seq[String], tsCol: String,
       watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(idCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(idCols)
 }

@@ -65,11 +65,11 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData(
         KeyedEvent(1, ts(1), 1), KeyedEvent(1, ts(1), 1),
-        KeyedEvent(1, ts(1), 2), KeyedEvent(3, ts(2), 3))
+        KeyedEvent(1, ts(5), 2), // same id, LATER ts — still a duplicate id
+        KeyedEvent(3, ts(2), 3))
       q.processAllAvailable()
       val n = spark.table("dedup_t").count()
-      // (1, ts1) deduped (value 1 vs 2 — same key+ts, first wins),
-      // (3, ts2) kept
+      // per-ID dedup within the watermark: id 1 once, id 3 once
       assert(n == 2, s"expected 2 rows, got $n")
     } finally q.stop()
   }
