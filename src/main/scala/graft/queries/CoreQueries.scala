@@ -423,7 +423,9 @@ object CoreQueries {
         .filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-01 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum("l_quantity").as("sum_qty"),
+          // quantities are integer-valued doubles ≤ 50 — the double sum is
+          // exact, so the long cast is lossless and keeps dtype = oracle's
+          sum("l_quantity").cast("long").as("sum_qty"),
           sum(round(col("l_extendedprice") * 100).cast("long"))
             .as("sum_price_cents"),
           count(lit(1)).as("n_rows"))),
@@ -637,8 +639,10 @@ object CoreQueries {
         |  ON en.event_timestamp = m.event_timestamp""".stripMargin,
     "x_q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(l_quantity) AS sum_qty,
-        |       sum(round(l_extendedprice * 100)::BIGINT) AS sum_price_cents,
+        |       sum(l_quantity)::BIGINT AS sum_qty,
+        |       -- outer cast: DuckDB sum(BIGINT) -> HUGEINT -> pandas float64,
+        |       -- which breaks the driver's dtype-sensitive hash vs Spark int64
+        |       sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_price_cents,
         |       count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -646,7 +650,7 @@ object CoreQueries {
     "x_join_orders_lineitem" ->
       """SELECT o_orderpriority,
         |       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
-        |         AS revenue_x10000,
+        |         ::BIGINT AS revenue_x10000,
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,

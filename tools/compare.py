@@ -42,9 +42,23 @@ for name in sorted(oracle):
     key = list(exp.columns)
     exp = exp.sort_values(key, ignore_index=True)
     got = got.sort_values(key, ignore_index=True)
+
+    # Normalize representation-only dtype differences the driver's hash also
+    # tolerates (integer WIDTH: Spark int32 vs DuckDB int64; timestamp UNIT:
+    # parquet ns vs DuckDB us) but keep KIND differences fatal — e.g. DuckDB
+    # sum(BIGINT)->HUGEINT->float64 vs Spark int64 is exactly the class the
+    # driver gates on and check_dtype=False used to hide.
+    def norm(df):
+        for c in df.columns:
+            dt = df[c].dtype
+            if pd.api.types.is_integer_dtype(dt):
+                df[c] = df[c].astype("Int64" if df[c].isna().any()
+                                     or str(dt).startswith("Int") else "int64")
+            elif pd.api.types.is_datetime64_any_dtype(dt):
+                df[c] = df[c].astype("datetime64[ns]")
+        return df
     try:
-        pd.testing.assert_frame_equal(exp, got, check_dtype=False,
-                                      check_exact=True)
+        pd.testing.assert_frame_equal(norm(exp), norm(got), check_exact=True)
         print(f"OK    {name} ({len(exp)} rows)")
     except AssertionError as e:
         print(f"DIFF  {name}: {str(e).splitlines()[-1][:200]}")
