@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.util.Try
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -28,10 +30,24 @@ final case class EntitySql(sql: String) extends EntityInput
 final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
 
   /** S10: session conf overlay (ref: hive.py:249-254 prefixes SET statements
-    * to every query batch; here the overlay is applied to the session before
-    * building each plan). */
-  private def applySessionConf(): Unit =
-    config.sessionConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    * to every query batch). The overlay is applied around plan construction
+    * and PRIOR VALUES ARE RESTORED afterwards, so one engine's conf never
+    * leaks into unrelated work on the shared session. Confs consumed at
+    * plan-build time (ANSI, session timezone, shuffle partitions captured
+    * into the plan) take effect; a conf only read at execution time would
+    * need the caller to act while the overlay is live. */
+  private def withSessionConf[A](body: => A): A =
+    if (config.sessionConf.isEmpty) body
+    else {
+      val prior = config.sessionConf.keys
+        .map(k => k -> Try(spark.conf.get(k)).toOption).toList
+      config.sessionConf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
 
   private def resolveEntityDf(entity: EntityInput): DataFrame = entity match {
     case EntityFrame(df) => df
@@ -73,8 +89,7 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
       views: Seq[FeatureView],
       entityTsCol: String = "event_timestamp",
       fullFeatureNames: Boolean = false): RetrievalJob =
-    RetrievalJob {
-      applySessionConf()
+    RetrievalJob(withSessionConf {
       val df = resolveEntityDf(entity)
       // Infer ONLY when the caller left the default name — an explicitly
       // named-but-absent column must error (silent inference would mask a
@@ -85,7 +100,7 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
           inferEventTimestampColumn(df)
         else throw new EntityDfMissingColumnsError(Seq(entityTsCol), Seq(entityTsCol))
       PointInTime.getHistoricalFeatures(df, views, tsCol, fullFeatureNames)
-    }
+    })
 
   /** ref: hive.py:391 — non-DataFrame/non-string entity df is a type error.
     * Scala's types make the invalid case unrepresentable through the sealed
@@ -116,11 +131,10 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
       startDate: Timestamp,
       endDate: Timestamp,
       tieBreakColumns: Seq[String] = Nil): RetrievalJob =
-    RetrievalJob {
-      applySessionConf()
+    RetrievalJob(withSessionConf {
       PullLatest.pullLatest(spark, source, joinKeys, featureNames,
         eventTsCol, createdTsCol, startDate, endDate, tieBreakColumns)
-    }
+    })
 
   // ── Table surface ───────────────────────────────────────────────────────
   // The reference needs a physical upload round-trip because Hive owns all

@@ -21,10 +21,13 @@ import graft.sources.FeatureSource
   *
   * Plan: the BETWEEN literals push into the Parquet scan; the window is the
   * single shuffle, keyed on the join keys (so it scales with key
-  * cardinality). The keyless branch funnels the range-filtered rows through
-  * one partition — same as the reference's global window, and only correct
-  * to use when the range is narrow; callers wanting a scalable global top-1
-  * should prefer a `max_by` aggregation.
+  * cardinality). The keyless branch does NOT reproduce the reference's
+  * global window (hive.py:160-163 — every range-surviving row through one
+  * partition): it computes the same global top-1 as a
+  * `max(struct(orderKeys…, payload…))` aggregate — map-side partial maxima,
+  * one row per partition shuffled — which stays scalable however wide the
+  * BETWEEN range is. Struct comparison is lexicographic and nulls sort
+  * low, matching the window's `DESC` (nulls last) tie semantics.
   */
 object PullLatest {
 
@@ -41,25 +44,38 @@ object PullLatest {
       endDate: Timestamp,
       tieBreakColumns: Seq[String] = Nil): DataFrame = {
     val src = source.resolve(spark)
-    // ref: hive.py:160-163,178 — dummy entity for keyless sources.
-    val keyless = joinKeys.isEmpty
-    val keyed =
-      if (keyless)
-        src.withColumn(FeatureView.DummyEntityId, lit(FeatureView.DummyEntityVal))
-      else src
-    val keys = if (keyless) Seq(FeatureView.DummyEntityId) else joinKeys
+    val ranged =
+      src.filter(col(eventTsCol).between(lit(startDate), lit(endDate))) // P6
 
-    val order: Seq[Column] =
-      (col(eventTsCol).desc +: createdTsCol.map(c => col(c).desc).toSeq) ++
-        tieBreakColumns.map(col(_).desc)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    if (joinKeys.isEmpty) {
+      // ref: hive.py:160-163,178 — keyless = global top-1 + literal dummy
+      // entity id. Computed as max(struct(order keys, payload)) so the
+      // partial maxima combine map-side; the struct leads with the order
+      // columns (desc ≡ lexicographic max) and carries the remaining
+      // output columns as payload, so the argmax row comes back whole.
+      val orderCols =
+        (eventTsCol +: createdTsCol.toSeq) ++ tieBreakColumns
+      val valueCols = featureNames.filterNot(orderCols.contains)
+      val st = struct((orderCols ++ valueCols).map(col): _*)
+      val outCols = featureNames ++ (eventTsCol +: createdTsCol.toSeq)
+      ranged
+        .agg(max(st).as("__graft_top"))
+        .filter(col("__graft_top").isNotNull) // empty range → 0 rows, not 1
+        .select(
+          lit(FeatureView.DummyEntityVal).as(FeatureView.DummyEntityId) +:
+            outCols.map(c => col(s"__graft_top.$c").as(c)): _*)
+    } else {
+      val order: Seq[Column] =
+        (col(eventTsCol).desc +: createdTsCol.map(c => col(c).desc).toSeq) ++
+          tieBreakColumns.map(col(_).desc)
+      val w = Window.partitionBy(joinKeys.map(col): _*).orderBy(order: _*)
 
-    // ref: hive.py:168 field_string — join keys + features + ts columns.
-    val outCols = keys ++ featureNames ++ (eventTsCol +: createdTsCol.toSeq)
-    keyed
-      .filter(col(eventTsCol).between(lit(startDate), lit(endDate))) // P6
-      .withColumn(Rn, row_number().over(w)) // W1
-      .filter(col(Rn) === 1) // P7
-      .select(outCols.map(col): _*) // P1/P5
+      // ref: hive.py:168 field_string — join keys + features + ts columns.
+      val outCols = joinKeys ++ featureNames ++ (eventTsCol +: createdTsCol.toSeq)
+      ranged
+        .withColumn(Rn, row_number().over(w)) // W1
+        .filter(col(Rn) === 1) // P7
+        .select(outCols.map(col): _*) // P1/P5
+    }
   }
 }

@@ -40,43 +40,38 @@ object Dedup {
       .drop("__graft_rn")
   }
 
-  /** Distinct HASHED word-n-gram shingles per document, in three shapes:
-    * `ex` (doc_id, g32) distinct rows, `sizes` (doc_id, sz), and `sets`
-    * (doc_id, s32 — sorted long array, for set-intersection verification).
+  /** Per-document sorted DISTINCT hashed-shingle arrays: (doc_id, s32).
     *
-    * Two deliberate engineering choices, both measured:
-    *  - shingles are built with posexplode + window `lead` (whole-stage
-    *    codegen) instead of array higher-order functions (interpreted —
-    *    ~0.7 ms/doc);
-    *  - shingles become 32-bit md5-derived longs IMMEDIATELY, so every
-    *    downstream join/groupBy/intersection runs on longs, not strings.
-    *    The DuckDB oracles hash with the identical function, so results
-    *    match exactly even in the (≈2^-32) event of a hash collision.
+    * This is a pure per-row projection — normalize → word array → n-gram
+    * array ([[TextOps.wordNgrams]], array bound once so the split/regexp
+    * isn't re-evaluated per element) → per-element 32-bit md5 hash →
+    * `array_distinct` → `sort_array` — so building every document's
+    * shingle SET costs ZERO shuffles. The round-2 shape (posexplode +
+    * window `lead` over a doc_id-partitioned window, then groupBys back
+    * to per-doc arrays) shuffled the entire exploded token relation
+    * twice before any dedup work started; at 100 TB that shuffle volume
+    * is ~token-count × 16 B, strictly worse than per-row interpreted HOF
+    * evaluation.
     *
-    * `ex` is NOT persisted, deliberately: the downstream branches (freq,
-    * prefix, verify sides) do recompute it, but the pipeline is cheap
-    * whole-stage codegen after this rewrite and persisting it was
-    * measured to change join strategies for the worse (InMemoryRelation
-    * stats) — callers running many dedup passes over one corpus should
-    * materialize the corpus themselves. */
-  private def hashedShingles(
-      df: DataFrame, idCol: String, textCol: String, n: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val wdf = df.select(col(idCol).as("doc_id"),
-      posexplode(words(col(textCol))).as(Seq("pos", "word")))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-    val leads = (1 until n).map(k => lead(col("word"), k).over(win).as(s"w$k"))
-    val shingleParts = col("word") +: (1 until n).map(k => col(s"w$k"))
-    val ex = wdf
-      .select(col("doc_id") +: col("word") +: leads: _*)
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("doc_id"), hash32(concat_ws(" ", shingleParts: _*)).as("g32"))
-      .distinct()
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val sets = ex.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("g32"))).as("s32"))
-    (ex, sizes, sets)
-  }
+    * Shingles become 32-bit md5-derived longs immediately, so every
+    * downstream join/groupBy/intersection runs on longs, not strings.
+    * The DuckDB oracles hash with the identical function, so results
+    * match exactly even in the (≈2^-32) event of a hash collision.
+    *
+    * The result is `localCheckpoint`ed: four-plus downstream branches
+    * (freq, both prefix-index join sides, both verify sides) read it, and
+    * the checkpointed relation is ~50× smaller than the text corpus — one
+    * corpus scan per dedup query instead of one per branch. (Plain
+    * `persist` was tried in round 2 and rejected: InMemoryRelation stats
+    * flipped join strategies for the worse.) */
+  private def shingleSets(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"), wordNgrams("w", n).as("gs"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(col("gs"), g => hash32(g))))
+          .as("s32"))
+      .localCheckpoint()
 
   /** Exact n-gram Jaccard near-dup pairs with PREFIX FILTERING (Chaudhuri
     * et al., the standard exact similarity-join pruning): order each doc's
@@ -95,8 +90,13 @@ object Dedup {
   def jaccardShinglePairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5): DataFrame = {
-    val (ex, sizes, sets) = hashedShingles(df, idCol, textCol, n)
-    val exSz = ex.join(sizes, "doc_id")
+    val sets = shingleSets(df, idCol, textCol, n)
+    // Exploded view WITH the size carried along — explode of a per-row
+    // array, so (unlike the round-2 groupBy-then-join-back) deriving
+    // (doc_id, sz, g32) costs no shuffle and no join at all.
+    val exSz = sets.select(col("doc_id"), size(col("s32")).as("sz"),
+      explode(col("s32")).as("g32"))
+    val ex = exSz.select("doc_id", "g32")
     val freq = ex.groupBy("g32").agg(count(lit(1)).as("df"))
     // Rank shingles within each doc by (global df, shingle); index the
     // prefix: rank <= sz - ceil(tau*sz) + 1.
@@ -152,14 +152,20 @@ object Dedup {
       tau: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val (ex, _, sets) = hashedShingles(df, idCol, textCol, n)
-    // All `numHashes` signature minima in ONE aggregation — no per-perm row
-    // explosion (a numHashes× blowup measured as the bottleneck at sf0.1),
-    // map-side partial mins, single shuffle keyed by doc.
+    // Docs with no shingle (shorter than n words) are dropped here, as the
+    // round-2 groupBy implicitly did — otherwise their all-NULL signatures
+    // would band-collide with each other via concat_ws's null-skipping.
+    val sets = shingleSets(df, idCol, textCol, n)
+      .filter(size(col("s32")) > 0)
+    // All `numHashes` signature minima as PER-ROW array_min folds over the
+    // doc's shingle array — the round-2 shape (groupBy over the exploded
+    // shingle relation) shuffled every (doc_id, shingle) row; this shuffles
+    // nothing. Same values: s32 is distinct, min is duplicate-insensitive.
     val permCols = permConstants(numHashes).map { case (i, a, b) =>
-      min((lit(a) * col("g32") + lit(b)) % P).as(s"mh$i")
+      array_min(transform(col("s32"), x => (lit(a) * x + lit(b)) % P))
+        .as(s"mh$i")
     }
-    val sigs = ex.groupBy("doc_id").agg(permCols.head, permCols.tail: _*)
+    val sigs = sets.select(col("doc_id") +: permCols: _*)
 
     // Banded signatures: band j concatenates mh[j*r .. j*r+r-1].
     val bandsDf = sigs.select(col("doc_id"),
@@ -198,40 +204,69 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs over word bigrams (unigrams collapse on small
-    * vocabularies): 32-bit simhash, banded candidate generation (4 bytes —
-    * by pigeonhole any pair with hamming ≤ 3 agrees on ≥1 byte, so recall
-    * is EXACT for hammingMax ≤ bands-1), verified with
-    * bit_count(xor) <= hammingMax. Output: (id_a, id_b, hamming). */
-  def simHashPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      hammingMax: Int = 3): DataFrame = {
+    * vocabularies): 64-bit simhash, banded candidate generation over
+    * 4 × 16-bit bands — by pigeonhole any pair with hamming ≤ 3 agrees on
+    * ≥1 band, so recall is EXACT for hammingMax ≤ bands-1 — verified with
+    * the exact hamming distance. Output: (id_a, id_b, hamming).
+    *
+    * Scale: 16-bit bands give 65,536 buckets per band, so the banded
+    * self-join degrades as O(N²/65536) per band at uniform fill — the
+    * round-2 8-bit bands (256 buckets) were quadratic ~256× sooner, fatal
+    * at 10⁹ docs. The 64-bit fingerprint is carried as TWO positive
+    * 32-bit halves (`lo`, `hi`, from md5 hex chars 1-8 and 9-16 of each
+    * bigram) rather than one signed 64-bit value: every number stays in
+    * [0, 2^32), so no shift/overflow sign traps in either engine and the
+    * DuckDB oracle is bit-for-bit reproducible. */
+  /** The (doc_id, lo, hi) 64-bit fingerprint relation behind
+    * [[simHashPairs]], exposed for exactness testing. */
+  private[llm] def simHashFingerprints(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val grams = df
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
       .select(col("doc_id"), explode(wordNgrams("w", 2)).as("g"))
-    val hashed = grams.select(col("doc_id"), hash32(col("g")).as("h"))
-    // 32 per-bit ±1 sums in ONE aggregation (codegen-friendly, single
-    // shuffle), then assemble the fingerprint.
-    val bitSums = (0 until 32).map(k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1, 1)
-        .otherwise(-1)).as(s"b$k"))
-    val sims = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 32).map(k =>
-          when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sh"))
-    // Banded candidates: 4 bytes of the fingerprint.
-    val banded = sims.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*))
+    // Two independent 32-bit hashes from one md5 evaluation (CSE'd).
+    val hashed = grams.select(col("doc_id"),
+      conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("g")), 9, 8), 16, 10).cast("long").as("h2"))
+    // 64 per-bit ±1 sums in ONE aggregation (codegen-friendly, single
+    // map-side-combined shuffle), then assemble the two fingerprint halves.
+    def bitSums(h: String, p: String) = (0 until 32).map(k =>
+      sum(when(shiftright(col(h), k).bitwiseAND(lit(1L)) === 1, 1)
+        .otherwise(-1)).as(s"$p$k"))
+    def half(p: String) = (0 until 32).map(k =>
+      when(col(s"$p$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+    val allSums = bitSums("h1", "a") ++ bitSums("h2", "b")
+    hashed.groupBy("doc_id").agg(allSums.head, allSums.tail: _*)
+      .select(col("doc_id"), half("a").as("lo"), half("b").as("hi"))
+  }
+
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      hammingMax: Int = 3): DataFrame = {
+    require(hammingMax <= 3,
+      "banded recall is exact only for hammingMax <= bands-1 = 3")
+    val sims = simHashFingerprints(df, idCol, textCol)
+    // Banded candidates: 4 × 16-bit slices of (lo, hi).
+    val banded = sims.select(col("doc_id"), col("lo"), col("hi"),
+      explode(array(
+        struct(lit(0).as("band"),
+          col("lo").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(1).as("band"),
+          shiftright(col("lo"), 16).bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(2).as("band"),
+          col("hi").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(3).as("band"),
+          shiftright(col("hi"), 16).bitwiseAND(lit(65535L)).as("bv"))))
         .as("e"))
-      .select(col("doc_id"), col("sh"), col("e.band"), col("e.bv"))
+      .select(col("doc_id"), col("lo"), col("hi"),
+        col("e.band"), col("e.bv"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+        (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+          bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= hammingMax)
   }

@@ -166,20 +166,16 @@ object CoreQueries {
     // df supplied as SQL (EntitySql — ref hive.py:377-389).
     "s10_conf_overlay" -> ((s, dir) => {
       regEvents(s, dir)
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      // The Engine scopes the overlay itself now: prior conf values are
+      // restored after plan build, so no manual cleanup is needed here.
       val eng = new Engine(s,
         EngineConfig(sessionConf = Map("spark.sql.shuffle.partitions" -> "16")))
-      val df = eng.getHistoricalFeatures(
+      eng.getHistoricalFeatures(
         EntitySql(
           """SELECT event_id AS row_tag, user_id,
             |       ts + INTERVAL 30 MINUTE AS event_timestamp
             |FROM graft_events WHERE event_id % 37 = 0""".stripMargin),
         Seq(eventsView(dir, 3600))).toDF
-      // The overlay is session-scoped by design (reference semantics);
-      // restore here so this QUERY doesn't leak 16 partitions into the
-      // rest of the Bench/Verify run.
-      s.conf.set("spark.sql.shuffle.partitions", prev)
-      df
     }),
 
     // P1: column projection (pruned scan).

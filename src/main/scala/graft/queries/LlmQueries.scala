@@ -189,25 +189,33 @@ object LlmQueries {
          |FROM ver
          |WHERE round(inter::DOUBLE / (za + zb - inter), 6) >= 0.5""".stripMargin,
 
+    // 64-bit simhash as two positive 32-bit halves (md5 hex 1-8 / 9-16);
+    // the oracle skips the banding (exact for hamming <= bands-1, so the
+    // full pair join with the hamming filter yields identical rows).
     "dedup_simhash" ->
       s"""WITH $DocsCte,
          |bg AS (SELECT doc_id,
          |         unnest(list_transform(range(1, len(w)),
          |                i -> array_to_string(w[i:i+1], ' '))) AS g
          |       FROM docs),
-         |gh AS (SELECT doc_id, ${h32("g")} AS h FROM bg),
+         |gh AS (SELECT doc_id, ${h32("g")} AS h1,
+         |         ('0x' || substr(md5(g), 9, 8))::BIGINT AS h2 FROM bg),
          |bits AS (SELECT doc_id, k,
-         |           sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS sm
+         |           sum(CASE WHEN (h1 >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+         |           sum(CASE WHEN (h2 >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s2
          |         FROM gh CROSS JOIN (SELECT unnest(range(0, 32)) AS k) ks
          |         GROUP BY doc_id, k),
          |sim AS (SELECT doc_id,
-         |          sum(CASE WHEN sm > 0 THEN (1::BIGINT << k)
-         |              ELSE 0::BIGINT END)::BIGINT AS sh
+         |          sum(CASE WHEN s1 > 0 THEN (1::BIGINT << k)
+         |              ELSE 0::BIGINT END)::BIGINT AS lo,
+         |          sum(CASE WHEN s2 > 0 THEN (1::BIGINT << k)
+         |              ELSE 0::BIGINT END)::BIGINT AS hi
          |        FROM bits GROUP BY doc_id)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |       bit_count(xor(a.sh, b.sh)) AS hamming
+         |       (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))
+         |         AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
 
     "knn_cosine_brute" ->
       s"""WITH v AS (SELECT vec_id,

@@ -81,7 +81,14 @@ final case class FeatureSource(
   def schema(spark: SparkSession): StructType = resolve(spark).schema
 
   /** ref: feast_hive/hive_source.py:210-247
-    * (`get_table_column_names_and_types`). */
+    * (`get_table_column_names_and_types`).
+    *
+    * CONTRACT NOTE: names here (and in [[schema]]) are POST-fieldMapping —
+    * the mapping is applied once at resolve time. The reference instead
+    * returns RAW source columns and lets feast re-apply field_mapping
+    * downstream (hive_source.py:214-247); any inference/retrieval layer
+    * built on this engine must treat the mapping as already applied and
+    * never rename a second time. */
   def columnNamesAndTypes(spark: SparkSession): Seq[(String, String)] =
     schema(spark).fields.toSeq.map(f => f.name -> TypeMapping.sparkToHive(f.dataType))
 

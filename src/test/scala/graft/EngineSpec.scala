@@ -69,20 +69,26 @@ class EngineSpec extends SparkSpec {
     assert(SourceJson.fromJson(SourceJson.toJson(minimal)) == minimal)
   }
 
-  test("session conf overlay applies at retrieval build") {
+  test("session conf overlay is scoped: applied at build, restored after") {
     import spark.implicits._
     val before = spark.conf.get("spark.sql.shuffle.partitions")
+    // Overlay a conf that is definitely absent, too, to exercise unset-restore.
+    assert(spark.conf.getOption("graft.test.overlay.only").isEmpty)
     val overlay = new Engine(spark, EngineConfig(
-      sessionConf = Map("spark.sql.shuffle.partitions" -> "7")))
+      sessionConf = Map(
+        "spark.sql.shuffle.partitions" -> "7",
+        "graft.test.overlay.only" -> "yes")))
     val src = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
       .toDF("driver_id", "event_timestamp", "conv_rate")
     src.createOrReplaceTempView("engine_spec_conf")
     val entity = Seq((1L, Timestamp.valueOf("2024-01-02 00:00:00")))
       .toDF("driver_id", "event_timestamp")
-    overlay.getHistoricalFeatures(EntityFrame(entity), Seq(
+    val job = overlay.getHistoricalFeatures(EntityFrame(entity), Seq(
       FeatureView("v", Seq("driver_id"),
-        FeatureSource(table = Some("engine_spec_conf"))))).toDF.count()
-    assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
-    spark.conf.set("spark.sql.shuffle.partitions", before)
+        FeatureSource(table = Some("engine_spec_conf")))))
+    job.toDF.count() // builds the plan under the overlay
+    // prior values are restored after plan build — nothing leaks
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    assert(spark.conf.getOption("graft.test.overlay.only").isEmpty)
   }
 }

@@ -23,15 +23,21 @@ class LlmSpec extends SparkSpec {
   }
 
   test("simhash banded candidates are exact for hamming <= bands-1") {
-    // brute-force hamming pairs over the full simhash set must equal the
-    // banded result (pigeonhole guarantee)
-    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", hammingMax = 3)
+    // brute-force hamming pairs over the full fingerprint relation must
+    // equal the banded result (pigeonhole guarantee)
+    val banded = Dedup.simHashPairs(docs, "doc_id", "text", hammingMax = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming")))
-    assert(pairs.nonEmpty)
-    assert(pairs.forall(_._3 <= 3))
-    // spot brute force: every hamming-0 pair must appear
-    val zero = pairs.filter(_._3 == 0)
-    assert(zero.nonEmpty, "fixture contains identical-simhash docs")
+    assert(banded.nonEmpty)
+    assert(banded.forall(_._3 <= 3))
+    val fps = Dedup.simHashFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ia, la, ha) <- fps; (ib, lb, hb) <- fps if ia < ib
+      d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(banded.toSet == brute,
+      s"banded missed ${(brute -- banded).size}, extra ${(banded.toSet -- brute).size}")
   }
 
   test("LSH kNN results are a subset of same-bucket exact cosine ranks") {
