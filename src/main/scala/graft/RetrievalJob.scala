@@ -25,6 +25,15 @@ final class RetrievalJob(
     * (Arrow-backed) internally; rows are the JVM-native interchange. */
   def collectRows(): Array[Row] = toDF.collect()
 
+  /** S9 full Arrow parity (ref: hive.py:313-352, `_to_arrow_internal`
+    * returns a pyarrow Table): the result as a complete Arrow IPC stream —
+    * schema header plus one record batch per partition — ready to hand to
+    * pandas/polars/pyarrow/arrow-vector tooling without row conversion.
+    * Partitions serialize their batches in parallel; only the Arrow bytes
+    * reach the driver. */
+  def collectAsArrow(): Array[Byte] =
+    org.apache.spark.sql.GraftSql.collectAsArrowStream(toDF)
+
   def count(): Long = toDF.count()
 
   /** S3-style sink: persist the result as Parquet. */

@@ -19,4 +19,25 @@ object GraftSql {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Serialize a DataFrame's result as ONE self-contained Arrow IPC stream
+    * (schema header + record batches + end-of-stream), consumable by any
+    * Arrow implementation. Batches are produced DISTRIBUTED — each
+    * partition serializes its own RecordBatch message
+    * (`Dataset.toArrowBatchRdd`, the same machinery `collectAsArrowToPython`
+    * uses) — and only the serialized bytes travel to the driver, where the
+    * stream is framed. Both APIs are private[sql], hence this shim. */
+  def collectAsArrowStream(df: DataFrame): Array[Byte] = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val tz = ds.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val batches = ds.toArrowBatchRdd.collect()
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = new org.apache.spark.sql.execution.arrow.ArrowBatchStreamWriter(
+      ds.schema, out, tz,
+      // match toArrowBatchRdd's schema conversion flags
+      true, false)
+    writer.writeBatches(batches.iterator)
+    writer.end()
+    out.toByteArray
+  }
 }
