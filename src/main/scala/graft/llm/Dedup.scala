@@ -217,6 +217,51 @@ object Dedup {
     * bigram) rather than one signed 64-bit value: every number stays in
     * [0, 2^32), so no shift/overflow sign traps in either engine and the
     * DuckDB oracle is bit-for-bit reproducible. */
+  /** Near-dup CLUSTER ASSIGNMENT — the step after pair generation that an
+    * actual dedup pipeline needs: connected components over the pair
+    * graph, labeling every involved document with the smallest doc id
+    * reachable from it (the canonical representative). Keep-one dedup is
+    * then `cluster_id = doc_id` survivors. Output: (doc_id, cluster_id)
+    * for every doc appearing in ≥1 pair.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — the same
+    * shape GraphX/GraphFrames use for CC. Each iteration is one
+    * hash-partitioned join (labels ⋈ edges) plus a map-side-combined
+    * `min` aggregation; the label relation is `localCheckpoint`ed per
+    * iteration so plans don't grow with iteration count. Iterations =
+    * O(max component diameter) — near-dup clusters are shallow (dup
+    * clusters of size s have diameter ≤ s, usually ≤ 3), so this
+    * converges in a handful of rounds even at 10⁹ docs; graphs with long
+    * chains would want the large-star/small-star variant. The per-round
+    * convergence check is one driver-side `isEmpty` — no data collected. */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val edges = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("a") === labels("id"))
+        .select(edges("b").as("id"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.lbl") < col("p.lbl"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** The (doc_id, lo, hi) 64-bit fingerprint relation behind
     * [[simHashPairs]], exposed for exactness testing. */
   private[llm] def simHashFingerprints(

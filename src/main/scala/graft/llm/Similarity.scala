@@ -111,6 +111,70 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF (inverted-file) ANN — the second scale path, complementing
+    * [[lshKnn]]. A coarse quantizer of `nList` centroids partitions the
+    * corpus into cells; each query probes its `nProbe` nearest cells and
+    * ranks candidates by exact cosine.
+    *
+    * The quantizer is DETERMINISTIC and data-derived with no training
+    * loop: the centroids are the `nList` lowest-id corpus vectors, so the
+    * DuckDB oracle can re-derive the identical quantizer from the same
+    * table (no literal injection). A production deployment would swap in
+    * k-means centroids — everything downstream is unchanged.
+    *
+    * Scale: the centroids are collected to the driver (nList × dim floats
+    * — a few KB, the coarse quantizer IS small by design; corpus data is
+    * never collected) and enter the plan as literals, so CELL ASSIGNMENT
+    * IS PER-ROW MAP WORK — no shuffle, no join — and the corpus-side
+    * candidate lookup is an equi-join on cell id, hash-partitioned like
+    * every other bucketed operator here. Cells are skew-prone on real
+    * clustered data (that's what makes them work) — pair with AQE skew
+    * handling at scale. Output: (qid, nid, rank, sim). */
+  def ivfKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    // the quantizer: nList lowest-id vectors (deterministic, oracle-reproducible)
+    val centroids: Seq[(Int, Seq[Double], Double)] = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .orderBy(col("cid")).limit(nList)
+      .collect().toSeq.zipWithIndex.map { case (r: Row, i) =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        // centroid norm precomputed driver-side with the same left fold
+        (i, v, math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x)))
+      }
+    // per-row cosine against centroid j (centroid enters as a literal)
+    def cSim(v: Column, nrm: Column, j: Int): Column = {
+      val (_, cv, cn) = centroids(j)
+      dot(v, typedlit(cv)) / (nrm * lit(cn))
+    }
+    // argmax cell per row: lexicographic array_max over (sim, cid) structs
+    // — ties resolve to the larger cid, mirrored in the oracle
+    def cell(v: Column, nrm: Column): Column =
+      array_max(array(centroids.map { case (j, _, _) =>
+        struct(cSim(v, nrm, j).as("s"), lit(j).as("cid"))
+      }: _*)).getField("cid")
+
+    val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("cell", cell(col("v"), col("nrm")))
+    // query side: nProbe nearest cells, exploded to (qid, cell) probe rows
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("probes",
+        slice(reverse(array_sort(array(centroids.map { case (j, _, _) =>
+          struct(cSim(col("qv"), col("qn"), j).as("s"), lit(j).as("cid"))
+        }: _*))), 1, nProbe))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(col("probes").getField("cid")).as("cell"))
+    val scored = v.join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-dup pairs above `tau`, via bucketed candidates:
     * pairs must share an LSH bucket (approximate recall, exact precision
     * after verification). For the exact-oracle variant at test scale use

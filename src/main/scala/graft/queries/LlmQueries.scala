@@ -43,6 +43,24 @@ object LlmQueries {
   private def dotSql(a: String, b: String) =
     foldSql(s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])")
 
+  /** Exact jaccard pairs at tau=0.5 (needs docs+sh CTEs in scope); ends in
+    * `jp(id_a, id_b, inter, size_a, size_b, jaccard)` — shared by the
+    * pair and cluster oracles. */
+  private val JaccardCtes =
+    """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+      |         round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+      |  FROM pairs
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5)""".stripMargin
+
   private val PermsSql = TextOps.permConstants(16)
     .map { case (i, a, b) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
     .mkString("perms(pi, pa, pb) AS (VALUES ", ", ", ")")
@@ -83,6 +101,12 @@ object LlmQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(docs(s, dir), "doc_id", "text", hammingMax = 3)),
 
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+          n = 3, tau = 0.5),
+        "id_a", "id_b")),
+
     "knn_cosine_brute" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceKnn(
@@ -94,6 +118,13 @@ object LlmQueries {
       Similarity.lshKnn(
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 5, nPlanes = 4, dim = 64)
+    }),
+
+    "knn_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfKnn(
+        e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nList = 16, nProbe = 4)
     }),
 
     "embed_cosine_pairs" -> ((s, dir) =>
@@ -145,19 +176,23 @@ object LlmQueries {
          |WHERE rn = 1""".stripMargin,
 
     "dedup_jaccard_pairs" ->
-      s"""WITH $DocsCte, ${shCte32(3)},
-         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
-         |       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
-         |FROM pairs
-         |JOIN sizes sa ON id_a = sa.doc_id
-         |JOIN sizes sb ON id_b = sb.doc_id
-         |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin,
+      s"""WITH $DocsCte, ${shCte32(3)}, $JaccardCtes
+         |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM jp""".stripMargin,
+
+    // connected components over the jaccard pair graph: min reachable id.
+    // The recursive CTE materializes (node, reachable-label) tuples —
+    // quadratic in component size, fine for an oracle at test scale.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $DocsCte, ${shCte32(3)}, $JaccardCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $DocsCte, ${shCte32(3)},
@@ -248,6 +283,44 @@ object LlmQueries {
          |  SELECT q.qid, nb.vec_id AS nid,
          |         ${dotSql("q.qv", "nb.v")} / (q.qn * nb.nrm) AS sim
          |  FROM q JOIN nb ON nb.bkt = q.bkt AND nb.vec_id != q.qid),
+         |r AS (SELECT qid, nid, sim, row_number() OVER (
+         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM scored)
+         |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+         |WHERE rank <= 5""".stripMargin,
+
+    // IVF: centroids = the 16 lowest-id vectors (deterministic quantizer,
+    // same derivation as Similarity.ivfKnn); cell = argmax centroid cosine
+    // with ties to the larger cid; queries probe their 4 nearest cells.
+    "knn_ivf" ->
+      s"""WITH v AS (SELECT vec_id,
+         |             list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |           v AS cv, sqrt(${dotSql("v", "v")}) AS cn
+         |         FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16) t),
+         |sims AS (SELECT n.vec_id, c.cid,
+         |           ${dotSql("n.v", "c.cv")} / (n.nrm * c.cn) AS s
+         |         FROM n CROSS JOIN cent c),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |            SELECT vec_id, cid, row_number() OVER (
+         |              PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rk
+         |            FROM sims) t WHERE rk = 1),
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, cells.cell
+         |       FROM n JOIN cells ON n.vec_id = cells.vec_id),
+         |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |             SELECT vec_id, cid, row_number() OVER (
+         |               PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rk
+         |             FROM sims WHERE vec_id % 100 = 0) t WHERE rk <= 4),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+         |      WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, nb.vec_id AS nid,
+         |         ${dotSql("q.qv", "nb.v")} / (q.qn * nb.nrm) AS sim
+         |  FROM probes p
+         |  JOIN q ON q.qid = p.qid
+         |  JOIN nb ON nb.cell = p.cell AND nb.vec_id != p.qid),
          |r AS (SELECT qid, nid, sim, row_number() OVER (
          |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          |      FROM scored)

@@ -40,6 +40,50 @@ class LlmSpec extends SparkSpec {
       s"banded missed ${(brute -- banded).size}, extra ${(banded.toSet -- brute).size}")
   }
 
+  test("connected components label every doc with its min reachable id") {
+    import spark.implicits._
+    // two components (1-2-3 chain, 10-11) — 3 reaches 1 only transitively
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("cluster assignment agrees with the pair graph on real docs") {
+    val pairs = Dedup.jaccardShinglePairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.connectedComponents(
+      Dedup.jaccardShinglePairs(docs, "doc_id", "text", 3, 0.5),
+      "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    // every paired doc is labeled, pair endpoints share a cluster, and the
+    // representative is a member of its own cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.values.foreach(c => assert(clusters(c) == c))
+  }
+
+  test("IVF kNN sims agree exactly with brute force where visible") {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("sim"))).toMap
+    val ivf = Similarity.ivfKnn(emb, queries, "vec_id", "embedding", 5, 16, 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("sim")))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (k, sim) =>
+      brute.get(k).foreach(bs => assert(bs == sim, s"sim mismatch for $k"))
+    }
+    // probing every cell makes IVF exhaustive — must equal brute-force top-5
+    val exhaustive = Similarity.ivfKnn(emb, queries, "vec_id", "embedding", 5, 16, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("rank"))).toSet
+    val bruteTop = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("rank"))).toSet
+    assert(exhaustive == bruteTop, "nProbe=nList IVF must equal brute force")
+  }
+
   test("LSH kNN results are a subset of same-bucket exact cosine ranks") {
     val queries = emb.filter(col("vec_id") % 100 === 0)
     val brute = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 50)
