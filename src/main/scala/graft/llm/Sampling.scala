@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * All selection decisions are pure functions of a row's id (the portable
+  * 32-bit md5 hash from [[TextOps.hash32]]), never of RNG state,
+  * partitioning, or row order — so samples are REPRODUCIBLE across runs,
+  * cluster sizes and engines (the DuckDB oracles re-derive the identical
+  * sample), and STABLE under re-partitioning (Spark's own `df.sample` is
+  * neither: it seeds per-partition). Every operator is a per-row filter
+  * or a bounded per-group selection — embarrassingly parallel, no
+  * collect, no global sort.
+  *
+  * The `seed` string salts the hash so independent samples can be drawn
+  * from the same corpus (sampling by `md5(seed || id)` — disjoint seeds
+  * give statistically independent picks).
+  */
+object Sampling {
+
+  /** Hash of (seed, id) in [0, 2^32) — the selection key. */
+  private def selKey(idCol: Column, seed: String): Column =
+    hash32(concat(lit(seed), lit(":"), idCol.cast("string")))
+
+  /** Deterministic Bernoulli sample: keep a row iff
+    * hash(seed, id) < fraction · 2^32. Exact-in-expectation, reproducible,
+    * and MONOTONE in `fraction`: the 10% sample is a superset of the 5%
+    * sample at the same seed — the property that lets a pipeline grow a
+    * training set without resampling everything. */
+  def bernoulliSample(
+      df: DataFrame, idCol: String, fraction: Double,
+      seed: String = "graft"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    val threshold = (fraction * 4294967296.0).toLong // fraction · 2^32
+    df.filter(selKey(col(idCol), seed) < lit(threshold))
+  }
+
+  /** Exact stratified sample: the `k` rows with the smallest selection
+    * hash PER GROUP (a deterministic "spot-check k docs per language"
+    * quota). Ties on the hash (≈2^-32) break by id. One hash-partitioned
+    * window per group — the group count bounds parallelism, and k bounds
+    * the output; no global sort.
+    *
+    * For very hot groups at extreme scale, pre-filter with
+    * [[bernoulliSample]] at a fraction comfortably above k/|group| first
+    * (monotonicity makes that lossless for the top-k-by-hash selection
+    * with probability 1 - ε), so the window sorts a k-ish-sized slice
+    * instead of the whole group. */
+  def stratifiedSample(
+      df: DataFrame, groupCol: String, idCol: String, k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(selKey(col(idCol), seed), col(idCol))
+    df.withColumn("__graft_srn", row_number().over(w))
+      .filter(col("__graft_srn") <= k)
+      .drop("__graft_srn")
+  }
+
+  /** Weighted mixture of sources: label each source, Bernoulli-downsample
+    * each to its weight, and union — the "mix 30% web + 70% books"
+    * pipeline stage. Weights are per-source KEEP FRACTIONS (each in
+    * [0,1]), applied deterministically, so the mixture is reproducible
+    * row-for-row. Sources must be union-compatible by name. */
+  def mixture(
+      sources: Seq[(String, DataFrame, Double)], idCol: String,
+      seed: String = "graft"): DataFrame = {
+    require(sources.nonEmpty, "mixture needs at least one source")
+    sources.map { case (name, df, frac) =>
+      bernoulliSample(df, idCol, frac, s"$seed/$name")
+        .withColumn("mixture_source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The DuckDB fragment matching [[bernoulliSample]]'s predicate, for
+    * oracle builders. */
+  def bernoulliSql(idSql: String, fraction: Double, seed: String): String = {
+    val threshold = (fraction * 4294967296.0).toLong
+    s"${hash32Sql(s"'$seed:' || CAST($idSql AS VARCHAR)")} < $threshold"
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextOps}
 
 /** Driver-contract queries for the LLM-data-pipeline operators (dedup,
   * similarity search, text analysis, multimodal), each with an exact
@@ -130,6 +130,22 @@ object LlmQueries {
     "embed_cosine_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding",
         tau = 0.4, nPlanes = 4, dim = 64)),
+
+    "sample_bernoulli" -> ((s, dir) =>
+      Sampling.bernoulliSample(docs(s, dir), "doc_id", 0.2, "graft")
+        .select("doc_id", "lang", "n_chars")),
+
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "lang", "doc_id", 5, "graft")
+        .select("doc_id", "lang")),
+
+    "sample_mixture" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.mixture(Seq(
+        ("en", d.filter(col("lang") === "en"), 0.5),
+        ("rest", d.filter(col("lang") =!= "en"), 0.25)), "doc_id", "graft")
+        .select("doc_id", "lang", "mixture_source")
+    }),
 
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
@@ -340,6 +356,27 @@ object LlmQueries {
          |FROM nb a JOIN nb b
          |  ON a.bkt = b.bkt AND a.vec_id < b.vec_id
          |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
+    "sample_bernoulli" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${Sampling.bernoulliSql("doc_id", 0.2, "graft")}""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY ${h32("'graft:' || CAST(doc_id AS VARCHAR)")}, doc_id
+         |  ) AS rn FROM documents) t
+         |WHERE rn <= 5""".stripMargin,
+
+    "sample_mixture" ->
+      s"""SELECT doc_id, lang, 'en' AS mixture_source FROM documents
+         |WHERE lang = 'en'
+         |  AND ${Sampling.bernoulliSql("doc_id", 0.5, "graft/en")}
+         |UNION ALL
+         |SELECT doc_id, lang, 'rest' AS mixture_source FROM documents
+         |WHERE lang != 'en'
+         |  AND ${Sampling.bernoulliSql("doc_id", 0.25, "graft/rest")}""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT doc_id,

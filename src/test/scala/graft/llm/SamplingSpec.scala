@@ -1,0 +1,56 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.read(spark, sf(), "documents")
+
+  test("bernoulli sample is deterministic and repartition-invariant") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.bernoulliSample(df, "doc_id", 0.3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    assert(a.nonEmpty && a.size < docs.count())
+    assert(ids(docs) == a, "same input must give the same sample")
+    assert(ids(docs.repartition(13)) == a,
+      "partitioning must not change the sample (unlike df.sample)")
+  }
+
+  test("bernoulli sample is monotone in fraction and sensitive to seed") {
+    def ids(frac: Double, seed: String) =
+      Sampling.bernoulliSample(docs, "doc_id", frac, seed)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val small = ids(0.05, "graft")
+    val big = ids(0.20, "graft")
+    assert(small.subsetOf(big), "5% sample must be a subset of 20% sample")
+    assert(ids(0.20, "other") != big, "different seeds must differ")
+    // rate sanity: 20% ± 6pp on 500 docs
+    val rate = big.size.toDouble / docs.count()
+    assert(rate > 0.14 && rate < 0.26, s"rate $rate far from 0.2")
+  }
+
+  test("stratified sample takes exactly min(k, |group|) per group") {
+    val perGroup = Sampling.stratifiedSample(docs, "lang", "doc_id", 5)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.keySet == sizes.keySet)
+    perGroup.foreach { case (g, n) => assert(n == math.min(5L, sizes(g))) }
+  }
+
+  test("mixture labels sources and respects per-source fractions") {
+    val en = docs.filter(col("lang") === "en")
+    val rest = docs.filter(col("lang") =!= "en")
+    val mixed = Sampling.mixture(Seq(
+      ("en", en, 1.0), ("rest", rest, 0.0)), "doc_id")
+    val bySource = mixed.groupBy("mixture_source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fraction 1.0 keeps everything, 0.0 keeps nothing
+    assert(bySource.getOrElse("en", 0L) == en.count())
+    assert(bySource.getOrElse("rest", 0L) == 0L)
+  }
+}
