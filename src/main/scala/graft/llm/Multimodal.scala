@@ -81,4 +81,68 @@ object Multimodal {
         }
       }
   }
+
+  /** A resized media payload: target dims + the (stub-)resampled bytes'
+    * fingerprint. */
+  final case class ResizedMedia(
+      doc_id: Long, modality: String, width: Int, height: Int,
+      channels: Int, n_bytes: Long, sha256: String)
+
+  /** The resize stage (same typed partition-batch shape as [[decode]]).
+    * ─ STUB ─ a real implementation would decode, resample to
+    * `targetW`×`targetH` and re-encode; here the "resampled" payload is a
+    * deterministic byte-budget truncation (min(n, w·h·3) bytes), so the
+    * output schema, sizes and fingerprints are all real and
+    * oracle-reproducible while the pixel math is faked. */
+  def resize(df: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budget = targetW * targetH * 3
+    df.select("doc_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // one digest instance per partition (the native-resource pattern)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, mod, bytes) =>
+          val out = if (bytes.length > budget) bytes.take(budget) else bytes
+          md.reset()
+          val sha = md.digest(out).map("%02x".format(_)).mkString
+          ResizedMedia(id, mod, targetW, targetH, 3, out.length.toLong, sha)
+        }
+      }
+  }
+
+  /** One sampled frame of a (pretend-)video payload. */
+  final case class Frame(
+      doc_id: Long, frame_idx: Int, offset: Long, frame_sha: String)
+
+  /** The frame-sampling stage: `nFrames` evenly spaced `frameBytes`-sized
+    * slices per payload (docs shorter than one frame yield none) — the
+    * 1-row-in/N-rows-out generator shape of real video sampling, as a
+    * typed flatMap (partition-local, no shuffle). Offsets are integer
+    * arithmetic (`i·(n-F) / (nFrames-1)`), so the DuckDB oracle reproduces
+    * them exactly. ─ STUB ─ a real sampler would seek codec keyframes;
+    * the slicing and fingerprints are real. */
+  def frameSample(
+      df: DataFrame, nFrames: Int = 4, frameBytes: Int = 16): Dataset[Frame] = {
+    require(nFrames > 1, "nFrames must be > 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length.toLong
+          if (n < frameBytes) Iterator.empty
+          else (0 until nFrames).iterator.map { i =>
+            val off = i * (n - frameBytes) / (nFrames - 1)
+            md.reset()
+            val sha = md.digest(
+              bytes.slice(off.toInt, off.toInt + frameBytes))
+              .map("%02x".format(_)).mkString
+            Frame(id, i, off, sha)
+          }
+        }
+      }
+  }
 }

@@ -173,6 +173,18 @@ object LlmQueries {
     "mm_decode_stub" -> ((s, dir) =>
       Multimodal.decode(
         Multimodal.asBinary(docs(s, dir), "doc_id", "text", "text/plain"))
+        .toDF()),
+
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resize(
+        Multimodal.asBinary(docs(s, dir), "doc_id", "text", "text/plain"),
+        targetW = 8, targetH = 8)
+        .toDF()),
+
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.asBinary(docs(s, dir), "doc_id", "text", "text/plain"),
+        nFrames = 4, frameBytes = 16)
         .toDF())
   )
 
@@ -465,6 +477,34 @@ object LlmQueries {
         |       (64 + octet_length(encode(text)) % 577)::INTEGER AS width,
         |       (64 + (octet_length(encode(text)) * 31) % 353)::INTEGER AS height,
         |       3::INTEGER AS channels
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // stub resize: byte budget = 8*8*3 = 192. DuckDB can't slice BLOBs, so
+    // the oracle slices the VARCHAR — byte == char on this ASCII corpus
+    // (verified: octet_length(encode(text)) = length(text) for every row),
+    // and sha256(varchar) hashes its UTF-8 bytes, i.e. the same slice the
+    // Spark side takes from the binary payload.
+    "mm_resize" ->
+      """WITH b AS (SELECT doc_id, text AS p, length(text) AS n
+        |           FROM documents)
+        |SELECT doc_id, 'text/plain' AS modality,
+        |       8::INTEGER AS width, 8::INTEGER AS height,
+        |       3::INTEGER AS channels,
+        |       least(n, 192) AS n_bytes,
+        |       sha256(substring(p, 1, 192)) AS sha256
+        |FROM b""".stripMargin,
+
+    // stub frame sampling: 4 frames of 16 bytes at i*(n-16)/3 (same
+    // ASCII-corpus byte==char note as mm_resize)
+    "mm_frame_sample" ->
+      """WITH b AS (SELECT doc_id, text AS p, length(text) AS n
+        |           FROM documents),
+        |f AS (SELECT doc_id, p, n, unnest(range(0, 4)) AS i FROM b
+        |      WHERE n >= 16)
+        |SELECT doc_id, i AS frame_idx,
+        |       (i * (n - 16)) // 3 AS offset,
+        |       sha256(substring(p, ((i * (n - 16)) // 3)::INTEGER + 1, 16))
+        |         AS frame_sha
+        |FROM f""".stripMargin
   )
 }

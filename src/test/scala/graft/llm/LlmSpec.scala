@@ -117,6 +117,32 @@ class LlmSpec extends SparkSpec {
     assert(fps(1L) != fps(2L))
   }
 
+  test("resize and frame-sample stages are partition-local and exact") {
+    val bin = Multimodal.asBinary(docs.filter(col("doc_id") < 20),
+      "doc_id", "text", "text/plain")
+    val resized = Multimodal.resize(bin, 8, 8)
+    val rrows = resized.collect()
+    assert(rrows.length == 20)
+    rrows.foreach { r =>
+      assert(r.n_bytes <= 192 && r.width == 8 && r.height == 8)
+      assert(r.sha256.length == 64)
+    }
+    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"),
+      "resize must not shuffle")
+
+    val frames = Multimodal.frameSample(bin, nFrames = 4, frameBytes = 16)
+    val frows = frames.collect()
+    assert(frows.nonEmpty && frows.forall(f => f.frame_idx < 4))
+    // evenly spaced: frame 0 at offset 0; last frame ends at payload end
+    val byDoc = frows.groupBy(_.doc_id)
+    byDoc.values.foreach { fs =>
+      assert(fs.length == 4)
+      assert(fs.minBy(_.frame_idx).offset == 0L)
+    }
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"),
+      "frame sampling must not shuffle")
+  }
+
   test("stub decoder emits deterministic typed metadata, no shuffle") {
     // filter (not limit): limit injects a SinglePartition exchange of its
     // own, which would mask the property under test
