@@ -102,16 +102,34 @@ object TextAnalysis {
   /** Repetition metrics (the Gopher-rule family used to filter
     * low-quality training text): duplicate-bigram fraction and
     * most-frequent-bigram share. High values flag degenerate/repetitive
-    * documents. One groupBy per doc — embarrassingly parallel. */
+    * documents.
+    *
+    * Entirely per-row: the bigram array is sorted and the
+    * most-frequent-bigram count is the longest equal-run in the sorted
+    * array (a single `aggregate` fold) — ZERO shuffles, replacing the
+    * earlier two corpus-wide groupBys over the exploded bigram relation
+    * (shuffle volume ~token count — the dominant cost at scale). Docs
+    * with <2 words yield no row, as the exploded formulation did. */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = df
-      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
-      .select(col("doc_id"), explode(wordNgrams("w", 2)).as("g"))
-    val perGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-    perGram.groupBy("doc_id").agg(
-      sum("c").as("n_bigrams"),
-      count(lit(1)).as("distinct_bigrams"),
-      max("c").as("top_bigram_count"))
+    val maxRun = {
+      val z = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+      aggregate(sort_array(col("gs")), z,
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+    }
+    df.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"), wordNgrams("w", 2).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("gs")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("gs"))).cast("long").as("distinct_bigrams"),
+        maxRun.as("top_bigram_count"))
       .select(
         col("doc_id"), col("n_bigrams"), col("distinct_bigrams"),
         col("top_bigram_count"),
