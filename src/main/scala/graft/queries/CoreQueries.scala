@@ -447,6 +447,49 @@ object CoreQueries {
         .select("c_custkey", "c_name", "n_orders")
         .orderBy(col("n_orders").desc, col("c_custkey"))
         .limit(10)
+    }),
+
+    // TPC-H Q3 shape: selective dim broadcast + big fact join + grouped
+    // integer-scaled revenue + TakeOrdered top-k (no global sort).
+    "x_q3_shipping" -> ((s, dir) => {
+      val cutoff = Timestamp.valueOf("1997-06-01 00:00:00")
+      val c = Tables.read(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(cutoff))
+      val l = lineitem(s, dir).filter(col("l_shipdate") > lit(cutoff))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")).cast("long").as("revenue_x10000"))
+        .select("l_orderkey", "revenue_x10000", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue_x10000").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-way join, small dims broadcast, local-supplier
+    // predicate (customer and supplier in the same nation).
+    "x_q5_local_volume" -> ((s, dir) => {
+      val lo = Timestamp.valueOf("1996-01-01 00:00:00")
+      val hi = Timestamp.valueOf("1998-01-01 00:00:00")
+      val r = Tables.read(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Tables.read(s, dir, "nation")
+      val sup = Tables.read(s, dir, "supplier")
+      val c = Tables.read(s, dir, "customer")
+      val o = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")).cast("long").as("revenue_x10000"),
+          count(lit(1)).as("n_items"))
     })
   )
 
@@ -655,6 +698,35 @@ object CoreQueries {
         |  SELECT o_custkey, count(*) AS n_orders FROM orders
         |  GROUP BY o_custkey) o
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY n_orders DESC, c_custkey LIMIT 10""".stripMargin
+        |ORDER BY n_orders DESC, c_custkey LIMIT 10""".stripMargin,
+    "x_q3_shipping" ->
+      """SELECT l_orderkey,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+        |         ::BIGINT AS revenue_x10000,
+        |       o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_x10000 DESC, l_orderkey LIMIT 10""".stripMargin,
+    "x_q5_local_volume" ->
+      """SELECT n_name,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+        |         ::BIGINT AS revenue_x10000,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin
   )
 }

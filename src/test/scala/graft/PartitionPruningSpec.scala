@@ -44,6 +44,30 @@ class PartitionPruningSpec extends SparkSpec {
     assert(filesInTarget < filesTotal, "fixture must have >1 partition")
   }
 
+  test("BETWEEN on a plain microsecond timestamp reaches PushedFilters") {
+    // the P6 range predicate on a NON-repaired timestamp column must push
+    // into the parquet scan (the repaired-NANOS `events.ts` cannot — the
+    // partitioned layout above is its mitigation)
+    val df = Tables.read(spark, sf(), "lineitem")
+      .filter(col("l_shipdate").between(
+        lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+        lit(java.sql.Timestamp.valueOf("1996-06-01 00:00:00"))))
+      .select("l_orderkey", "l_shipdate")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScanExec leaf"))
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThanOrEqual(l_shipdate"),
+      s"BETWEEN must push both bounds, got: $pushed")
+    // and projection pruning: only the two selected columns are read
+    val readSchema = scan.metadata.getOrElse("ReadSchema", "")
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_shipdate") &&
+      !readSchema.contains("l_extendedprice"),
+      s"scan must read only selected columns, got: $readSchema")
+  }
+
   test("pruning works on a partitioned events layout via FeatureSource") {
     // A date-partitioned rewrite of events (the layout Tables.scala's scale
     // note prescribes for NANOS sources — note the rewrite itself lands as
