@@ -75,4 +75,58 @@ object StreamingOps {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
+
+  /** STREAMING point-in-time enrichment — the streaming counterpart of
+    * the flagship batch as-of join ([[graft.PointInTime]]): each
+    * streaming entity row is attached the latest STATIC feature row with
+    * `featureTs <= entityTs` (and `>= entityTs - ttl` when ttl > 0),
+    * NULL features when none qualifies — the same semantics the batch
+    * oracle checks, per micro-batch.
+    *
+    * Shape: watermarked stream LEFT OUTER stream-static join (equi keys +
+    * range residual — the static side is re-planned per micro-batch, no
+    * state) followed by a watermark-bounded `max_by(struct(featureTs,
+    * features), featureTs)` aggregate keyed by the full entity row.
+    * `max_by` skips NULL ordering keys, so an entity row whose join found
+    * nothing keeps one all-NULL feature struct — the left semantics
+    * survive the aggregate. State = one row per in-flight entity row,
+    * reclaimed at the watermark; append mode emits each enriched row
+    * exactly once, when its event time expires.
+    *
+    * Identical duplicate entity rows collapse to one (the batch engine's
+    * A1 distinct-entity semantics). */
+  def enrichAsOf(
+      entities: DataFrame,
+      features: DataFrame,
+      joinKeys: Seq[String],
+      entityTsCol: String,
+      featureTsCol: String,
+      featureCols: Seq[String],
+      ttlSeconds: Long = 0,
+      watermark: String = "1 hour"): DataFrame = {
+    require(joinKeys.nonEmpty, "enrichAsOf needs at least one join key")
+    val f = features.select(
+      (joinKeys.map(c => col(c).as(s"__f_$c")) :+
+        col(featureTsCol).as("__f_ts")) ++ featureCols.map(col): _*)
+    val keyCond = joinKeys
+      .map(c => col(c) === col(s"__f_$c"))
+      .reduce(_ && _)
+    val rangeCond =
+      if (ttlSeconds > 0)
+        col("__f_ts") <= col(entityTsCol) &&
+          col("__f_ts") >= col(entityTsCol) - expr(s"INTERVAL $ttlSeconds SECONDS")
+      else col("__f_ts") <= col(entityTsCol)
+
+    val entityCols = entities.columns.toSeq
+    val joined = entities
+      .withWatermark(entityTsCol, watermark)
+      .join(f, keyCond && rangeCond, "left_outer")
+    joined
+      .groupBy(entityCols.map(col): _*)
+      .agg(max_by(
+        struct(col("__f_ts") +: featureCols.map(col): _*),
+        col("__f_ts")).as("__best"))
+      .select(entityCols.map(col) ++
+        featureCols.map(c => col(s"__best.$c").as(c)): _*)
+  }
 }

@@ -55,6 +55,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichAsOf attaches latest static feature per streaming entity row") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val features = Seq(
+      (1L, ts(0), 10.0), (1L, ts(10), 11.0), // key 1: two versions
+      (2L, ts(30), 20.0))                    // key 2: only AFTER the entity ts
+      .toDF("user_id", "fts", "conv")
+    val in = MemoryStream[KeyedEvent] // (user_id, ts, value) as entity rows
+    val q = StreamingOps.enrichAsOf(
+      in.toDF(), features, Seq("user_id"), "ts", "fts", Seq("conv"),
+      ttlSeconds = 0, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("asof_t")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        KeyedEvent(1, ts(5), 1.0),   // → conv 10.0 (ts(0) is latest ≤ 10:05)
+        KeyedEvent(1, ts(15), 2.0),  // → conv 11.0
+        KeyedEvent(2, ts(5), 3.0))   // → NULL (feature is in the future)
+      q.processAllAvailable()
+      // advance the watermark past ts(15) so append mode finalizes all rows
+      in.addData(KeyedEvent(9, ts(50), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_t")
+        .selectExpr("user_id", "cast(ts as string)", "conv")
+        .as[(Long, String, Option[Double])].collect()
+        .map { case (k, t, c) => (k, t.substring(11, 16), c) }.toSet
+      assert(got.contains((1L, "10:05", Some(10.0))))
+      assert(got.contains((1L, "10:15", Some(11.0))))
+      assert(got.contains((2L, "10:05", None)))
+    } finally q.stop()
+  }
+
+  test("enrichAsOf honors the TTL lower bound") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val features = Seq((1L, ts(0), 10.0)).toDF("user_id", "fts", "conv")
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamingOps.enrichAsOf(
+      in.toDF(), features, Seq("user_id"), "ts", "fts", Seq("conv"),
+      ttlSeconds = 300, watermark = "0 seconds") // 5-minute TTL
+      .writeStream.format("memory").queryName("asof_ttl_t")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        KeyedEvent(1, ts(4), 1.0),  // within TTL → 10.0
+        KeyedEvent(1, ts(9), 2.0))  // 9 min after the feature → expired
+      q.processAllAvailable()
+      in.addData(KeyedEvent(9, ts(50), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_ttl_t")
+        .selectExpr("user_id", "cast(ts as string)", "conv")
+        .as[(Long, String, Option[Double])].collect()
+        .map { case (k, t, c) => (k, t.substring(11, 16), c) }.toSet
+      assert(got.contains((1L, "10:04", Some(10.0))))
+      assert(got.contains((1L, "10:09", None)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops exact duplicate ids within the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
