@@ -139,6 +139,33 @@ object TextAnalysis {
           .as("top_bigram_ratio"))
   }
 
+  /** Corpus-level top-k tokens by frequency (vocabulary head analysis):
+    * explode → map-side-combined count → TakeOrdered top-k (no global
+    * sort; the driver receives k rows per partition at most). Ties break
+    * on the token string for determinism. */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(words(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Document-length histogram: power-of-two char-length bins — the
+    * corpus shape summary a pipeline checks before/after filtering.
+    * Per-row bin arithmetic + one small groupBy. The bin index is
+    * INTEGER-exact (digit count of the binary rendering, not
+    * floor(log2) — FP log at power-of-two boundaries can differ by an
+    * ulp across engines), with 0-length docs in bin -1. */
+  def lengthHistogram(df: DataFrame, textCol: String): DataFrame = {
+    val n = length(col(textCol))
+    val bin = when(n <= 0, lit(-1))
+      .otherwise(length(expr("bin(length(" + textCol + "))")) - 1)
+    df.select(bin.as("len_bin"))
+      .groupBy("len_bin").agg(count(lit(1)).as("n_docs"))
+      .withColumn("bin_lo",
+        when(col("len_bin") < 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), len_bin)")))
+  }
+
   /** JSON property extraction from a string column (the `events.props`
     * shape): `get_json_object` — codegen'd, no UDF. */
   def jsonExtract(df: DataFrame, idCol: String, jsonCol: String,

@@ -166,6 +166,12 @@ object LlmQueries {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text")),
 
+    "text_top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokens(docs(s, dir), "text", k = 20)),
+
+    "text_length_hist" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(docs(s, dir), "text")),
+
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
         Multimodal.asBinary(docs(s, dir), "doc_id", "text", "text/plain"))),
@@ -463,6 +469,21 @@ object LlmQueries {
          |         AS dup_bigram_ratio,
          |       round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_ratio
          |FROM pg GROUP BY doc_id""".stripMargin,
+
+    "text_top_tokens" ->
+      s"""WITH $DocsCte,
+         |t AS (SELECT unnest(w) AS token FROM docs)
+         |SELECT token, count(*) AS n FROM t
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "text_length_hist" ->
+      """WITH b AS (SELECT CASE WHEN length(text) <= 0 THEN -1
+        |                  ELSE length(bin(length(text))) - 1 END AS len_bin
+        |           FROM documents)
+        |SELECT len_bin, count(*) AS n_docs,
+        |       CASE WHEN len_bin < 0 THEN 0::BIGINT
+        |            ELSE (1::BIGINT << len_bin) END AS bin_lo
+        |FROM b GROUP BY len_bin""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id, 'text/plain' AS modality,
