@@ -105,6 +105,13 @@ object StreamingOps {
       ttlSeconds: Long = 0,
       watermark: String = "1 hour"): DataFrame = {
     require(joinKeys.nonEmpty, "enrichAsOf needs at least one join key")
+    // feature VALUE columns keep their names through the join — a collision
+    // with an entity column would make the post-join groupBy ambiguous
+    val collisions = featureCols.toSet
+      .intersect(entities.columns.toSet)
+    require(collisions.isEmpty,
+      s"feature columns collide with entity columns: " +
+        s"${collisions.mkString(", ")} — rename one side")
     val f = features.select(
       (joinKeys.map(c => col(c).as(s"__f_$c")) :+
         col(featureTsCol).as("__f_ts")) ++ featureCols.map(col): _*)
