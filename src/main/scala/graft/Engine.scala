@@ -30,12 +30,13 @@ final case class EntitySql(sql: String) extends EntityInput
 final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
 
   /** S10: session conf overlay (ref: hive.py:249-254 prefixes SET statements
-    * to every query batch). The overlay is applied around plan construction
-    * and PRIOR VALUES ARE RESTORED afterwards, so one engine's conf never
-    * leaks into unrelated work on the shared session. Confs consumed at
-    * plan-build time (ANSI, session timezone, shuffle partitions captured
-    * into the plan) take effect; a conf only read at execution time would
-    * need the caller to act while the overlay is live. */
+    * to every query batch). Applied around plan construction AND around
+    * every RetrievalJob terminal action (via [[RetrievalJob.ConfScope]]),
+    * with PRIOR VALUES RESTORED afterwards — execution-time confs like
+    * `spark.sql.shuffle.partitions` are read during physical planning,
+    * which runs lazily at the first action, so scoping build alone would
+    * silently no-op them. One engine's conf never leaks into unrelated
+    * work on the shared session. */
   private def withSessionConf[A](body: => A): A =
     if (config.sessionConf.isEmpty) body
     else {
@@ -48,6 +49,11 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
         case (k, None)    => spark.conf.unset(k)
       }
     }
+
+  /** The overlay as around-advice for RetrievalJob terminal actions. */
+  private val confScope: RetrievalJob.ConfScope = new RetrievalJob.ConfScope {
+    def apply[A](body: => A): A = withSessionConf(body)
+  }
 
   private def resolveEntityDf(entity: EntityInput): DataFrame = entity match {
     case EntityFrame(df) => df
@@ -89,7 +95,7 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
       views: Seq[FeatureView],
       entityTsCol: String = "event_timestamp",
       fullFeatureNames: Boolean = false): RetrievalJob =
-    RetrievalJob(withSessionConf {
+    RetrievalJob({
       val df = resolveEntityDf(entity)
       // Infer ONLY when the caller left the default name — an explicitly
       // named-but-absent column must error (silent inference would mask a
@@ -100,7 +106,7 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
           inferEventTimestampColumn(df)
         else throw new EntityDfMissingColumnsError(Seq(entityTsCol), Seq(entityTsCol))
       PointInTime.getHistoricalFeatures(df, views, tsCol, fullFeatureNames)
-    })
+    }, confScope)
 
   /** ref: hive.py:391 — non-DataFrame/non-string entity df is a type error.
     * Scala's types make the invalid case unrepresentable through the sealed
@@ -131,10 +137,10 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
       startDate: Timestamp,
       endDate: Timestamp,
       tieBreakColumns: Seq[String] = Nil): RetrievalJob =
-    RetrievalJob(withSessionConf {
+    RetrievalJob(
       PullLatest.pullLatest(spark, source, joinKeys, featureNames,
-        eventTsCol, createdTsCol, startDate, endDate, tieBreakColumns)
-    })
+        eventTsCol, createdTsCol, startDate, endDate, tieBreakColumns),
+      confScope)
 
   // ── Table surface ───────────────────────────────────────────────────────
   // The reference needs a physical upload round-trip because Hive owns all

@@ -49,21 +49,24 @@ object PullLatest {
 
     if (joinKeys.isEmpty) {
       // ref: hive.py:160-163,178 — keyless = global top-1 + literal dummy
-      // entity id. Computed as max(struct(order keys, payload)) so the
-      // partial maxima combine map-side; the struct leads with the order
-      // columns (desc ≡ lexicographic max) and carries the remaining
-      // output columns as payload, so the argmax row comes back whole.
+      // entity id. Computed as max_by(payload struct, order struct) so the
+      // partial maxima combine map-side; ONLY the order columns are
+      // compared (desc ≡ lexicographic max — features may be maps or
+      // other unorderable types, and must not influence the pick), while
+      // the payload struct carries the whole output row back. Full ties
+      // on every order column resolve arbitrarily, exactly like the
+      // window formulation's unstable sort.
       val orderCols =
         (eventTsCol +: createdTsCol.toSeq) ++ tieBreakColumns
-      val valueCols = featureNames.filterNot(orderCols.contains)
-      val st = struct((orderCols ++ valueCols).map(col): _*)
       val outCols = featureNames ++ (eventTsCol +: createdTsCol.toSeq)
       ranged
-        .agg(max(st).as("__graft_top"))
+        .agg(max_by(
+          struct(outCols.distinct.map(col): _*),
+          struct(orderCols.map(col): _*)).as("__graft_top"))
         .filter(col("__graft_top").isNotNull) // empty range → 0 rows, not 1
         .select(
           lit(FeatureView.DummyEntityVal).as(FeatureView.DummyEntityId) +:
-            outCols.map(c => col(s"__graft_top.$c").as(c)): _*)
+            outCols.map(c => col("__graft_top").getField(c).as(c)): _*)
     } else {
       val order: Seq[Column] =
         (col(eventTsCol).desc +: createdTsCol.map(c => col(c).desc).toSeq) ++

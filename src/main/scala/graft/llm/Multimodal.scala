@@ -97,14 +97,18 @@ object Multimodal {
   def resize(df: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val budget = targetW * targetH * 3
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    // Long arithmetic: 40960×40960×3 would overflow Int to a negative
+    // budget and silently truncate every payload to zero bytes
+    val budget = targetW.toLong * targetH * 3
     df.select("doc_id", "modality", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // one digest instance per partition (the native-resource pattern)
         val md = java.security.MessageDigest.getInstance("SHA-256")
         it.map { case (id, mod, bytes) =>
-          val out = if (bytes.length > budget) bytes.take(budget) else bytes
+          val out =
+            if (bytes.length > budget) bytes.take(budget.toInt) else bytes
           md.reset()
           val sha = md.digest(out).map("%02x".format(_)).mkString
           ResizedMedia(id, mod, targetW, targetH, 3, out.length.toLong, sha)

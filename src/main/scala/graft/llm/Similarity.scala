@@ -140,7 +140,8 @@ object Similarity {
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .orderBy(col("cid")).limit(nList)
       .collect().toSeq.zipWithIndex.map { case (r: Row, i) =>
-        val v = r.getSeq[Float](1).map(_.toDouble)
+        // numeric-agnostic: embeddings may be array<float> or array<double>
+        val v = r.getSeq[Number](1).map(_.doubleValue)
         // centroid norm precomputed driver-side with the same left fold
         (i, v, math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x)))
       }

@@ -157,9 +157,9 @@ object TextAnalysis {
     * ulp across engines), with 0-length docs in bin -1. */
   def lengthHistogram(df: DataFrame, textCol: String): DataFrame = {
     val n = length(col(textCol))
-    val bin = when(n <= 0, lit(-1))
-      .otherwise(length(expr("bin(length(" + textCol + "))")) - 1)
-    df.select(bin.as("len_bin"))
+    val binIdx = when(n <= 0, lit(-1))
+      .otherwise(length(org.apache.spark.sql.functions.bin(n.cast("long"))) - 1)
+    df.select(binIdx.as("len_bin"))
       .groupBy("len_bin").agg(count(lit(1)).as("n_docs"))
       .withColumn("bin_lo",
         when(col("len_bin") < 0, lit(0L))

@@ -461,8 +461,10 @@ object CoreQueries {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        // sum(long) is already long here; the oracle's outer ::BIGINT
+        // exists only to demote DuckDB's HUGEINT
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * 10000).cast("long")).cast("long").as("revenue_x10000"))
+          * 10000).cast("long")).as("revenue_x10000"))
         .select("l_orderkey", "revenue_x10000", "o_orderdate", "o_orderpriority")
         .orderBy(col("revenue_x10000").desc, col("l_orderkey"))
         .limit(10)
@@ -488,7 +490,7 @@ object CoreQueries {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * 10000).cast("long")).cast("long").as("revenue_x10000"),
+          * 10000).cast("long")).as("revenue_x10000"),
           count(lit(1)).as("n_items"))
     })
   )

@@ -29,13 +29,17 @@ object GraftSql {
     * stream is framed. Both APIs are private[sql], hence this shim. */
   def collectAsArrowStream(df: DataFrame): Array[Byte] = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
-    val tz = ds.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val conf = ds.sparkSession.sessionState.conf
+    // MUST mirror toArrowBatchRdd's own schema-conversion flags (verified
+    // against the 4.1.2 bytecode), or the stream header can disagree with
+    // the batch layout (e.g. VarChar vs LargeVarChar under
+    // spark.sql.execution.arrow.useLargeVarTypes=true).
+    val errorOnDup = conf.pandasStructHandlingMode == "legacy"
+    val largeVarTypes = conf.arrowUseLargeVarTypes
     val batches = ds.toArrowBatchRdd.collect()
     val out = new java.io.ByteArrayOutputStream()
     val writer = new org.apache.spark.sql.execution.arrow.ArrowBatchStreamWriter(
-      ds.schema, out, tz,
-      // match toArrowBatchRdd's schema conversion flags
-      true, false)
+      ds.schema, out, conf.sessionLocalTimeZone, errorOnDup, largeVarTypes)
     writer.writeBatches(batches.iterator)
     writer.end()
     out.toByteArray

@@ -83,11 +83,21 @@ class EngineSpec extends SparkSpec {
     src.createOrReplaceTempView("engine_spec_conf")
     val entity = Seq((1L, Timestamp.valueOf("2024-01-02 00:00:00")))
       .toDF("driver_id", "event_timestamp")
+    // observe the conf DURING the job's execution via a post-transform
+    // (transforms run inside the terminal action's conf scope)
+    var seenDuring: Option[String] = None
     val job = overlay.getHistoricalFeatures(EntityFrame(entity), Seq(
       FeatureView("v", Seq("driver_id"),
         FeatureSource(table = Some("engine_spec_conf")))))
-    job.toDF.count() // builds the plan under the overlay
-    // prior values are restored after plan build — nothing leaks
+      .withTransform { df =>
+        seenDuring = Some(spark.conf.get("spark.sql.shuffle.partitions"))
+        df
+      }
+    assert(job.count() == 1)
+    // the overlay was live while the action ran — execution-time confs
+    // (shuffle partitions are read at physical planning) actually apply
+    assert(seenDuring.contains("7"))
+    // and prior values are restored afterwards — nothing leaks
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
     assert(spark.conf.getOption("graft.test.overlay.only").isEmpty)
   }

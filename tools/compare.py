@@ -55,7 +55,11 @@ for name in sorted(oracle):
                 df[c] = df[c].astype("Int64" if df[c].isna().any()
                                      or str(dt).startswith("Int") else "int64")
             elif pd.api.types.is_datetime64_any_dtype(dt):
-                df[c] = df[c].astype("datetime64[ns]")
+                s = df[c]
+                if getattr(s.dtype, "tz", None) is not None:
+                    # tz-aware astype to naive raises; normalize via UTC
+                    s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+                df[c] = s.astype("datetime64[ns]")
         return df
     try:
         pd.testing.assert_frame_equal(norm(exp), norm(got), check_exact=True)
