@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.DotProduct
 
-/** SQL surface for the engine's native expressions, injected through the
-  * PUBLIC extensions API:
+/** SQL surface for the engine's native expressions and the planner rule
+  * for the native as-of join, injected through the PUBLIC extensions API:
   *
   * {{{
   * SparkSession.builder()
@@ -17,8 +17,10 @@ import graft.functions.DotProduct
   * }}}
   *
   * The DataFrame operators do NOT require the extension to be installed —
-  * they build the expressions directly — so the library works in any
-  * session; the extension only adds the SQL names. */
+  * they build the expressions directly, and [[graft.plans.AsOf.join]]
+  * installs its strategy per-session on first use — so the library works
+  * in any session; the extension adds the SQL names and makes the as-of
+  * strategy available session-wide up front. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -26,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
