@@ -449,6 +449,22 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // Aggregation-surface extensions beyond the reference (§2.4 lists
+    // none): ROLLUP subtotals and a fixed-values PIVOT.
+    "x_rollup" -> ((s, dir) =>
+      lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("l_quantity").cast("long").as("sum_qty"))),
+
+    "x_pivot" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .groupBy("source")
+        // fixed pivot values: deterministic schema, no value-discovery scan
+        .pivot("lang", Seq("en", "de", "fr", "es", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // TPC-H Q3 shape: selective dim broadcast + big fact join + grouped
     // integer-scaled revenue + TakeOrdered top-k (no global sort).
     "x_q3_shipping" -> ((s, dir) => {
@@ -701,6 +717,19 @@ object CoreQueries {
         |  GROUP BY o_custkey) o
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY n_orders DESC, c_custkey LIMIT 10""".stripMargin,
+    "x_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "x_pivot" ->
+      """SELECT source,
+        |       count(*) FILTER (lang = 'en') AS en,
+        |       count(*) FILTER (lang = 'de') AS de,
+        |       count(*) FILTER (lang = 'fr') AS fr,
+        |       count(*) FILTER (lang = 'es') AS es,
+        |       count(*) FILTER (lang = 'zh') AS zh
+        |FROM documents GROUP BY source""".stripMargin,
     "x_q3_shipping" ->
       """SELECT l_orderkey,
         |       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
