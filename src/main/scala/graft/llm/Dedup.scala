@@ -267,6 +267,23 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** End-to-end near-dup dedup MATERIALIZATION: the input rows minus
+    * non-representative cluster members — i.e. each near-dup cluster
+    * keeps exactly its smallest-id document, everything unclustered
+    * passes through. Pairs → components → LEFT ANTI join (broadcast-able:
+    * the loser set is bounded by the duplicate count, far smaller than
+    * the corpus). */
+  def dropNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val clusters = connectedComponents(
+      jaccardShinglePairs(df, idCol, textCol, n, tau), "id_a", "id_b")
+    val losers = clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__graft_loser"))
+    df.join(losers, col(idCol) === col("__graft_loser"), "left_anti")
+  }
+
   /** The (doc_id, lo, hi) 64-bit fingerprint relation behind
     * [[simHashPairs]], exposed for exactness testing. */
   private[llm] def simHashFingerprints(

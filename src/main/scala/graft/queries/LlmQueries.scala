@@ -107,6 +107,10 @@ object LlmQueries {
           n = 3, tau = 0.5),
         "id_a", "id_b")),
 
+    "dedup_drop_near" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(docs(s, dir), "doc_id", "text",
+        n = 3, tau = 0.5)),
+
     "knn_cosine_brute" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceKnn(
@@ -227,6 +231,20 @@ object LlmQueries {
          |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
          |SELECT id AS doc_id, min(lbl) AS cluster_id
          |FROM reach GROUP BY id""".stripMargin,
+
+    "dedup_drop_near" ->
+      s"""WITH RECURSIVE $DocsCte, ${shCte32(3)}, $JaccardCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         |losers AS (SELECT id FROM reach GROUP BY id
+         |           HAVING min(lbl) != id)
+         |SELECT d.* FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $DocsCte, ${shCte32(3)},
