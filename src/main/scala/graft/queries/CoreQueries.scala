@@ -449,6 +449,19 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // Skew mitigation through the oracle gate: the salted two-phase
+    // aggregate must equal the plain GROUP BY formulation exactly (the
+    // oracle IS the unsalted query — same rows, same hashes).
+    "x_skew_salted_agg" -> ((s, dir) =>
+      graft.Skew.saltedAggregate(
+        Tables.read(s, dir, "events")
+          .select("event_type", "user_id", "value"),
+        keys = Seq("event_type"), buckets = 16,
+        partials = Seq(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents")),
+        finals = Seq(sum("n").as("n"),
+          sum("value_cents").as("value_cents")))),
+
     // Aggregation-surface extensions beyond the reference (§2.4 lists
     // none): ROLLUP subtotals and a fixed-values PIVOT.
     "x_rollup" -> ((s, dir) =>
@@ -717,6 +730,10 @@ object CoreQueries {
         |  GROUP BY o_custkey) o
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY n_orders DESC, c_custkey LIMIT 10""".stripMargin,
+    "x_skew_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+        |FROM events GROUP BY event_type""".stripMargin,
     "x_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |       sum(l_quantity)::BIGINT AS sum_qty
