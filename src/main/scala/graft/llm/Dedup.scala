@@ -229,16 +229,19 @@ object Dedup {
     * then `cluster_id = doc_id` survivors. Output: (doc_id, cluster_id)
     * for every doc appearing in ≥1 pair.
     *
-    * Algorithm: iterative min-label propagation to fixpoint — the same
-    * shape GraphX/GraphFrames use for CC. Each iteration is one
-    * hash-partitioned join (labels ⋈ edges) plus a map-side-combined
-    * `min` aggregation; the label relation is `localCheckpoint`ed per
-    * iteration so plans don't grow with iteration count. Iterations =
-    * O(max component diameter) — near-dup clusters are shallow (dup
-    * clusters of size s have diameter ≤ s, usually ≤ 3), so this
-    * converges in a handful of rounds even at 10⁹ docs; graphs with long
-    * chains would want the large-star/small-star variant. The per-round
-    * convergence check is one driver-side `isEmpty` — no data collected. */
+    * Algorithm: iterative min-label propagation WITH POINTER JUMPING
+    * (path halving) to a fixpoint. Each round does two rewires in one
+    * aggregation — (a) propagate labels across edges, (b) shortcut each
+    * node's label through its label's own label (every label value IS a
+    * node id, so `lbl(lbl(id))` is a self-join on the label relation) —
+    * then takes the per-node min. The shortcut halves label-chain depth
+    * per round, so convergence is O(log diameter) rounds rather than the
+    * O(diameter) of plain propagation: a 300-doc chain of template
+    * near-dups converges in ~9 rounds instead of 300 (spec-proved).
+    * Each round is two hash-partitioned joins + a map-side-combined
+    * `min`; labels are `localCheckpoint`ed per round so plans don't grow.
+    * The per-round convergence check is one driver-side `isEmpty` — no
+    * data collected. */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
@@ -253,7 +256,10 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("a") === labels("id"))
         .select(edges("b").as("id"), col("lbl"))
-      val next = labels.union(prop)
+      val jump = labels.as("x")
+        .join(labels.as("p"), col("x.lbl") === col("p.id"))
+        .select(col("x.id").as("id"), col("p.lbl").as("lbl"))
+      val next = labels.union(prop).union(jump)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint()
       converged = next.as("n")

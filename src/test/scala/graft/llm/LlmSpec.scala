@@ -49,6 +49,17 @@ class LlmSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components converge in O(log n) rounds on a long chain") {
+    import spark.implicits._
+    // a 300-node path: plain propagation needs 300 rounds (beyond the
+    // maxIter guard) — pointer jumping must collapse it within the cap
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 300)
+    assert(got.values.forall(_ == 0L), "whole chain must collapse to node 0")
+  }
+
   test("cluster assignment agrees with the pair graph on real docs") {
     val pairs = Dedup.jaccardShinglePairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect()
