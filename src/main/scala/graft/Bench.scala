@@ -34,23 +34,34 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Failures are reported per-query as {"err": msg} and excluded from
-    // `total` so a broken query can never masquerade as a timing.
+    // MEDIAN OF 3 runs per query: single-shot ~1s timings on a shared box
+    // swing ±50% with JIT/scheduling noise (r2→r3 saw 2-4× swings on
+    // queries whose code never changed) — a median can't be dragged by one
+    // bad run, so regressions become signal. Failures are reported
+    // per-query as {"err": msg} and excluded from `total` so a broken
+    // query can never masquerade as a timing.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          // toRdd.count(), NOT df.count(): df.count() rewrites the plan to
-          // Aggregate(count(1)) and column pruning then deletes the very
-          // projection work being benchmarked (regexp/hash/sha columns) —
-          // pure-projection queries would time a metadata-only scan.
-          // toRdd executes the compiled plan and materializes every row.
-          fn(spark, sfDir).queryExecution.toRdd.count()
-          name -> Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        def once(): Either[String, Double] = {
+          val t0 = System.nanoTime()
+          try {
+            // toRdd.count(), NOT df.count(): df.count() rewrites the plan to
+            // Aggregate(count(1)) and column pruning then deletes the very
+            // projection work being benchmarked (regexp/hash/sha columns) —
+            // pure-projection queries would time a metadata-only scan.
+            // toRdd executes the compiled plan and materializes every row.
+            fn(spark, sfDir).queryExecution.toRdd.count()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
         }
+        val runs = (1 to reps).map(_ => once())
+        val times = runs.collect { case Right(t) => t }.sorted
+        name -> (if (times.isEmpty) runs.head
+                 else Right(times(times.size / 2)))
       }
     val qs = results.map {
       case (k, Right(v)) => s"${jstr(k)}:$v"
@@ -58,7 +69,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nerr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir","reps":$reps}"""
+    // The metric JSON ALSO goes to a file: the driver captures only the
+    // tail of stdout, and r3's line was truncated mid-object by sbt noise
+    // ("parsed": null in BENCH_r03.json). A file can't be truncated by a
+    // log window.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_METRIC.json")
+    try {
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

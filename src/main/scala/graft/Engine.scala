@@ -36,10 +36,18 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
     * `spark.sql.shuffle.partitions` are read during physical planning,
     * which runs lazily at the first action, so scoping build alone would
     * silently no-op them. One engine's conf never leaks into unrelated
-    * work on the shared session. */
+    * work on the shared session.
+    *
+    * Session conf is SHARED MUTABLE state: two concurrent overlaid actions
+    * on one session could interleave set/restore and run under each
+    * other's overlay. Overlay application is therefore serialized with a
+    * per-session lock — overlaid actions on the same session run one at a
+    * time (plain, no-overlay work is untouched). Callers needing overlaid
+    * parallelism should use `SparkSession.newSession()` per thread, which
+    * gives each its own conf. */
   private def withSessionConf[A](body: => A): A =
     if (config.sessionConf.isEmpty) body
-    else {
+    else Engine.confLockFor(spark).synchronized {
       val prior = config.sessionConf.keys
         .map(k => k -> Try(spark.conf.get(k)).toOption).toList
       config.sessionConf.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -186,9 +194,28 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
 
   /** S6: truncate (ref: hive.py:443-445). */
   def truncateTable(name: String): Unit =
-    spark.sql(s"TRUNCATE TABLE `$name`")
+    spark.sql(s"TRUNCATE TABLE ${Engine.quoteName(name)}")
 
   /** S7: drop (ref: hive.py:258-260 cleanup). */
   def dropTable(name: String): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"DROP TABLE IF EXISTS ${Engine.quoteName(name)}")
+}
+
+object Engine {
+  /** Backtick-quote a possibly-qualified table name part-by-part, so
+    * `db.tbl` stays a two-part identifier (quoting the whole string would
+    * make it one identifier LITERALLY NAMED "db.tbl" — inconsistent with
+    * how [[graft.sources.FeatureSource]] resolves qualified names). */
+  private[graft] def quoteName(name: String): String =
+    name.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
+
+  /** One overlay lock per SparkSession (identity-keyed, weak — sessions
+    * are GC-able). See [[Engine.withSessionConf]]. */
+  private val confLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Object]())
+  private def confLockFor(spark: SparkSession): Object =
+    confLocks.synchronized {
+      confLocks.computeIfAbsent(spark, _ => new Object)
+    }
 }

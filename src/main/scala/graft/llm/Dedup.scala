@@ -239,18 +239,36 @@ object Dedup {
     * O(diameter) of plain propagation: a 300-doc chain of template
     * near-dups converges in ~9 rounds instead of 300 (spec-proved).
     * Each round is two hash-partitioned joins + a map-side-combined
-    * `min`; labels are `localCheckpoint`ed per round so plans don't grow.
+    * `min`; labels are materialized per round through
+    * [[org.apache.spark.sql.GraftSql.persistedView]] — the Catalyst plan
+    * stays flat (like a checkpoint) but RDD lineage is PRESERVED, so an
+    * executor loss recomputes instead of failing, and each superseded
+    * round's storage is unpersisted so executor memory stays O(1) in the
+    * iteration count.
     * The per-round convergence check is one driver-side `isEmpty` — no
-    * data collected. */
+    * data collected.
+    *
+    * Ids keep their ORIGINAL column type end-to-end (any orderable atomic
+    * type — long, string, UUID-as-string — works; `min` is the label
+    * order). NULL ids are rejected eagerly: a NULL would silently drop
+    * edges (NULL never equi-joins) and turn dedup into a no-op. */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
-    val e = pairs.select(col(aCol).cast("long").as("a"),
-      col(bCol).cast("long").as("b"))
-    val edges = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    val aType = pairs.schema(aCol).dataType
+    val bType = pairs.schema(bCol).dataType
+    require(aType == bType,
+      s"id columns must share a type; got $aCol: $aType, $bCol: $bType")
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val edges = org.apache.spark.sql.GraftSql.persistedView(
+      e.union(e.select(col("b").as("a"), col("a").as("b"))))
+    require(
+      edges.filter(col("a").isNull || col("b").isNull).isEmpty,
+      s"connectedComponents: NULL ids in ($aCol, $bCol) — NULL never " +
+        "equi-joins, so its edges would silently vanish; filter or fix ids")
+    var labels = org.apache.spark.sql.GraftSql.persistedView(
+      edges.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -259,26 +277,32 @@ object Dedup {
       val jump = labels.as("x")
         .join(labels.as("p"), col("x.lbl") === col("p.id"))
         .select(col("x.id").as("id"), col("p.lbl").as("lbl"))
-      val next = labels.union(prop).union(jump)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+      val next = org.apache.spark.sql.GraftSql.persistedView(
+        labels.union(prop).union(jump)
+          .groupBy("id").agg(min("lbl").as("lbl")))
       converged = next.as("n")
         .join(labels.as("p"), col("n.id") === col("p.id"))
         .filter(col("n.lbl") < col("p.lbl"))
         .isEmpty
+      org.apache.spark.sql.GraftSql.unpersistCheckpoint(labels)
       labels = next
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    org.apache.spark.sql.GraftSql.unpersistCheckpoint(edges)
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /** End-to-end near-dup dedup MATERIALIZATION: the input rows minus
     * non-representative cluster members — i.e. each near-dup cluster
     * keeps exactly its smallest-id document, everything unclustered
-    * passes through. Pairs → components → LEFT ANTI join (broadcast-able:
-    * the loser set is bounded by the duplicate count, far smaller than
-    * the corpus). */
+    * passes through. Pairs → components → BROADCAST LEFT ANTI join: the
+    * loser set is bounded by the duplicate count, which on a typical
+    * corpus (single-digit-percent near-dup rate) is far smaller than the
+    * corpus, so the hint is the right default plan. On a pathological
+    * corpus (≫10% duplicates) the loser set can exceed executor memory —
+    * there the caller should anti-join the `connectedComponents` output
+    * without the hint (shuffled anti join, same result). */
   def dropNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5): DataFrame = {
@@ -287,7 +311,7 @@ object Dedup {
     val losers = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("__graft_loser"))
-    df.join(losers, col(idCol) === col("__graft_loser"), "left_anti")
+    df.join(broadcast(losers), col(idCol) === col("__graft_loser"), "left_anti")
   }
 
   /** The (doc_id, lo, hi) 64-bit fingerprint relation behind

@@ -81,6 +81,9 @@ object Sampling {
     * oracle builders. */
   def bernoulliSql(idSql: String, fraction: Double, seed: String): String = {
     val threshold = (fraction * 4294967296.0).toLong
-    s"${hash32Sql(s"'$seed:' || CAST($idSql AS VARCHAR)")} < $threshold"
+    // single quotes doubled — mixture derives seeds from caller-supplied
+    // source names, so the literal must survive arbitrary seed strings
+    val q = seed.replace("'", "''")
+    s"${hash32Sql(s"'$q:' || CAST($idSql AS VARCHAR)")} < $threshold"
   }
 }

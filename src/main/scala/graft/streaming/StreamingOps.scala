@@ -112,6 +112,15 @@ object StreamingOps {
     require(collisions.isEmpty,
       s"feature columns collide with entity columns: " +
         s"${collisions.mkString(", ")} — rename one side")
+    // the feature side is renamed to __f_* internally — an entity or
+    // feature column already named that way would make keyCond/rangeCond
+    // ambiguous or silently bind to the wrong side
+    val reserved = (joinKeys.map("__f_" + _) :+ "__f_ts").toSet
+    val reservedHits = reserved
+      .intersect(entities.columns.toSet ++ featureCols)
+    require(reservedHits.isEmpty,
+      s"columns collide with enrichAsOf's internal names: " +
+        s"${reservedHits.mkString(", ")} — rename them")
     val f = features.select(
       (joinKeys.map(c => col(c).as(s"__f_$c")) :+
         col(featureTsCol).as("__f_ts")) ++ featureCols.map(col): _*)

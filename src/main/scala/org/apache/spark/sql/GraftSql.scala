@@ -20,6 +20,37 @@ object GraftSql {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Eagerly materialize a DataFrame into a persisted RDD and return a
+    * frame whose logical plan is just that RDD (`LogicalRDD`) — the
+    * iterative-algorithm primitive. Compared to `localCheckpoint()`:
+    * the Catalyst plan is equally FLAT (re-analysis cost stays O(1) per
+    * iteration instead of growing with the loop), but RDD lineage is
+    * PRESERVED, so (a) an executor loss recomputes the partition instead
+    * of failing the job, and (b) [[unpersistCheckpoint]] on a superseded
+    * round frees its storage without Spark's "cannot be recomputed"
+    * warning. Rows are copied before caching (toRdd reuses mutable
+    * UnsafeRows — the same copy `Dataset.checkpoint` does internally). */
+  def persistedView(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
+  }
+
+  /** Release the storage blocks behind a [[persistedView]] (or
+    * `localCheckpoint()`ed) DataFrame. Iterative algorithms that
+    * materialize per round would otherwise accumulate one superseded
+    * persisted RDD per iteration. The frame's plan is a `LogicalRDD`
+    * wrapping the persisted RDD — private[sql], hence this shim. No-op on
+    * other frames. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Serialize a DataFrame's result as ONE self-contained Arrow IPC stream
     * (schema header + record batches + end-of-stream), consumable by any
     * Arrow implementation. Batches are produced DISTRIBUTED — each
