@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.FeatureView
+
+/** A key→latest-row feature table with upsert semantics — the batch
+  * counterpart of a serving store, used by [[Materializer]] and by the
+  * offline/online consistency contract the reference tests
+  * (tests/feast_tests_funcs.py:451-501 drives feast's materialize into a
+  * SQLite online store; the plugin under test only supplies the offline
+  * pull, feast_hive/hive.py:143-190).
+  *
+  * Unlike the reference online store's blind per-key overwrite, writes
+  * here are LATEST-WINS by `(event_ts, created_ts)`: re-materializing an
+  * old window can never regress a key to a stale value, so writes commute
+  * and a backfill is safe to run in any order. For rows the reference
+  * writes in-order the result is identical.
+  *
+  * State lives in an eagerly-materialized small DataFrame (one row per
+  * key — bounded by key cardinality, not event count). `get` is a
+  * driver-side lookup against a local snapshot, mirroring a real KV
+  * store's point read; the DataFrame surface ([[snapshot]]) is what a
+  * batch consumer (or a sink writer) would use.
+  */
+final class OnlineStore(
+    val joinKeys: Seq[String],
+    val eventTsCol: String,
+    val createdTsCol: Option[String]) {
+
+  @volatile private var state: Option[DataFrame] = None
+
+  /** Upsert a batch (already latest-per-key within its window, as
+    * produced by [[PullLatest.pullLatest]]): per key keep the row with
+    * the greatest `(event_ts, created_ts)` across old state and batch. */
+  def write(batch: DataFrame): Unit = synchronized {
+    val merged = state match {
+      case None => batch
+      case Some(cur) =>
+        val order =
+          (col(eventTsCol).desc +:
+            createdTsCol.map(c => col(c).desc).toSeq)
+        val w = Window.partitionBy(joinKeys.map(col): _*).orderBy(order: _*)
+        cur.unionByName(batch, allowMissingColumns = true)
+          .withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1)
+          .drop("__graft_rn")
+    }
+    // Materialize eagerly: the store's contract is "a write is durable
+    // once write() returns" — and it decouples reads from the (possibly
+    // temp-view-backed) batch plan. One row per key: always small.
+    val persisted = org.apache.spark.sql.GraftSql.persistedView(merged)
+    state.foreach(org.apache.spark.sql.GraftSql.unpersistCheckpoint)
+    state = Some(persisted)
+  }
+
+  /** Current store contents (one row per key), or None if never written. */
+  def snapshot: Option[DataFrame] = state
+
+  /** Point read: the feature values for one entity key, or None if the
+    * key was never materialized (a real online store's cache miss). */
+  def get(keyValues: Map[String, Any]): Option[Map[String, Any]] =
+    state.flatMap { df =>
+      val rows = keyValues.foldLeft(df) { case (d, (k, v)) =>
+        d.filter(col(k) === lit(v))
+      }.collect()
+      rows.headOption.map { r =>
+        r.schema.fieldNames.map(f => f -> r.getAs[Any](f)).toMap
+      }
+    }
+}
+
+/** Batch materialization of a [[FeatureView]] into an [[OnlineStore]] —
+  * the feast `materialize` / `materialize_incremental` loop as driven
+  * through the plugin's `pull_latest_from_table_or_query`
+  * (ref: tests/feast_tests_funcs.py:451-501; the pull itself is
+  * hive.py:143-190 = [[PullLatest.pullLatest]]).
+  *
+  * Tracks the per-view materialization watermark the way feast's registry
+  * does: `materializeIncremental(end)` starts where the last materialize
+  * ended, or `end - ttl` if the view was never materialized
+  * (feast's `FeatureView.most_recent_end_time` fallback).
+  */
+final class Materializer(spark: SparkSession, fv: FeatureView) {
+
+  val store = new OnlineStore(
+    fv.entities,
+    fv.source.eventTimestampColumn,
+    fv.source.createdTimestampColumn)
+
+  @volatile private var watermark: Option[Timestamp] = None
+
+  /** Latest row per key with `event_ts ∈ [start, end]` → upsert. */
+  def materialize(start: Timestamp, end: Timestamp): Unit = {
+    val batch = PullLatest.pullLatest(
+      spark, fv.source, fv.entities, fv.features,
+      fv.source.eventTimestampColumn, fv.source.createdTimestampColumn,
+      start, end, fv.tieBreakColumns)
+    store.write(batch)
+    synchronized {
+      if (watermark.forall(_.before(end))) watermark = Some(end)
+    }
+  }
+
+  /** Materialize from the last watermark (or `end - ttl` if none, with
+    * unbounded-TTL views falling back to the epoch) up to `end`. */
+  def materializeIncremental(end: Timestamp): Unit = {
+    val start = watermark.getOrElse {
+      if (fv.ttlSeconds > 0)
+        new Timestamp(end.getTime - fv.ttlSeconds * 1000L)
+      else new Timestamp(0L)
+    }
+    materialize(start, end)
+  }
+}
