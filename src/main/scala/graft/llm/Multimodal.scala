@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * stage shaped the way a real pipeline would run it (partition-parallel
   * batch UDF over binary payloads).
   *
-  * The actual media codecs are NOT in this environment, so the decode step
-  * is a clearly marked deterministic STUB (see [[FakeDecoder]]) — the
-  * Spark-side plumbing (schema, binary payloads, typed mapPartitions batch
-  * shape, partitioning) is real and tested. Swapping in a real decoder
-  * means replacing ONE pure function.
+  * The IMAGE path is a real codec: [[ImageCodec]] encodes/decodes/resizes
+  * genuine PNG bytes via pure-JDK `javax.imageio` (no external
+  * dependency). AUDIO/VIDEO codecs are NOT in this environment, so their
+  * decode step remains a clearly marked deterministic STUB (see
+  * [[FakeDecoder]]) — the Spark-side plumbing (schema, binary payloads,
+  * typed mapPartitions batch shape, partitioning) is identical and real
+  * for all three modalities.
   *
   * Scale posture: decode is `mapPartitions` — per-partition batch work,
   * no shuffle, no driver involvement; metadata extraction is pure column
@@ -45,11 +47,12 @@ object Multimodal {
       octet_length(col("payload")).cast("long").as("n_bytes"),
       sha2(col("payload"), 256).as("sha256"))
 
-  /** ─ STUB ─ deterministic fake decoder. A real implementation would
-    * parse the codec headers / decode frames here; this derives plausible
-    * dimensions arithmetically from the byte length so the full pipeline
-    * (including the oracle) stays reproducible. Replace the body — nothing
-    * else — to integrate a real codec. */
+  /** ─ STUB (audio/video only) ─ deterministic fake decoder. Images go
+    * through the REAL [[ImageCodec]]; for audio/video no JDK codec
+    * exists, so this derives plausible dimensions arithmetically from the
+    * byte length to keep the full pipeline (including the oracle)
+    * reproducible. Replace the body — nothing else — to integrate a real
+    * codec. */
   object FakeDecoder {
     def decode(r: MediaRow, sha: String): MediaMeta = {
       val n = r.payload.length.toLong
@@ -112,6 +115,151 @@ object Multimodal {
           md.reset()
           val sha = md.digest(out).map("%02x".format(_)).mkString
           ResizedMedia(id, mod, targetW, targetH, 3, out.length.toLong, sha)
+        }
+      }
+  }
+
+  /** Real pure-JDK PNG codec (`javax.imageio` — in every JRE, no native
+    * libs). Encode is only used to synthesize payloads; decode and resize
+    * are the production stages. All entry points are partition-local pure
+    * functions, initialized per executor thread — the same resource
+    * pattern a libjpeg/ffmpeg binding would use. */
+  object ImageCodec {
+    // ImageIO's default disk-backed stream cache would do a tmp-file
+    // write per decode on every executor — in-memory streams only.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Encode a solid-color RGB image as real PNG bytes. */
+    def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      try {
+        g.setColor(new java.awt.Color(rgb))
+        g.fillRect(0, 0, width, height)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Encode arbitrary per-pixel RGB values (spec fixtures). */
+    def encodePngPixels(
+        width: Int, height: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgbAt(x, y)); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode real image bytes → (width, height, bands, sum of all raster
+      * samples). The sample sum is the oracle-checkable pixel aggregate:
+      * exact integer arithmetic, no resampling involved. */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      var sum = 0L
+      var b = 0
+      while (b < bands) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, b); x += 1 }
+          y += 1
+        }
+        b += 1
+      }
+      (w, h, bands, sum)
+    }
+
+    /** Decode → resample to `targetW`×`targetH` (bilinear) → re-encode
+      * PNG. The full production resize loop on real bytes. */
+    def resizePng(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(src != null, "payload is not a decodable image")
+      val dst = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** Decoded real-image row: genuine dimensions + exact sample sum. */
+  final case class ImageMeta(
+      doc_id: Long, width: Int, height: Int, channels: Int, px_sum: Long)
+
+  /** Synthesize one real PNG payload per row — dimensions and fill color
+    * derived deterministically from `doc_id`, so an oracle can state the
+    * expected decode output arithmetically while the bytes still make a
+    * genuine pass through the PNG encoder. Runs distributed (partition-
+    * local), exactly like reading real image files would. */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 4 + (id % 13).toInt
+          val h = 4 + (id % 11).toInt
+          val gray = (id % 256).toInt
+          val rgb = (gray << 16) | (gray << 8) | gray
+          (id, ImageCodec.encodePng(w, h, rgb))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("modality", lit("image/png"))
+  }
+
+  /** REAL image decode stage: `javax.imageio` over binary payloads, the
+    * same typed partition-batch shape as [[decode]]. Emits genuine
+    * decoded dimensions, band count, and the exact integer sum of all
+    * raster samples. */
+  def decodeImages(df: DataFrame): Dataset[ImageMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, bands, sum) = ImageCodec.decode(bytes)
+          ImageMeta(id, w, h, bands, sum)
+        }
+      }
+  }
+
+  /** REAL image resize stage: decode → bilinear resample → re-encode →
+    * re-decode, emitting the resized image's true dimensions and sample
+    * sum (for solid-color inputs resampling is exact, so the output is
+    * oracle-predictable; arbitrary inputs are covered in the spec). */
+  def resizeImages(
+      df: DataFrame, targetW: Int, targetH: Int): Dataset[ImageMeta] = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val resized = ImageCodec.resizePng(bytes, targetW, targetH)
+          val (w, h, bands, sum) = ImageCodec.decode(resized)
+          ImageMeta(id, w, h, bands, sum)
         }
       }
   }

@@ -195,6 +195,20 @@ object LlmQueries {
       Multimodal.frameSample(
         Multimodal.asBinary(docs(s, dir), "doc_id", "text", "text/plain"),
         nFrames = 4, frameBytes = 16)
+        .toDF()),
+
+    // REAL PNG round-trip: payloads synthesized distributed (dims/color
+    // arithmetically derived from doc_id), decoded by javax.imageio — the
+    // oracle independently states what the decoder must recover.
+    "mm_decode_image" -> ((s, dir) =>
+      Multimodal.decodeImages(
+        Multimodal.synthesizeImages(docs(s, dir), "doc_id"))
+        .toDF()),
+
+    "mm_resize_image" -> ((s, dir) =>
+      Multimodal.resizeImages(
+        Multimodal.synthesizeImages(docs(s, dir), "doc_id"),
+        targetW = 8, targetH = 8)
         .toDF())
   )
 
@@ -544,6 +558,29 @@ object LlmQueries {
         |       (i * (n - 16)) // 3 AS offset,
         |       sha256(substring(p, ((i * (n - 16)) // 3)::INTEGER + 1, 16))
         |         AS frame_sha
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // REAL codec check: the Spark side pushes bytes through an actual PNG
+    // encode → javax.imageio decode; the oracle states the dims/fill the
+    // payload was synthesized with (w = 4 + id%13, h = 4 + id%11, solid
+    // gray id%256 ⇒ sample sum = w·h·3·gray). A decoder bug (wrong dims,
+    // band order, sample scaling) breaks the hash match.
+    "mm_decode_image" ->
+      """SELECT doc_id,
+        |       (4 + doc_id % 13)::INTEGER AS width,
+        |       (4 + doc_id % 11)::INTEGER AS height,
+        |       3::INTEGER AS channels,
+        |       ((4 + doc_id % 13) * (4 + doc_id % 11) * 3 * (doc_id % 256))::BIGINT
+        |         AS px_sum
+        |FROM documents""".stripMargin,
+
+    // bilinear resampling of a solid color is exact — the resized 8×8
+    // image must still be solid gray id%256
+    "mm_resize_image" ->
+      """SELECT doc_id,
+        |       8::INTEGER AS width, 8::INTEGER AS height,
+        |       3::INTEGER AS channels,
+        |       (8 * 8 * 3 * (doc_id % 256))::BIGINT AS px_sum
+        |FROM documents""".stripMargin
   )
 }

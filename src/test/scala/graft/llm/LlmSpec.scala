@@ -154,6 +154,49 @@ class LlmSpec extends SparkSpec {
       "frame sampling must not shuffle")
   }
 
+  test("real PNG codec: encode → imageio decode round-trips exactly") {
+    // arbitrary-content image (gradient): the decoded sample sum must
+    // equal the JVM-computed pixel sum — a real decoder property no
+    // arithmetic stub could fake
+    val (w, h) = (13, 7)
+    def px(x: Int, y: Int): Int = {
+      val v = (x * 7 + y * 13) % 256
+      (v << 16) | (v << 8) | v
+    }
+    val bytes = Multimodal.ImageCodec.encodePngPixels(w, h, px)
+    // PNG magic: a REAL container, not a fake payload
+    assert(bytes.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val (dw, dh, bands, sum) = Multimodal.ImageCodec.decode(bytes)
+    val expected = (for { y <- 0 until h; x <- 0 until w }
+      yield 3L * ((x * 7 + y * 13) % 256)).sum
+    assert((dw, dh, bands) == (w, h, 3))
+    assert(sum == expected, s"decoded sample sum $sum != $expected")
+  }
+
+  test("real image decode + resize stages: distributed, exact, no shuffle") {
+    val imgs = Multimodal.synthesizeImages(
+      docs.filter(col("doc_id") < 30), "doc_id")
+    val meta = Multimodal.decodeImages(imgs)
+    val rows = meta.collect()
+    assert(rows.length == 30)
+    rows.foreach { m =>
+      val (w, h, gray) =
+        (4 + (m.doc_id % 13).toInt, 4 + (m.doc_id % 11).toInt, m.doc_id % 256)
+      assert((m.width, m.height, m.channels) == ((w, h, 3)))
+      assert(m.px_sum == w.toLong * h * 3 * gray)
+    }
+    assert(!meta.queryExecution.executedPlan.toString.contains("Exchange"),
+      "image decode must not shuffle")
+
+    val resized = Multimodal.resizeImages(imgs, 8, 8).collect()
+    assert(resized.length == 30)
+    resized.foreach { m =>
+      assert((m.width, m.height, m.channels) == ((8, 8, 3)))
+      // bilinear resample of a solid fill stays solid
+      assert(m.px_sum == 8L * 8 * 3 * (m.doc_id % 256))
+    }
+  }
+
   test("stub decoder emits deterministic typed metadata, no shuffle") {
     // filter (not limit): limit injects a SinglePartition exchange of its
     // own, which would mask the property under test
