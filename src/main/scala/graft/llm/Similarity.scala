@@ -176,6 +176,124 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Fixed-point quantization scale for k-means training: vectors enter
+    * the training space as `floor(x · 2^20)`. Every training-time sum is
+    * then an exact long — ORDER-INDEPENDENT — so Spark's distributed
+    * aggregation and a single-threaded oracle produce bit-identical
+    * centroids, and retraining on a repartitioned corpus cannot move a
+    * centroid by one ulp (spec-asserted). Dots over quantized values stay
+    * exact in doubles (64 · 2^40 ≪ 2^53). */
+  val KMeansScale: Double = 1048576.0
+
+  private def quantLong(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(KMeansScale)))
+  private def quantDouble(v: Column): Column =
+    transform(v,
+      x => floor(x.cast("double") * lit(KMeansScale)).cast("double"))
+
+  /** argmax cell over centroid cosine sims; ties → larger cid (struct max
+    * ≡ the oracle's `ORDER BY s DESC, cid DESC` rank-1). */
+  private def argmaxCell(
+      vqd: Column, qnrm: Column, cents: Seq[(Seq[Double], Double)]): Column =
+    array_max(array(cents.zipWithIndex.map { case ((cv, cn), j) =>
+      struct((dot(vqd, typedlit(cv)) / (qnrm * lit(cn))).as("s"),
+        lit(j).as("cid"))
+    }: _*)).getField("cid")
+
+  private def withNormPair(cv: Seq[Double]): (Seq[Double], Double) =
+    // same left fold as the oracle's sqrt(dot(cv, cv))
+    (cv, math.sqrt(cv.foldLeft(0.0)((s, x) => s + x * x)))
+
+  /** Deterministic Lloyd's k-means coarse quantizer (VERDICT r3 #4).
+    *
+    * Init: the `nList` vectors with smallest `(hash32("ivf:" || id), id)`
+    * — id-hash-seeded, so the seed set is data-derived but arbitrary-
+    * order-stable. Then `iters` fixed rounds of: assign every vector to
+    * its max-cosine centroid (per-row map work against literal centroids
+    * — no shuffle), recompute each centroid as the exact-integer
+    * component mean of its members (`posexplode` → groupBy(cell, pos) —
+    * the one shuffle per round, nList·dim result rows). Cells that lose
+    * all members keep their centroid. Only nList·dim sums ever reach the
+    * driver (a few KB — the coarse quantizer IS small by design).
+    *
+    * Returns centroids in the QUANTIZED space (cosine is scale-invariant,
+    * so assignment quality is unaffected). */
+  def trainIvfKMeans(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nList: Int = 16, iters: Int = 3): IndexedSeq[Seq[Double]] = {
+    val base = corpus.select(col(idCol).as("id"),
+      quantLong(col(vecCol)).as("vq"),
+      quantDouble(col(vecCol)).as("vqd"))
+      .withColumn("qnrm", norm(col("vqd")))
+
+    val seeds = base
+      .withColumn("h", TextOps.hash32(
+        concat(lit("ivf:"), col("id").cast("string"))))
+      .orderBy(col("h"), col("id")).limit(nList)
+      .select("vq").collect() // TakeOrdered — rows arrive in seed order
+
+    var cents: IndexedSeq[(Seq[Double], Double)] = seeds.map { r =>
+      withNormPair(r.getSeq[Long](0).map(_.toDouble).toIndexedSeq)
+    }.toIndexedSeq
+
+    for (_ <- 0 until iters) {
+      val sums = base
+        .withColumn("cell", argmaxCell(col("vqd"), col("qnrm"), cents))
+        .select(col("cell"), posexplode(col("vq")))
+        .groupBy("cell", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Int]("cell"))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byCell.get(cid).fold(old) { rows =>
+          withNormPair(rows.sortBy(_.getAs[Int]("pos"))
+            .map(r => r.getAs[Long]("s").toDouble / r.getAs[Long]("cnt"))
+            .toIndexedSeq)
+        }
+      }
+    }
+    cents.map(_._1)
+  }
+
+  /** IVF ANN with the TRAINED [[trainIvfKMeans]] quantizer: cell
+    * assignment and query probing happen in the quantized space against
+    * literal centroids (per-row map work), candidate lookup is the cell-id
+    * equi-join, final ranking is exact cosine on the ORIGINAL vectors —
+    * same plan shape as [[ivfKnn]], representative recall behavior.
+    * Output: (qid, nid, rank, sim). */
+  def ivfKnnTrained(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nList: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val cents = trainIvfKMeans(corpus, idCol, vecCol, nList, iters)
+      .map(withNormPair)
+
+    val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("vqd", quantDouble(col("v")))
+      .withColumn("qnrm", norm(col("vqd")))
+      .withColumn("cell", argmaxCell(col("vqd"), col("qnrm"), cents))
+      .drop("vqd", "qnrm")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("vqd", quantDouble(col("qv")))
+      .withColumn("qqn", norm(col("vqd")))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("probes",
+        slice(reverse(array_sort(array(cents.zipWithIndex.map {
+          case ((cv, cn), j) =>
+            struct(
+              (dot(col("vqd"), typedlit(cv)) / (col("qqn") * lit(cn))).as("s"),
+              lit(j).as("cid"))
+        }: _*))), 1, nProbe))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(col("probes").getField("cid")).as("cell"))
+    val scored = v.join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-dup pairs above `tau`, via bucketed candidates:
     * pairs must share an LSH bucket (approximate recall, exact precision
     * after verification). For the exact-oracle variant at test scale use

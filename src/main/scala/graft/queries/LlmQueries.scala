@@ -43,6 +43,79 @@ object LlmQueries {
   private def dotSql(a: String, b: String) =
     foldSql(s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])")
 
+  /** Unrolled deterministic-k-means IVF oracle — mirrors
+    * `Similarity.trainIvfKMeans` + `ivfKnnTrained` exactly: fixed-point
+    * training space (`floor(x·2^20)` — all sums exact BIGINTs, so the
+    * single-threaded oracle and Spark's distributed aggregation derive
+    * bit-identical centroids), h32-seeded init, `iters` Lloyd rounds with
+    * empty cells keeping their centroid, assignment/probing in quantized
+    * space, final ranking on original vectors. */
+  private def ivfKmeansOracleSql(
+      nList: Int, nProbe: Int, k: Int, iters: Int, dim: Int): String = {
+    // cosine of corpus row n against centroid alias c, in quantized space
+    def cSim(c: String) =
+      s"${dotSql("n.vq", s"$c.cv")} / " +
+        s"(n.qnrm * sqrt(${dotSql(s"$c.cv", s"$c.cv")}))"
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (SELECT vec_id,
+       |            list_transform(embedding, x -> x::DOUBLE) AS v,
+       |            list_transform(embedding,
+       |              x -> floor(x::DOUBLE * 1048576.0)) AS vq
+       |          FROM embeddings),
+       |n AS (SELECT vec_id, v, vq, sqrt(${dotSql("v", "v")}) AS nrm,
+       |        sqrt(${dotSql("vq", "vq")}) AS qnrm FROM v),
+       |c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+       |         vq AS cv
+       |       FROM (SELECT vec_id, vq,
+       |               ${h32("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+       |             FROM v ORDER BY h, vec_id LIMIT $nList) t),
+       |""".stripMargin
+    for (i <- 0 to iters) {
+      // assignment of every corpus row against generation-i centroids
+      sb ++= s"""a$i AS (SELECT vec_id, vq, cell FROM (
+         |    SELECT n.vec_id, n.vq, c.cid AS cell, row_number() OVER (
+         |      PARTITION BY n.vec_id
+         |      ORDER BY ${cSim("c")} DESC, c.cid DESC) AS rk
+         |    FROM n CROSS JOIN c$i c) t WHERE rk = 1),
+         |""".stripMargin
+      if (i < iters) {
+        // exact-integer component sums → generation-(i+1) centroids
+        sb ++= s"""s$i AS (SELECT a.cell, d.d,
+           |          sum(CAST(a.vq[d.d] AS BIGINT)) AS s, count(*) AS cnt
+           |        FROM a$i a CROSS JOIN
+           |          (SELECT unnest(range(1, ${dim + 1})) AS d) d
+           |        GROUP BY a.cell, d.d),
+           |m$i AS (SELECT cell AS cid, list(s::DOUBLE / cnt ORDER BY d) AS cv
+           |        FROM s$i GROUP BY cell),
+           |c${i + 1} AS (SELECT c.cid, COALESCE(m.cv, c.cv) AS cv
+           |        FROM c$i c LEFT JOIN m$i m ON c.cid = m.cid),
+           |""".stripMargin
+      }
+    }
+    sb ++= s"""probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+       |    SELECT n.vec_id, c.cid, row_number() OVER (
+       |      PARTITION BY n.vec_id
+       |      ORDER BY ${cSim("c")} DESC, c.cid DESC) AS rk
+       |    FROM n CROSS JOIN c$iters c WHERE n.vec_id % 100 = 0) t
+       |  WHERE rk <= $nProbe),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+       |      WHERE vec_id % 100 = 0),
+       |nb AS (SELECT n.vec_id, n.v, n.nrm, a$iters.cell
+       |       FROM n JOIN a$iters ON n.vec_id = a$iters.vec_id),
+       |scored AS (
+       |  SELECT q.qid, nb.vec_id AS nid,
+       |         ${dotSql("q.qv", "nb.v")} / (q.qn * nb.nrm) AS sim
+       |  FROM probes p
+       |  JOIN q ON q.qid = p.qid
+       |  JOIN nb ON nb.cell = p.cell AND nb.vec_id != p.qid),
+       |r AS (SELECT qid, nid, sim, row_number() OVER (
+       |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |      FROM scored)
+       |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+       |WHERE rank <= $k""".stripMargin
+    sb.toString
+  }
+
   /** Exact jaccard pairs at tau=0.5 (needs docs+sh CTEs in scope); ends in
     * `jp(id_a, id_b, inter, size_a, size_b, jaccard)` — shared by the
     * pair and cluster oracles. */
@@ -126,9 +199,9 @@ object LlmQueries {
 
     "knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfKnn(
+      Similarity.ivfKnnTrained(
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
-        k = 5, nList = 16, nProbe = 4)
+        k = 5, nList = 16, nProbe = 4, iters = 3)
     }),
 
     "embed_cosine_pairs" -> ((s, dir) =>
@@ -355,43 +428,11 @@ object LlmQueries {
          |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
          |WHERE rank <= 5""".stripMargin,
 
-    // IVF: centroids = the 16 lowest-id vectors (deterministic quantizer,
-    // same derivation as Similarity.ivfKnn); cell = argmax centroid cosine
-    // with ties to the larger cid; queries probe their 4 nearest cells.
-    "knn_ivf" ->
-      s"""WITH v AS (SELECT vec_id,
-         |             list_transform(embedding, x -> x::DOUBLE) AS v
-         |           FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
-         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-         |           v AS cv, sqrt(${dotSql("v", "v")}) AS cn
-         |         FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16) t),
-         |sims AS (SELECT n.vec_id, c.cid,
-         |           ${dotSql("n.v", "c.cv")} / (n.nrm * c.cn) AS s
-         |         FROM n CROSS JOIN cent c),
-         |cells AS (SELECT vec_id, cid AS cell FROM (
-         |            SELECT vec_id, cid, row_number() OVER (
-         |              PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rk
-         |            FROM sims) t WHERE rk = 1),
-         |nb AS (SELECT n.vec_id, n.v, n.nrm, cells.cell
-         |       FROM n JOIN cells ON n.vec_id = cells.vec_id),
-         |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
-         |             SELECT vec_id, cid, row_number() OVER (
-         |               PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rk
-         |             FROM sims WHERE vec_id % 100 = 0) t WHERE rk <= 4),
-         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
-         |      WHERE vec_id % 100 = 0),
-         |scored AS (
-         |  SELECT q.qid, nb.vec_id AS nid,
-         |         ${dotSql("q.qv", "nb.v")} / (q.qn * nb.nrm) AS sim
-         |  FROM probes p
-         |  JOIN q ON q.qid = p.qid
-         |  JOIN nb ON nb.cell = p.cell AND nb.vec_id != p.qid),
-         |r AS (SELECT qid, nid, sim, row_number() OVER (
-         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-         |      FROM scored)
-         |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
-         |WHERE rank <= 5""".stripMargin,
+    // IVF with the TRAINED deterministic-k-means quantizer: the oracle
+    // re-runs the whole training loop (unrolled) in SQL — exact-integer
+    // sums make the centroids bit-identical to Spark's.
+    "knn_ivf" -> ivfKmeansOracleSql(
+      nList = 16, nProbe = 4, k = 5, iters = 3, dim = 64),
 
     "embed_cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id,
