@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-quality gate over EVERY declared query (VERDICT r3 #5): the
+  * scale-killers that correctness tests can't see — O(n·m) join
+  * strategies and single-partition windows — fail HERE, locally, instead
+  * of surfacing as a 100×-scale-up regression later.
+  *
+  * Checked on the physical plan of each `SparkEntry.queries` entry at
+  * sf0.001:
+  *  - no `CartesianProductExec` anywhere;
+  *  - no `BroadcastNestedLoopJoinExec` outside the one documented
+  *    entity-less + unbounded-TTL corner (PointInTime.scala — the
+  *    distinct-ts side is broadcast and bounded, and no bucketing exists
+  *    for an unbounded range);
+  *  - no partition-less `WindowExec` (every range-surviving row through
+  *    ONE partition — the round-2 scale-killer class).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** All nodes including subqueries and (pre-execution) AQE subtrees. */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case n => Seq(n)
+    }
+
+  /** Queries licensed to broadcast-nested-loop:
+    *  - the entity-less unbounded-lookback PIT corner (small broadcast
+    *    side, documented at the join site in PointInTime);
+    *  - brute-force kNN, which is BY DEFINITION all-pairs scoring against
+    *    a small broadcast query side — it exists as the exact baseline;
+    *    the scale paths are knn_lsh_bucketed / knn_ivf (equi-joins,
+    *    audited here with no exemption). */
+  private val nlJoinAllowed = Set("pit_dummy_entity", "knn_cosine_brute")
+
+  test("no cartesian / stray nested-loop joins / partition-less windows") {
+    val dir = sf("sf0.001")
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan
+        val all = nodes(plan)
+        val cart = all.collect { case c: CartesianProductExec => c }
+          .map(_ => s"$name: CartesianProductExec")
+        val bnlj =
+          if (nlJoinAllowed(name)) Nil
+          else all.collect { case j: BroadcastNestedLoopJoinExec => j }
+            .map(j => s"$name: BroadcastNestedLoopJoinExec(${j.joinType})")
+        val winNoPart = all.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.map(_ => s"$name: partition-less WindowExec")
+        cart ++ bnlj ++ winNoPart
+    }
+    assert(violations.isEmpty,
+      s"plan-quality violations:\n  ${violations.mkString("\n  ")}")
+  }
+}
