@@ -72,6 +72,36 @@ object Example {
         |FROM emb a JOIN emb b ON b.vec_id = 0 AND a.vec_id < 3
         |ORDER BY a.vec_id""".stripMargin).show()
 
+    // 6. END-TO-END TRAINING-SET BUILD — the full pipeline a pretraining
+    //    data job runs, wired from the operators above:
+    //    near-dup dedup → quality gate → language mixture → token budget.
+    println("— training-set build: dedup → quality → mixture —")
+    val deduped = llm.Dedup.dropNearDuplicates(docs, "doc_id", "text")
+    val quality = llm.TextAnalysis.qualityScore(deduped, "doc_id", "text")
+    val keep = deduped.join(
+      quality.filter(col("alpha_ratio") > 0.5).select("doc_id"), "doc_id")
+    val mixed = llm.Sampling.mixture(Seq(
+      ("en", keep.filter(col("lang") === "en"), 0.9),
+      ("rest", keep.filter(col("lang") =!= "en"), 0.3)),
+      "doc_id", seed = "example-v1")
+    val budget = llm.TextAnalysis.tokenCounts(mixed, "doc_id", "text")
+      .agg(sum("n_bpe_tokens").as("total_tokens"),
+        count(lit(1)).as("docs"))
+    println(s"corpus ${docs.count()} docs → deduped ${deduped.count()} → " +
+      s"quality-kept ${keep.count()}")
+    budget.show()
+    mixed.groupBy("mixture_source").count().show()
+
+    // 7. Materialize features into an online store and point-read it —
+    //    the offline/online consistency loop (see ConsistencySpec).
+    println("— materialize + online point read —")
+    val mat = new Materializer(spark, view)
+    // no watermark yet → window = [end - ttl, end]; the fixture's events
+    // end 2024-01-30 23:26, so this 1-hour window is populated
+    mat.materializeIncremental(Timestamp.valueOf("2024-01-31 00:00:00"))
+    val someUser = mat.store.snapshot.get.select("user_id").head().getLong(0)
+    println(s"online user $someUser → ${mat.store.get(Map("user_id" -> someUser))}")
+
     spark.stop()
   }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe (VERDICT r3 #6): synthesize a seeded ~10× corpus from
+  * an existing SF dir, run the dedup/ANN family on both, and print the
+  * wall-time curve — evidence (not promise) that the banded joins and
+  * O(log n) connected components stay near-linear when the data grows.
+  *
+  * The expansion preserves the dup-rate STRUCTURE the operators exist
+  * for: per original doc, one exact copy (new id), one ~10%-word-mutated
+  * near-dup, and seven heavily-mutated distinct docs; per original
+  * embedding, one small-jitter near neighbor and eight far points. All
+  * mutations are hash-seeded — the corpus is reproducible bit-for-bit.
+  *
+  * Usage: runMain graft.ScaleProbe [baseSfDir] [outDir]
+  * Writes parquet only under the repo-local outDir (default tmp_scale10).
+  */
+object ScaleProbe {
+
+  final case class Doc(
+      doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+  final case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
+
+  private def h(parts: Long*): Long = {
+    // splitmix-style avalanche over the concatenated parts — cheap,
+    // deterministic, well-mixed
+    var x = 0x9e3779b97f4a7c15L
+    parts.foreach { p =>
+      x ^= p + 0x9e3779b97f4a7c15L + (x << 6) + (x >>> 2)
+      x *= 0xbf58476d1ce4e5b9L; x ^= x >>> 27
+    }
+    x & Long.MaxValue
+  }
+
+  /** Replica r of a document: r=0 original, r=1 exact copy, r=2 near-dup
+    * (~10% words swapped), r>=3 heavy mutation (distinct). */
+  private def mutate(d: Doc, r: Int): Doc = {
+    val nid = d.doc_id * 10 + r
+    val text = r match {
+      case 0 | 1 => d.text
+      case _ =>
+        val rate = if (r == 2) 10 else 2 // swap 1-in-rate words
+        val words = d.text.split(' ')
+        words.zipWithIndex.map { case (w, i) =>
+          if (h(d.doc_id, r.toLong, i.toLong) % rate == 0)
+            s"w${h(d.doc_id, r.toLong, i.toLong, 7L) % 50000}"
+          else w
+        }.mkString(" ")
+    }
+    Doc(nid, text, d.lang, d.source, text.length.toLong)
+  }
+
+  private def jitter(e: Emb, r: Int): Emb = {
+    val scale = if (r <= 1) 0.02f else 1.0f
+    val vec = e.embedding.zipWithIndex.map { case (x, d) =>
+      if (r == 0) x
+      else x + scale * ((h(e.vec_id, r.toLong, d.toLong) % 1000L) / 1000.0f - 0.5f)
+    }
+    Emb(e.vec_id * 10 + r, vec, e.label)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = if (args.length > 1) args(1) else "tmp_scale10"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+      Tables.read(spark, baseDir, "documents").as[Doc]
+        .flatMap(d => (0 until 10).map(mutate(d, _)))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      Tables.read(spark, baseDir, "embeddings").as[Emb]
+        .flatMap(e => (0 until 10).map(jitter(e, _)))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+
+    val family = Seq(
+      "dedup_exact", "dedup_drop_exact", "dedup_jaccard_pairs",
+      "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+      "dedup_drop_near", "knn_cosine_brute", "knn_lsh_bucketed",
+      "knn_ivf", "embed_cosine_pairs")
+
+    def time(name: String, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    println(f"${"query"}%-22s ${"base_s"}%8s ${"x10_s"}%8s ${"ratio"}%6s ${"base_rows"}%10s ${"x10_rows"}%10s")
+    family.foreach { q =>
+      val (tb, nb) = time(q, baseDir)
+      val (tx, nx) = time(q, outDir)
+      println(f"$q%-22s $tb%8.2f $tx%8.2f ${tx / tb}%6.1f $nb%10d $nx%10d")
+    }
+    spark.stop()
+  }
+}
