@@ -264,8 +264,10 @@ object Similarity {
   def ivfKnnTrained(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nList: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    val cents = trainIvfKMeans(corpus, idCol, vecCol, nList, iters)
+      nList: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      centroids: Option[IndexedSeq[Seq[Double]]] = None): DataFrame = {
+    val cents = centroids
+      .getOrElse(trainIvfKMeans(corpus, idCol, vecCol, nList, iters))
       .map(withNormPair)
 
     val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))

