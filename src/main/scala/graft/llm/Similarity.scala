@@ -296,6 +296,36 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Embedding-cosine near-dup pairs above `tau` with the TRAINED
+    * k-means cells as buckets: candidates must share an IVF cell, ranked
+    * by exact cosine. On clustered corpora (what real embeddings look
+    * like) data-derived cells track the actual density structure, so
+    * recall is far better per candidate-pair than data-blind hyperplane
+    * buckets at a similar pruning rate. Same approximate-recall caveat
+    * as every single-probe bucketing: pairs straddling a cell boundary
+    * are missed. Output: (id_a, id_b, sim). */
+  def cosinePairsIvf(
+      corpus: DataFrame, idCol: String, vecCol: String, tau: Double,
+      nList: Int = 16, iters: Int = 3,
+      centroids: Option[IndexedSeq[Seq[Double]]] = None): DataFrame = {
+    val cents = centroids
+      .getOrElse(trainIvfKMeans(corpus, idCol, vecCol, nList, iters))
+      .map(withNormPair)
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("vqd", quantDouble(col("v")))
+      .withColumn("qnrm", norm(col("vqd")))
+      .withColumn("cell", argmaxCell(col("vqd"), col("qnrm"), cents))
+      .drop("vqd", "qnrm")
+    base.as("a")
+      .join(base.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-dup pairs above `tau`, via bucketed candidates:
     * pairs must share an LSH bucket (approximate recall, exact precision
     * after verification). For the exact-oracle variant at test scale use

@@ -48,19 +48,21 @@ object LlmQueries {
   private def dotSql(a: String, b: String) =
     foldSql(s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])")
 
-  /** Unrolled deterministic-k-means IVF oracle — mirrors
-    * `Similarity.trainIvfKMeans` + `ivfKnnTrained` exactly: fixed-point
-    * training space (`floor(x·2^20)` — all sums exact BIGINTs, so the
-    * single-threaded oracle and Spark's distributed aggregation derive
-    * bit-identical centroids), h32-seeded init, `iters` Lloyd rounds with
-    * empty cells keeping their centroid, assignment/probing in quantized
-    * space, final ranking on original vectors. */
-  private def ivfKmeansOracleSql(
-      nList: Int, nProbe: Int, k: Int, iters: Int, dim: Int): String = {
-    // cosine of corpus row n against centroid alias c, in quantized space
-    def cSim(c: String) =
-      s"${dotSql("n.vq", s"$c.cv")} / " +
-        s"(n.qnrm * sqrt(${dotSql(s"$c.cv", s"$c.cv")}))"
+  /** Unrolled deterministic-k-means training CTEs — mirror
+    * `Similarity.trainIvfKMeans` exactly: fixed-point training space
+    * (`floor(x·2^20)` — all sums exact BIGINTs, so the single-threaded
+    * oracle and Spark's distributed aggregation derive bit-identical
+    * centroids), h32-seeded init, `iters` Lloyd rounds with empty cells
+    * keeping their centroid. Ends with `nb(vec_id, v, nrm, cell)` — the
+    * corpus with final cell assignments — in scope; consumers (knn,
+    * cosine pairs) append their own suffix. */
+  /** Cosine of corpus row `n` against centroid alias `c` in the
+    * quantized training space (shared by train + probe CTEs). */
+  private def cSim(c: String) =
+    s"${dotSql("n.vq", s"$c.cv")} / " +
+      s"(n.qnrm * sqrt(${dotSql(s"$c.cv", s"$c.cv")}))"
+
+  private def ivfTrainCtes(nList: Int, iters: Int, dim: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH v AS (SELECT vec_id,
        |            list_transform(embedding, x -> x::DOUBLE) AS v,
@@ -97,7 +99,16 @@ object LlmQueries {
            |""".stripMargin
       }
     }
-    sb ++= s"""probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+    sb ++= s"""nb AS (SELECT n.vec_id, n.v, n.nrm, a$iters.cell
+       |       FROM n JOIN a$iters ON n.vec_id = a$iters.vec_id)""".stripMargin
+    sb.toString
+  }
+
+  /** knn over the trained quantizer (see [[ivfTrainCtes]]). */
+  private def ivfKmeansOracleSql(
+      nList: Int, nProbe: Int, k: Int, iters: Int, dim: Int): String =
+    s"""${ivfTrainCtes(nList, iters, dim)},
+       |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
        |    SELECT n.vec_id, c.cid, row_number() OVER (
        |      PARTITION BY n.vec_id
        |      ORDER BY ${cSim("c")} DESC, c.cid DESC) AS rk
@@ -105,8 +116,6 @@ object LlmQueries {
        |  WHERE rk <= $nProbe),
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
        |      WHERE vec_id % 100 = 0),
-       |nb AS (SELECT n.vec_id, n.v, n.nrm, a$iters.cell
-       |       FROM n JOIN a$iters ON n.vec_id = a$iters.vec_id),
        |scored AS (
        |  SELECT q.qid, nb.vec_id AS nid,
        |         ${dotSql("q.qv", "nb.v")} / (q.qn * nb.nrm) AS sim
@@ -118,8 +127,16 @@ object LlmQueries {
        |      FROM scored)
        |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
        |WHERE rank <= $k""".stripMargin
-    sb.toString
-  }
+
+  /** Same-cell cosine pairs over the trained quantizer. */
+  private def ivfPairsOracleSql(
+      nList: Int, iters: Int, dim: Int, tau: Double): String =
+    s"""${ivfTrainCtes(nList, iters, dim)}
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS sim
+       |FROM nb a JOIN nb b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $tau""".stripMargin
 
   /** Exact jaccard pairs at tau=0.5 (needs docs+sh CTEs in scope); ends in
     * `jp(id_a, id_b, inter, size_a, size_b, jaccard)` — shared by the
@@ -218,6 +235,15 @@ object LlmQueries {
     "embed_cosine_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding",
         tau = 0.4, nPlanes = 4, dim = 64)),
+
+    "embed_cosine_pairs_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = ivfCentroids.computeIfAbsent((dir, 16, 3), _ =>
+        Similarity.trainIvfKMeans(e, "vec_id", "embedding",
+          nList = 16, iters = 3))
+      Similarity.cosinePairsIvf(e, "vec_id", "embedding", tau = 0.4,
+        centroids = Some(cents))
+    }),
 
     "sample_bernoulli" -> ((s, dir) =>
       Sampling.bernoulliSample(docs(s, dir), "doc_id", 0.2, "graft")
@@ -444,6 +470,10 @@ object LlmQueries {
     // sums make the centroids bit-identical to Spark's.
     "knn_ivf" -> ivfKmeansOracleSql(
       nList = 16, nProbe = 4, k = 5, iters = 3, dim = 64),
+
+    // near-dup pairs bucketed by the same trained cells
+    "embed_cosine_pairs_ivf" -> ivfPairsOracleSql(
+      nList = 16, iters = 3, dim = 64, tau = 0.4),
 
     "embed_cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id,

@@ -249,6 +249,26 @@ class LlmSpec extends SparkSpec {
       s"trained ($nTrained) should separate more clusters than lowest-id ($nLowest)")
   }
 
+  test("IVF-bucketed cosine pairs: exact precision, better recall than hyperplanes") {
+    val corpus = clusteredEmb
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosinePairs(
+      corpus, "vec_id", "embedding", tau = 0.9, bucketless = true))
+    val ivf = pairs(Similarity.cosinePairsIvf(
+      corpus, "vec_id", "embedding", tau = 0.9, nList = 8, iters = 3))
+    val hyp = pairs(Similarity.cosinePairs(
+      corpus, "vec_id", "embedding", tau = 0.9, nPlanes = 8, dim = 16))
+    assert(exact.nonEmpty)
+    assert(ivf.subsetOf(exact), "bucketing must never invent a pair")
+    val (rIvf, rHyp) =
+      (ivf.size.toDouble / exact.size, hyp.size.toDouble / exact.size)
+    info(f"pair recall: ivf=$rIvf%.3f hyperplane=$rHyp%.3f (n=${exact.size})")
+    assert(rIvf >= rHyp,
+      f"data-derived cells should beat data-blind planes on clustered data: $rIvf%.3f < $rHyp%.3f")
+  }
+
   test("real PNG codec: encode → imageio decode round-trips exactly") {
     // arbitrary-content image (gradient): the decoded sample sum must
     // equal the JVM-computed pixel sum — a real decoder property no
