@@ -149,6 +149,36 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-document top-k TF-IDF terms — the topic/quality fingerprint a
+    * curation pipeline attaches before filtering or clustering.
+    * tf = term count in the doc; idf = ln(N/df) with df = #docs
+    * containing the term and N a driver-side scalar (licensed — one
+    * count). Output: (doc_id, term, rank, score), rank by
+    * (score DESC, term) — ranking uses the ROUNDED score so cross-engine
+    * sub-6dp log differences cannot reorder ties.
+    *
+    * Plan: token explode → two map-side-combined groupBys (doc-term tf,
+    * term df) → df join (term-keyed, broadcast-able: |vocab| ≪ |tokens|)
+    * → per-doc-keyed window. The explode is the standard inverted-index
+    * shuffle; nothing is quadratic and nothing but N reaches the driver. */
+  def tfIdf(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val terms = df.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "rank", "score")
+  }
+
   /** Document-length histogram: power-of-two char-length bins — the
     * corpus shape summary a pipeline checks before/after filtering.
     * Per-row bin arithmetic + one small groupBy. The bin index is

@@ -286,6 +286,9 @@ object LlmQueries {
     "text_length_hist" -> ((s, dir) =>
       TextAnalysis.lengthHistogram(docs(s, dir), "text")),
 
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(docs(s, dir), "doc_id", "text", k = 3)),
+
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
         Multimodal.asBinary(docs(s, dir), "doc_id", "text", "text/plain"))),
@@ -589,6 +592,22 @@ object LlmQueries {
          |t AS (SELECT unnest(w) AS token FROM docs)
          |SELECT token, count(*) AS n FROM t
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // rank on the ROUNDED score (matches the Spark side) so sub-6dp ln()
+    // library differences can't reorder ties; remaining ties break on term
+    "text_tfidf" ->
+      s"""WITH $DocsCte,
+         |t AS (SELECT doc_id, unnest(w) AS term FROM docs),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT tf.doc_id, tf.term,
+         |        round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS score
+         |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, score, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         |      FROM s)
+         |SELECT doc_id, term, rank, score FROM r WHERE rank <= 3""".stripMargin,
 
     "text_length_hist" ->
       """WITH b AS (SELECT CASE WHEN length(text) <= 0 THEN -1
