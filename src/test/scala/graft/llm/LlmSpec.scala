@@ -249,6 +249,22 @@ class LlmSpec extends SparkSpec {
       s"trained ($nTrained) should separate more clusters than lowest-id ($nLowest)")
   }
 
+  test("connected components keep non-numeric id types; NULL ids fail fast") {
+    import spark.implicits._
+    // string/UUID doc ids are a reachable public path — the old
+    // cast("long") silently NULLed them and dedup became a no-op
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    val bad = Seq((Option("a"), Option.empty[String])).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(bad, "id_a", "id_b")
+    }
+    assert(e.getMessage.contains("NULL ids"))
+  }
+
   test("IVF-bucketed cosine pairs: exact precision, better recall than hyperplanes") {
     val corpus = clusteredEmb
     def pairs(df: org.apache.spark.sql.DataFrame) =

@@ -53,4 +53,9 @@ class SamplingSpec extends SparkSpec {
     assert(bySource.getOrElse("en", 0L) == en.count())
     assert(bySource.getOrElse("rest", 0L) == 0L)
   }
+
+  test("bernoulliSql escapes quotes in seeds (mixture derives them from names)") {
+    val sql = Sampling.bernoulliSql("doc_id", 0.5, "it's a 'seed'")
+    assert(sql.contains("'it''s a ''seed'':'"), sql)
+  }
 }

@@ -131,4 +131,19 @@ class StreamingSpec extends SparkSpec {
       assert(n == 2, s"expected 2 rows, got $n")
     } finally q.stop()
   }
+
+  test("enrichAsOf rejects columns colliding with internal __f_* names") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val features = Seq((1L, ts(0), 10.0)).toDF("user_id", "fts", "conv")
+    val in = MemoryStream[KeyedEvent]
+    val entityWithReserved =
+      in.toDF().withColumn("__f_ts", org.apache.spark.sql.functions.col("ts"))
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.enrichAsOf(
+        entityWithReserved, features, Seq("user_id"), "ts", "fts",
+        Seq("conv"), ttlSeconds = 0, watermark = "0 seconds")
+    }
+    assert(e.getMessage.contains("__f_ts"))
+  }
 }
