@@ -173,10 +173,21 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
   }
 
   /** S3: CTAS — materialize a query result as a Parquet table
-    * (ref: hive.py:380 `CREATE TABLE ... STORED AS PARQUET AS ...`). */
-  def createTableAs(name: String, df: DataFrame): Unit = {
+    * (ref: hive.py:380 `CREATE TABLE ... STORED AS PARQUET AS ...`).
+    *
+    * `partitionBy` is the write-side complement of the reference's
+    * `date_partition_column` (hive_source.py — read-side metadata there):
+    * a table written partitioned by its date column serves any later
+    * time-ranged feature scan with partition PRUNING instead of a full
+    * scan — the layout decision that matters most at 100 TB, and the
+    * standard mitigation when a timestamp column itself isn't
+    * filter-pushable (e.g. repaired TIMESTAMP(NANOS) — see
+    * PartitionPruningSpec). */
+  def createTableAs(
+      name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     dropOrphanedLocation(name)
-    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    df.write.mode("overwrite").partitionBy(partitionBy: _*)
+      .format("parquet").saveAsTable(name)
   }
 
   /** S4: create an empty Parquet table from a schema (ref: hive.py:413-419). */

@@ -101,4 +101,25 @@ class EngineSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
     assert(spark.conf.getOption("graft.test.overlay.only").isEmpty)
   }
+
+  test("partitioned CTAS lays out by date and scans prune partitions") {
+    import org.apache.spark.sql.functions._
+    val eng = new Engine(spark)
+    val df = Tables.read(spark, sf(), "events")
+      .withColumn("dt", to_date(col("ts")))
+    eng.createTableAs("graft_part_ctas", df, partitionBy = Seq("dt"))
+    try {
+      val back = spark.table("graft_part_ctas")
+      assert(back.count() == df.count())
+      // a date predicate must become a partition filter: the scan's
+      // selected partitions shrink (metadata-only check, no data read)
+      val pruned = back.filter(col("dt") === "2024-01-05")
+      val scan = pruned.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      assert(scan.contains("PartitionFilters: [isnotnull(dt"),
+        s"expected a dt partition filter in:\n$scan")
+      assert(pruned.count() ==
+        df.filter(col("dt") === "2024-01-05").count())
+    } finally eng.dropTable("graft_part_ctas")
+  }
 }
