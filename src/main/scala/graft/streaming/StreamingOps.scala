@@ -145,4 +145,96 @@ object StreamingOps {
       .select(entityCols.map(col) ++
         featureCols.map(c => col(s"__best.$c").as(c)): _*)
   }
+
+  /** Internal union row for the stream-stream as-of join. */
+  final case class SSRow(
+      user_id: Long, ts: Timestamp, is_feature: Boolean, value: Double)
+  /** Keyed per-entity state: buffered feature rows and entity rows not
+    * yet past the watermark, both as (tsMillis, value). */
+  final case class AsOfBuf(
+      features: List[(Long, Double)], pending: List[(Long, Double)])
+  /** Output of the stream-stream as-of join. */
+  final case class EnrichedEvent(
+      user_id: Long, ts: Timestamp, value: Double, feature: Option[Double])
+
+  /** STREAM-STREAM point-in-time join — both the entity stream AND the
+    * feature stream are unbounded. What [[enrichAsOf]] (stream-static)
+    * cannot do: a feature row may ARRIVE after the entity rows it
+    * enriches (any order within the watermark) and still win.
+    *
+    * Mechanics: both streams are watermarked on their event time, tagged,
+    * unioned, and grouped per key into `flatMapGroupsWithState` with an
+    * EVENT-TIME TIMEOUT. An entity row is held in state until the global
+    * watermark passes its timestamp — at that point no feature with
+    * `feature_ts <= entity_ts` can arrive anymore, so the row is
+    * finalized exactly once (append mode): latest buffered feature with
+    * `feature_ts ∈ [entity_ts - ttl, entity_ts]` (ttl 0 ⇒ unbounded
+    * lookback), ties on the timestamp broken by the larger value; None
+    * when no feature qualifies.
+    *
+    * State per key is BOUNDED: pending entities leave at the watermark;
+    * with ttl > 0 features older than `watermark - ttl` can never match a
+    * future entity and are pruned; with ttl = 0 all features behind the
+    * watermark collapse into the single latest (the only one a future
+    * entity can pick). That collapse is what makes unbounded-lookback
+    * streams safe — O(1) feature state per key.
+    *
+    * The output watermark is the MIN across both inputs — an idle feature
+    * stream stalls emission (the standard multi-source caveat; feed
+    * heartbeats or set the source's idle timeout at deployment). */
+  def enrichAsOfStreamStream(
+      entities: Dataset[KeyedEvent],
+      features: Dataset[KeyedEvent],
+      ttlSeconds: Long = 0,
+      watermark: String = "1 hour"): Dataset[EnrichedEvent] = {
+    val spark = entities.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val ttlMs = ttlSeconds * 1000L
+    val e = entities.map(x => SSRow(x.user_id, x.ts, is_feature = false, x.value))
+      .withWatermark("ts", watermark)
+    val f = features.map(x => SSRow(x.user_id, x.ts, is_feature = true, x.value))
+      .withWatermark("ts", watermark)
+
+    e.union(f)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfBuf, EnrichedEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val prev = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          val (fNew, eNew) = rows.toList.partition(_.is_feature)
+          var feats = prev.features ++ fNew.map(r => (r.ts.getTime, r.value))
+          val pend = prev.pending ++ eNew.map(r => (r.ts.getTime, r.value))
+          val wm = state.getCurrentWatermarkMs()
+
+          // finalize: watermark strictly past the entity ts ⇒ no feature
+          // with ts <= entity ts can arrive anymore
+          val (ready, still) = pend.partition(_._1 < wm)
+          val out = ready.sortBy(identity).map { case (ets, ev) =>
+            val cands = feats.filter(fr =>
+              fr._1 <= ets && (ttlMs == 0 || fr._1 >= ets - ttlMs))
+            val best =
+              if (cands.isEmpty) None else Some(cands.max._2)
+            EnrichedEvent(key, new Timestamp(ets), ev, best)
+          }
+
+          // prune feature state (see scaladoc)
+          feats =
+            if (ttlMs > 0) feats.filter(_._1 >= wm - ttlMs)
+            else {
+              val (old, recent) = feats.partition(_._1 < wm)
+              (if (old.nonEmpty) List(old.max) else Nil) ++ recent
+            }
+
+          if (still.isEmpty && feats.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(feats, still))
+            // wake this key when the watermark passes its oldest pending
+            // entity, even if no further data arrives for it
+            if (still.nonEmpty)
+              state.setTimeoutTimestamp(still.map(_._1).min + 1)
+          }
+          out.iterator
+      }
+  }
 }

@@ -132,6 +132,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream as-of: late-arriving features still enrich") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val eIn = MemoryStream[KeyedEvent]
+    val fIn = MemoryStream[KeyedEvent]
+    val q = StreamingOps.enrichAsOfStreamStream(
+      eIn.toDS(), fIn.toDS(), ttlSeconds = 0, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ss_asof")
+      .outputMode("append").start()
+    try {
+      // the entity arrives BEFORE its feature — stream-static can't do this
+      eIn.addData(KeyedEvent(1, ts(5), 1.0))
+      q.processAllAvailable()
+      fIn.addData(KeyedEvent(1, ts(0), 10.0))
+      q.processAllAvailable()
+      // not yet finalized: the watermark hasn't passed ts(5)
+      assert(spark.table("ss_asof").count() == 0)
+
+      // second feature version + a later entity row
+      fIn.addData(KeyedEvent(1, ts(10), 11.0))
+      eIn.addData(KeyedEvent(1, ts(15), 2.0))
+      eIn.addData(KeyedEvent(2, ts(15), 3.0)) // no features at all → None
+      // advance BOTH watermarks past ts(15)
+      eIn.addData(KeyedEvent(9, ts(60), 0.0))
+      fIn.addData(KeyedEvent(9, ts(60), 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("ss_asof").as[StreamingOps.EnrichedEvent]
+        .collect().map(r =>
+          (r.user_id, r.ts.toString.substring(11, 16), r.value, r.feature))
+        .toSet
+      assert(got == Set(
+        (1L, "10:05", 1.0, Some(10.0)), // ts(0) feature, arrived late
+        (1L, "10:15", 2.0, Some(11.0)), // newer version wins
+        (2L, "10:15", 3.0, None)))      // left semantics survive
+    } finally q.stop()
+  }
+
+  test("stream-stream as-of honors the TTL lower bound") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val eIn = MemoryStream[KeyedEvent]
+    val fIn = MemoryStream[KeyedEvent]
+    val q = StreamingOps.enrichAsOfStreamStream(
+      eIn.toDS(), fIn.toDS(), ttlSeconds = 300, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ss_asof_ttl")
+      .outputMode("append").start()
+    try {
+      fIn.addData(KeyedEvent(1, ts(0), 10.0))
+      eIn.addData(
+        KeyedEvent(1, ts(4), 1.0),  // within 5 min of the feature → hit
+        KeyedEvent(1, ts(9), 2.0))  // 9 min after → expired → None
+      eIn.addData(KeyedEvent(9, ts(60), 0.0))
+      fIn.addData(KeyedEvent(9, ts(60), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ss_asof_ttl").as[StreamingOps.EnrichedEvent]
+        .collect().map(r => (r.ts.toString.substring(11, 16), r.feature)).toSet
+      assert(got == Set(("10:04", Some(10.0)), ("10:09", None)))
+    } finally q.stop()
+  }
+
   test("enrichAsOf rejects columns colliding with internal __f_* names") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
