@@ -277,13 +277,20 @@ object Dedup {
       val jump = labels.as("x")
         .join(labels.as("p"), col("x.lbl") === col("p.id"))
         .select(col("x.id").as("id"), col("p.lbl").as("lbl"))
+      // The node's OWN current label rides through the union (non-null
+      // only on the `labels` contribution, which has exactly one row per
+      // id), so convergence is a partition-local filter over the already-
+      // persisted result — no per-round join against the previous state.
+      // `labels` keeps the extra column between rounds: projecting it
+      // away would wrap the persisted RDD in a Project and defeat
+      // unpersistCheckpoint.
+      val lblType = labels.schema("lbl").dataType
       val next = org.apache.spark.sql.GraftSql.persistedView(
-        labels.union(prop).union(jump)
-          .groupBy("id").agg(min("lbl").as("lbl")))
-      converged = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.lbl") < col("p.lbl"))
-        .isEmpty
+        labels.select(col("id"), col("lbl")).withColumn("own", col("lbl"))
+          .union(prop.withColumn("own", lit(null).cast(lblType)))
+          .union(jump.withColumn("own", lit(null).cast(lblType)))
+          .groupBy("id").agg(min("lbl").as("lbl"), min("own").as("own")))
+      converged = next.filter(col("lbl") < col("own")).isEmpty
       org.apache.spark.sql.GraftSql.unpersistCheckpoint(labels)
       labels = next
       iter += 1

@@ -90,7 +90,8 @@ object Similarity {
   def lshKnn(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 8, dim: Int = 64,
+      multiProbe: Boolean = false): DataFrame = {
     val signs = planeSigns(nPlanes, dim)
     def bucket(v: Column): Column =
       (0 until nPlanes).map { j =>
@@ -101,9 +102,22 @@ object Similarity {
     val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bkt", bucket(col("v")))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val q0 = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("bkt", bucket(col("qv")))
+      .withColumn("bkt0", bucket(col("qv")))
+    // MULTI-PROBE: also search every bucket at hamming distance 1 from
+    // the query's signature (one flipped hyperplane bit) — the standard
+    // recall lever: near neighbors that disagree with the query on
+    // exactly one plane live there. Candidate volume grows ×(nPlanes+1)
+    // on the QUERY side only; the corpus stays single-bucketed, and each
+    // (query, neighbor) pair appears at most once (probed buckets are
+    // distinct). Corpus-side plan is unchanged.
+    val q =
+      if (!multiProbe) q0.withColumnRenamed("bkt0", "bkt")
+      else q0.withColumn("bkt", explode(array(
+          col("bkt0") +: (0 until nPlanes).map(j =>
+            col("bkt0").bitwiseXOR(lit(1L << j))): _*)))
+        .drop("bkt0")
     val scored = v.join(broadcast(q), Seq("bkt"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),

@@ -219,6 +219,13 @@ object LlmQueries {
         k = 5, nPlanes = 4, dim = 64)
     }),
 
+    "knn_lsh_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshKnn(
+        e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nPlanes = 4, dim = 64, multiProbe = true)
+    }),
+
     "knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       // the quantizer is an INDEX: built once offline, reused by every
@@ -462,6 +469,32 @@ object LlmQueries {
          |  SELECT q.qid, nb.vec_id AS nid,
          |         ${dotSql("q.qv", "nb.v")} / (q.qn * nb.nrm) AS sim
          |  FROM q JOIN nb ON nb.bkt = q.bkt AND nb.vec_id != q.qid),
+         |r AS (SELECT qid, nid, sim, row_number() OVER (
+         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM scored)
+         |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+         |WHERE rank <= 5""".stripMargin,
+
+    // multi-probe: the query also searches every hamming-1 bucket
+    // (xor with each plane bit); corpus side single-bucketed as before
+    "knn_lsh_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id,
+         |             list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
+         |${bucketCtes(4)},
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bkt.bkt FROM n
+         |       JOIN bkt ON n.vec_id = bkt.vec_id),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bkt FROM nb
+         |      WHERE vec_id % 100 = 0),
+         |probes AS (SELECT qid, qv, qn, bkt FROM q
+         |${(0 until 4).map(j =>
+              s"  UNION ALL SELECT qid, qv, qn, xor(bkt, ${1L << j}) FROM q")
+             .mkString("\n")}),
+         |scored AS (
+         |  SELECT p.qid, nb.vec_id AS nid,
+         |         ${dotSql("p.qv", "nb.v")} / (p.qn * nb.nrm) AS sim
+         |  FROM probes p JOIN nb ON nb.bkt = p.bkt AND nb.vec_id != p.qid),
          |r AS (SELECT qid, nid, sim, row_number() OVER (
          |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          |      FROM scored)

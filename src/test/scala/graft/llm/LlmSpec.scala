@@ -207,6 +207,28 @@ class LlmSpec extends SparkSpec {
       f"on well-clustered data the trained quantizer should be near-exact, got $trained%.3f")
   }
 
+  test("multi-probe LSH recall >= single-probe on clustered data") {
+    val corpus = clusteredEmb
+    val queries = corpus.filter(col("vec_id") % 25 === 0)
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val truth = top5(Similarity.bruteForceKnn(
+      corpus, queries, "vec_id", "embedding", 5))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) =>
+        got.get(q).fold(0.0)(g => (g & t).size.toDouble / t.size)
+      }.sum / truth.size
+    val single = recall(top5(Similarity.lshKnn(
+      corpus, queries, "vec_id", "embedding", 5, nPlanes = 8, dim = 16)))
+    val multi = recall(top5(Similarity.lshKnn(
+      corpus, queries, "vec_id", "embedding", 5, nPlanes = 8, dim = 16,
+      multiProbe = true)))
+    info(f"recall@5: single=$single%.3f multi-probe=$multi%.3f")
+    assert(multi >= single,
+      f"hamming-1 probing must not lose recall: $multi%.3f < $single%.3f")
+  }
+
   test("trained quantizer separates true clusters; lowest-id cannot") {
     // Intrinsic quantizer quality (recall can hide degeneracy: a
     // quantizer that dumps everything in one cell still "recalls" —
