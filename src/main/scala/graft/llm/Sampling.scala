@@ -62,6 +62,22 @@ object Sampling {
       .drop("__graft_srn")
   }
 
+  /** Deterministic exact-k uniform sample: the `k` rows with the globally
+    * smallest selection hash (ties → smaller id) — the reproducible
+    * stand-in for reservoir sampling, without RNG state or a pass
+    * ordering dependency. Plan: one TakeOrdered (map-side per-partition
+    * top-k, k-sized merge at the driver-side limit) — no global sort, no
+    * window. Same-seed monotonicity: growing k only ADDS rows. */
+  def uniformK(
+      df: DataFrame, idCol: String, k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("__graft_uk", selKey(col(idCol), seed))
+      .orderBy(col("__graft_uk"), col(idCol))
+      .limit(k)
+      .drop("__graft_uk")
+  }
+
   /** Weighted mixture of sources: label each source, Bernoulli-downsample
     * each to its weight, and union — the "mix 30% web + 70% books"
     * pipeline stage. Weights are per-source KEEP FRACTIONS (each in

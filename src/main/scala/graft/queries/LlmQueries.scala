@@ -260,6 +260,10 @@ object LlmQueries {
       Sampling.stratifiedSample(docs(s, dir), "lang", "doc_id", 5, "graft")
         .select("doc_id", "lang")),
 
+    "sample_uniform_k" -> ((s, dir) =>
+      Sampling.uniformK(docs(s, dir), "doc_id", 25, "graft")
+        .select("doc_id", "lang", "n_chars")),
+
     "sample_mixture" -> ((s, dir) => {
       val d = docs(s, dir)
       Sampling.mixture(Seq(
@@ -528,6 +532,11 @@ object LlmQueries {
     "sample_bernoulli" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${Sampling.bernoulliSql("doc_id", 0.2, "graft")}""".stripMargin,
+
+    "sample_uniform_k" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |ORDER BY ${h32("'graft:' || CAST(doc_id AS VARCHAR)")}, doc_id
+         |LIMIT 25""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM (

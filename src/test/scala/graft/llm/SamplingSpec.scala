@@ -54,6 +54,18 @@ class SamplingSpec extends SparkSpec {
     assert(bySource.getOrElse("rest", 0L) == 0L)
   }
 
+  test("uniformK: exact size, repartition-invariant, monotone in k") {
+    val a = Sampling.uniformK(docs, "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.size == 20)
+    val b = Sampling.uniformK(docs.repartition(7), "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on physical layout")
+    val bigger = Sampling.uniformK(docs, "doc_id", 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(bigger), "growing k must only add rows")
+  }
+
   test("bernoulliSql escapes quotes in seeds (mixture derives them from names)") {
     val sql = Sampling.bernoulliSql("doc_id", 0.5, "it's a 'seed'")
     assert(sql.contains("'it''s a ''seed'':'"), sql)
