@@ -233,6 +233,13 @@ object StreamingOps {
             // entity, even if no further data arrives for it
             if (still.nonEmpty)
               state.setTimeoutTimestamp(still.map(_._1).min + 1)
+            else if (ttlMs > 0)
+              // feature-only state self-cleans once no future entity can
+              // match it (wm past every feature's ttl horizon). With
+              // ttl = 0 the latest feature IS the key's last-known value
+              // and must outlive any silence — retained by design.
+              state.setTimeoutTimestamp(
+                math.max(wm, feats.map(_._1).max) + ttlMs + 1)
           }
           out.iterator
       }
