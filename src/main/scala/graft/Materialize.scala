@@ -38,18 +38,18 @@ final class OnlineStore(
     * produced by [[PullLatest.pullLatest]]): per key keep the row with
     * the greatest `(event_ts, created_ts)` across old state and batch. */
   def write(batch: DataFrame): Unit = synchronized {
-    val merged = state match {
-      case None => batch
-      case Some(cur) =>
-        val order =
-          (col(eventTsCol).desc +:
-            createdTsCol.map(c => col(c).desc).toSeq)
-        val w = Window.partitionBy(joinKeys.map(col): _*).orderBy(order: _*)
-        cur.unionByName(batch, allowMissingColumns = true)
-          .withColumn("__graft_rn", row_number().over(w))
-          .filter(col("__graft_rn") === 1)
-          .drop("__graft_rn")
-    }
+    // latest-per-key over old state ∪ batch — also applied to the FIRST
+    // write: the store's invariant is one row per key whatever the
+    // caller feeds it, not just for pullLatest-shaped batches
+    val order =
+      (col(eventTsCol).desc +:
+        createdTsCol.map(c => col(c).desc).toSeq)
+    val w = Window.partitionBy(joinKeys.map(col): _*).orderBy(order: _*)
+    val merged = state.fold(batch)(cur =>
+        cur.unionByName(batch, allowMissingColumns = true))
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
     // Materialize eagerly: the store's contract is "a write is durable
     // once write() returns" — and it decouples reads from the (possibly
     // temp-view-backed) batch plan. One row per key: always small.

@@ -149,6 +149,22 @@ class ConsistencySpec extends SparkSpec {
     assert(v == 5.0, s"replaying an old window regressed the store: $v")
   }
 
+  test("first write with duplicate keys still keeps one row per key") {
+    val store = new OnlineStore(Seq("driver_id"), "ts", None)
+    val batch = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1, 1.0, hoursAgo(2)),
+        Row(1, 2.0, hoursAgo(1)), // same key, newer — must win
+        Row(2, 3.0, hoursAgo(1))),
+      StructType(Seq(
+        StructField("driver_id", IntegerType),
+        StructField("value", DoubleType),
+        StructField("ts", TimestampType))))
+    store.write(batch)
+    assert(store.snapshot.get.count() == 2)
+    assert(store.get(Map("driver_id" -> 1)).get("value") == 2.0)
+  }
+
   test("materializeIncremental with no watermark uses end - ttl") {
     val fv = featureView("table")
     val m = new Materializer(spark, fv)
