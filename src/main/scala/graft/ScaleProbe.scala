@@ -88,8 +88,9 @@ object ScaleProbe {
     val family = Seq(
       "dedup_exact", "dedup_drop_exact", "dedup_jaccard_pairs",
       "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-      "dedup_drop_near", "knn_cosine_brute", "knn_lsh_bucketed",
-      "knn_ivf", "embed_cosine_pairs")
+      "dedup_drop_near", "dedup_drop_embed", "knn_cosine_brute",
+      "knn_lsh_bucketed", "knn_lsh_multiprobe", "knn_ivf",
+      "embed_cosine_pairs", "embed_cosine_pairs_ivf", "text_tfidf")
 
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()

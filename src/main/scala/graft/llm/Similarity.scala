@@ -340,6 +340,25 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** End-to-end EMBEDDING near-dup dedup: the input rows minus
+    * non-representative members of each cosine-similarity cluster —
+    * the semantic-dedup counterpart of
+    * [[graft.llm.Dedup.dropNearDuplicates]] (which is lexical). Pairs
+    * come from [[cosinePairsIvf]] (trained-cell buckets), clusters from
+    * min-label connected components, survivors keep exactly the
+    * smallest-id member per cluster. */
+  def dropNearDuplicatesByEmbedding(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      nList: Int = 16, iters: Int = 3,
+      centroids: Option[IndexedSeq[Seq[Double]]] = None): DataFrame = {
+    val pairs = cosinePairsIvf(df, idCol, vecCol, tau, nList, iters, centroids)
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val losers = clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__graft_loser"))
+    df.join(broadcast(losers), col(idCol) === col("__graft_loser"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs above `tau`, via bucketed candidates:
     * pairs must share an LSH bucket (approximate recall, exact precision
     * after verification). For the exact-oracle variant at test scale use

@@ -252,6 +252,16 @@ object LlmQueries {
         centroids = Some(cents))
     }),
 
+    "dedup_drop_embed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = ivfCentroids.computeIfAbsent((dir, 16, 3), _ =>
+        Similarity.trainIvfKMeans(e, "vec_id", "embedding",
+          nList = 16, iters = 3))
+      Similarity.dropNearDuplicatesByEmbedding(
+        e, "vec_id", "embedding", tau = 0.4, centroids = Some(cents))
+        .select("vec_id", "label")
+    }),
+
     "sample_bernoulli" -> ((s, dir) =>
       Sampling.bernoulliSample(docs(s, dir), "doc_id", 0.2, "graft")
         .select("doc_id", "lang", "n_chars")),
@@ -514,6 +524,27 @@ object LlmQueries {
     // near-dup pairs bucketed by the same trained cells
     "embed_cosine_pairs_ivf" -> ivfPairsOracleSql(
       nList = 16, iters = 3, dim = 64, tau = 0.4),
+
+    // semantic dedup end-to-end: IVF-bucketed cosine pairs → recursive
+    // min-label components → keep the smallest-id member per cluster
+    "dedup_drop_embed" ->
+      s"""WITH RECURSIVE ${ivfTrainCtes(16, 3, 64).stripPrefix("WITH ")},
+         |jp AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM nb a JOIN nb b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |gnodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM gnodes
+         |  UNION
+         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         |losers AS (SELECT id FROM reach GROUP BY id
+         |           HAVING min(lbl) != id)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     "embed_cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id,
