@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * batch UDF over binary payloads).
   *
   * The IMAGE path is a real codec: [[ImageCodec]] encodes/decodes/resizes
-  * genuine PNG bytes via pure-JDK `javax.imageio` (no external
-  * dependency). AUDIO/VIDEO codecs are NOT in this environment, so their
-  * decode step remains a clearly marked deterministic STUB (see
+  * genuine PNG bytes via pure-JDK `javax.imageio`. The AUDIO path is a
+  * real codec too: [[AudioCodec]] reads/writes genuine PCM WAV containers
+  * via pure-JDK `javax.sound.sampled`. Only VIDEO has no JDK codec, so
+  * its decode step remains a clearly marked deterministic STUB (see
   * [[FakeDecoder]]) — the Spark-side plumbing (schema, binary payloads,
   * typed mapPartitions batch shape, partitioning) is identical and real
   * for all three modalities.
@@ -47,12 +48,12 @@ object Multimodal {
       octet_length(col("payload")).cast("long").as("n_bytes"),
       sha2(col("payload"), 256).as("sha256"))
 
-  /** ─ STUB (audio/video only) ─ deterministic fake decoder. Images go
-    * through the REAL [[ImageCodec]]; for audio/video no JDK codec
-    * exists, so this derives plausible dimensions arithmetically from the
-    * byte length to keep the full pipeline (including the oracle)
-    * reproducible. Replace the body — nothing else — to integrate a real
-    * codec. */
+  /** ─ STUB (video only) ─ deterministic fake decoder. Images go through
+    * the REAL [[ImageCodec]] and audio through the REAL [[AudioCodec]];
+    * for video no JDK codec exists, so this derives plausible dimensions
+    * arithmetically from the byte length to keep the full pipeline
+    * (including the oracle) reproducible. Replace the body — nothing
+    * else — to integrate a real codec. */
   object FakeDecoder {
     def decode(r: MediaRow, sha: String): MediaMeta = {
       val n = r.payload.length.toLong
@@ -201,6 +202,95 @@ object Multimodal {
       javax.imageio.ImageIO.write(dst, "png", out)
       out.toByteArray
     }
+  }
+
+  /** Real pure-JDK WAV codec (`javax.sound.sampled` — in every JRE).
+    * PCM WAV only; that is what the JDK ships. Same role as
+    * [[ImageCodec]]: encode synthesizes fixture payloads, decode is the
+    * production stage. */
+  object AudioCodec {
+    /** Encode 16-bit mono PCM samples as a real WAV container. */
+    def encodeWav(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) { // little-endian to match the format
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode real WAV bytes → (sampleRate, channels, nFrames, exact sum
+      * of all 16-bit samples) — the audio analogue of
+      * [[ImageCodec.decode]]'s sample sum. */
+    def decode(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16, "16-bit PCM expected")
+        val data = in.readAllBytes()
+        var sum = 0L
+        var i = 0
+        val le = !fmt.isBigEndian
+        while (i + 1 < data.length) {
+          val lo = data(if (le) i else i + 1) & 0xff
+          val hi = data(if (le) i + 1 else i)
+          sum += (hi << 8) | lo // hi is sign-carrying
+          i += 2
+        }
+        (fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength, sum)
+      } finally in.close()
+    }
+  }
+
+  /** Decoded real-audio row: genuine format fields + exact sample sum. */
+  final case class AudioMeta(
+      doc_id: Long, sample_rate: Int, channels: Int, n_frames: Long,
+      sample_sum: Long)
+
+  /** Synthesize one real WAV payload per row — frame count, rate and a
+    * deterministic sample ramp derived from `doc_id`, so an oracle can
+    * state the expected decode output arithmetically while the bytes
+    * still make a genuine pass through the WAV container (same pattern
+    * as [[synthesizeImages]]). Ramp sum: sum_{i<n}((id + i) % 2000 - 1000)
+    * — SQL-expressible exactly. */
+  def synthesizeAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 100 + (id % 400).toInt
+          val rate = if (id % 2 == 0) 8000f else 16000f
+          val samples = Array.tabulate(n)(i =>
+            (((id + i) % 2000) - 1000).toShort)
+          (id, AudioCodec.encodeWav(samples, rate))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("modality", lit("audio/wav"))
+  }
+
+  /** REAL audio decode stage (`javax.sound.sampled` over binary
+    * payloads, partition-local batch shape). */
+  def decodeAudio(df: DataFrame): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (rate, ch, frames, sum) = AudioCodec.decode(bytes)
+          AudioMeta(id, rate, ch, frames, sum)
+        }
+      }
   }
 
   /** Decoded real-image row: genuine dimensions + exact sample sum. */

@@ -343,6 +343,14 @@ object LlmQueries {
       Multimodal.resizeImages(
         Multimodal.synthesizeImages(docs(s, dir), "doc_id"),
         targetW = 8, targetH = 8)
+        .toDF()),
+
+    // REAL WAV round-trip: javax.sound.sampled decode of genuinely
+    // encoded PCM containers; oracle states the synthesized ramp's
+    // format fields and exact sample sum
+    "mm_decode_audio" -> ((s, dir) =>
+      Multimodal.decodeAudio(
+        Multimodal.synthesizeAudio(docs(s, dir), "doc_id"))
         .toDF())
   )
 
@@ -755,6 +763,23 @@ object LlmQueries {
         |       8::INTEGER AS width, 8::INTEGER AS height,
         |       3::INTEGER AS channels,
         |       (8 * 8 * 3 * (doc_id % 256))::BIGINT AS px_sum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // WAV: n = 100 + id%400 frames of the ramp (id+i)%2000 - 1000 at
+    // 8k/16kHz mono — the decoder must recover rate, mono, frame count,
+    // and the exact ramp sum from the real container
+    "mm_decode_audio" ->
+      """WITH f AS (SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),
+        |s AS (SELECT f.doc_id, f.n,
+        |        sum((f.doc_id + i.i) % 2000 - 1000) AS ssum
+        |      FROM f, (SELECT unnest(range(0, 500)) AS i) i
+        |      WHERE i.i < f.n GROUP BY f.doc_id, f.n)
+        |SELECT doc_id,
+        |       (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END)::INTEGER
+        |         AS sample_rate,
+        |       1::INTEGER AS channels,
+        |       n::BIGINT AS n_frames,
+        |       ssum::BIGINT AS sample_sum
+        |FROM s""".stripMargin
   )
 }

@@ -350,6 +350,32 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("real WAV codec: encode → javax.sound decode round-trips exactly") {
+    val samples = Array.tabulate(250)(i => ((i * 37) % 2000 - 1000).toShort)
+    val bytes = Multimodal.AudioCodec.encodeWav(samples, 16000f)
+    // RIFF magic: a REAL container
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    val (rate, ch, frames, sum) = Multimodal.AudioCodec.decode(bytes)
+    assert((rate, ch, frames) == ((16000, 1, 250L)))
+    assert(sum == samples.map(_.toLong).sum)
+  }
+
+  test("real audio decode stage: distributed, exact, no shuffle") {
+    val meta = Multimodal.decodeAudio(
+      Multimodal.synthesizeAudio(docs.filter(col("doc_id") < 30), "doc_id"))
+    val rows = meta.collect()
+    assert(rows.length == 30)
+    rows.foreach { m =>
+      val n = 100 + (m.doc_id % 400)
+      assert(m.n_frames == n && m.channels == 1)
+      assert(m.sample_rate == (if (m.doc_id % 2 == 0) 8000 else 16000))
+      assert(m.sample_sum ==
+        (0L until n).map(i => (m.doc_id + i) % 2000 - 1000).sum)
+    }
+    assert(!meta.queryExecution.executedPlan.toString.contains("Exchange"),
+      "audio decode must not shuffle")
+  }
+
   test("stub decoder emits deterministic typed metadata, no shuffle") {
     // filter (not limit): limit injects a SinglePartition exchange of its
     // own, which would mask the property under test
