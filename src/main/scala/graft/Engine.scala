@@ -190,6 +190,27 @@ final class Engine(spark: SparkSession, config: EngineConfig = EngineConfig()) {
       .format("parquet").saveAsTable(name)
   }
 
+  /** CTAS with BUCKETED layout: rows are hash-distributed into
+    * `nBuckets` files per partition by `bucketCols`, and the catalog
+    * records it — equi-joins and aggregations on the bucket columns then
+    * read co-located buckets with NO shuffle on the bucketed side(s)
+    * (spec-asserted: zero Exchange in a bucketed⋈bucketed join plan).
+    * This is the standing answer to "this join shuffles 100 TB every
+    * run": pay the distribution once at write time, reuse it across
+    * every downstream stage. Pair same-bucketed tables (equal nBuckets,
+    * same keys) for the full effect. */
+  def createTableBucketed(
+      name: String, df: DataFrame, bucketCols: Seq[String],
+      nBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty && nBuckets > 0,
+      "bucketed CTAS needs bucket columns and a positive bucket count")
+    dropOrphanedLocation(name)
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet").saveAsTable(name)
+  }
+
   /** S4: create an empty Parquet table from a schema (ref: hive.py:413-419). */
   def createTable(name: String, schema: StructType): Unit = {
     dropOrphanedLocation(name)

@@ -499,6 +499,24 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // TPC-H Q18 shape: large-volume orders — big aggregate + HAVING,
+    // join back to the fact, broadcast customer dim, top-k. sum over
+    // integral quantities cast to long so the aggregate is order-exact.
+    "x_q18_big_orders" -> ((s, dir) => {
+      val big = lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      val o = Tables.read(s, dir, "orders")
+      val c = Tables.read(s, dir, "customer")
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+          col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
     // TPC-H Q5 shape: 6-way join, small dims broadcast, local-supplier
     // predicate (customer and supplier in the same nation).
     "x_q5_local_volume" -> ((s, dir) => {
@@ -747,6 +765,14 @@ object CoreQueries {
         |       count(*) FILTER (lang = 'es') AS es,
         |       count(*) FILTER (lang = 'zh') AS zh
         |FROM documents GROUP BY source""".stripMargin,
+    "x_q18_big_orders" ->
+      """SELECT c_name, o_orderkey, o_totalprice, sum_qty::BIGINT AS sum_qty
+        |FROM (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum_qty > 250) b
+        |JOIN orders ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 10""".stripMargin,
+
     "x_q3_shipping" ->
       """SELECT l_orderkey,
         |       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)

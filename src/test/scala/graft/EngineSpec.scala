@@ -102,6 +102,43 @@ class EngineSpec extends SparkSpec {
     assert(spark.conf.getOption("graft.test.overlay.only").isEmpty)
   }
 
+  test("bucketed CTAS: bucketed-bucketed equi-join plans with no shuffle") {
+    import org.apache.spark.sql.functions._
+    val eng = new Engine(spark)
+    val orders = Tables.read(spark, sf(), "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Tables.read(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_quantity")
+    eng.createTableBucketed("graft_bkt_orders", orders,
+      Seq("o_orderkey"), nBuckets = 4)
+    eng.createTableBucketed("graft_bkt_lineitem",
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      Seq("o_orderkey"), nBuckets = 4)
+    // at test scale the planner would broadcast the tiny side (which
+    // bypasses bucketing entirely); force the shuffle-join path — the
+    // 100 TB case where bucketing is the thing that saves the Exchange
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prior = thresholds.map(k => k -> spark.conf.getOption(k))
+    try {
+      thresholds.foreach(spark.conf.set(_, "-1"))
+      val j = spark.table("graft_bkt_orders")
+        .join(spark.table("graft_bkt_lineitem"), "o_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and it still computes the right thing
+      assert(j.count() ==
+        orders.join(lineitem,
+          orders("o_orderkey") === lineitem("l_orderkey")).count())
+    } finally {
+      prior.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      eng.dropTable("graft_bkt_orders")
+      eng.dropTable("graft_bkt_lineitem")
+    }
+  }
+
   test("partitioned CTAS lays out by date and scans prune partitions") {
     import org.apache.spark.sql.functions._
     val eng = new Engine(spark)
