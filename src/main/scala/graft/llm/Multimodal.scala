@@ -354,6 +354,86 @@ object Multimodal {
       }
   }
 
+  /** Real ISO-BMFF (MP4) BOX-STRUCTURE parser. The JDK has no video
+    * CODEC (frame decode stays [[FakeDecoder]]-stubbed), but the
+    * container format is pure byte arithmetic — `[u32 size][4cc type]`
+    * boxes — and parsing it is real work a video pipeline does before
+    * any decode: locating `mdat`, validating structure, sizing streams. */
+  object Mp4Box {
+    private def be32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    private def wr32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+
+    /** Minimal valid file: `ftyp(isom)` + one `mdat` with `payload`. */
+    def encode(payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      wr32(out, 16); out.write("ftyp".getBytes("US-ASCII"))
+      out.write("isom".getBytes("US-ASCII")); wr32(out, 0)
+      wr32(out, 8L + payload.length); out.write("mdat".getBytes("US-ASCII"))
+      out.write(payload)
+      out.toByteArray
+    }
+
+    /** Walk the top-level boxes → (types in order, total mdat payload
+      * bytes). Throws on truncated/overflowing structure — malformed
+      * containers must fail loudly, not decode garbage. */
+    def parse(bytes: Array[Byte]): (Seq[String], Long) = {
+      var off = 0
+      val types = Seq.newBuilder[String]
+      var mdat = 0L
+      while (off < bytes.length) {
+        require(off + 8 <= bytes.length, s"truncated box header at $off")
+        val size = be32(bytes, off)
+        val tpe = new String(bytes, off + 4, 4, "US-ASCII")
+        require(size >= 8 && off + size <= bytes.length,
+          s"box '$tpe' size $size overflows payload at $off")
+        types += tpe
+        if (tpe == "mdat") mdat += size - 8
+        off += size.toInt
+      }
+      (types.result(), mdat)
+    }
+  }
+
+  /** Parsed video-container row: real box walk results. */
+  final case class VideoMeta(
+      doc_id: Long, n_boxes: Int, box_types: String, mdat_bytes: Long)
+
+  /** Synthesize one real MP4-structured payload per row (mdat length
+    * derived from doc_id) — same oracle pattern as images/audio. */
+  def synthesizeVideo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 32 + (id % 991).toInt
+          val payload = Array.tabulate(n)(i => ((id + i) % 251).toByte)
+          (id, Mp4Box.encode(payload))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("modality", lit("video/mp4"))
+  }
+
+  /** REAL container-parse stage for video payloads (box walk; frame
+    * decode would follow and remains stubbed — no JDK video codec). */
+  def parseVideoContainers(df: DataFrame): Dataset[VideoMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (types, mdat) = Mp4Box.parse(bytes)
+          VideoMeta(id, types.length, types.mkString(","), mdat)
+        }
+      }
+  }
+
   /** One sampled frame of a (pretend-)video payload. */
   final case class Frame(
       doc_id: Long, frame_idx: Int, offset: Long, frame_sha: String)

@@ -351,6 +351,13 @@ object LlmQueries {
     "mm_decode_audio" -> ((s, dir) =>
       Multimodal.decodeAudio(
         Multimodal.synthesizeAudio(docs(s, dir), "doc_id"))
+        .toDF()),
+
+    // REAL MP4 box-structure round-trip (container parse; frame decode
+    // has no JDK codec and stays stubbed)
+    "mm_parse_video" -> ((s, dir) =>
+      Multimodal.parseVideoContainers(
+        Multimodal.synthesizeVideo(docs(s, dir), "doc_id"))
         .toDF())
   )
 
@@ -780,6 +787,13 @@ object LlmQueries {
         |       1::INTEGER AS channels,
         |       n::BIGINT AS n_frames,
         |       ssum::BIGINT AS sample_sum
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // box walk must find exactly ftyp+mdat and the synthesized mdat size
+    "mm_parse_video" ->
+      """SELECT doc_id, 2::INTEGER AS n_boxes,
+        |       'ftyp,mdat' AS box_types,
+        |       (32 + doc_id % 991)::BIGINT AS mdat_bytes
+        |FROM documents""".stripMargin
   )
 }

@@ -376,6 +376,25 @@ class LlmSpec extends SparkSpec {
       "audio decode must not shuffle")
   }
 
+  test("MP4 box parser: valid walk, loud failure on malformed structure") {
+    val bytes = Multimodal.Mp4Box.encode(Array.tabulate(100)(_.toByte))
+    val (types, mdat) = Multimodal.Mp4Box.parse(bytes)
+    assert(types == Seq("ftyp", "mdat") && mdat == 100)
+    // a truncated container must throw, not return garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.Mp4Box.parse(bytes.take(bytes.length - 10))
+    }
+    val meta = Multimodal.parseVideoContainers(
+      Multimodal.synthesizeVideo(docs.filter(col("doc_id") < 20), "doc_id"))
+    val rows = meta.collect()
+    assert(rows.length == 20)
+    rows.foreach { m =>
+      assert(m.box_types == "ftyp,mdat")
+      assert(m.mdat_bytes == 32 + m.doc_id % 991)
+    }
+    assert(!meta.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("stub decoder emits deterministic typed metadata, no shuffle") {
     // filter (not limit): limit injects a SinglePartition exchange of its
     // own, which would mask the property under test
