@@ -52,6 +52,18 @@ object ScaleProbe {
     Doc(nid, text, d.lang, d.source, text.length.toLong)
   }
 
+  final case class Ev(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Replica r of an event: same user (10× rows PER KEY — how event
+    * streams actually grow), new id, ts shifted r·7s, value jittered. */
+  private def shift(e: Ev, r: Int): Ev =
+    e.copy(
+      event_id = e.event_id * 10 + r,
+      ts = new java.sql.Timestamp(e.ts.getTime + r * 7000L),
+      value = e.value + (h(e.event_id, r.toLong) % 100L) / 100.0)
+
   private def jitter(e: Emb, r: Int): Emb = {
     val scale = if (r <= 1) 0.02f else 1.0f
     val vec = e.embedding.zipWithIndex.map { case (x, d) =>
@@ -83,6 +95,10 @@ object ScaleProbe {
         .flatMap(e => (0 until 10).map(jitter(e, _)))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      Tables.read(spark, baseDir, "events").as[Ev]
+        .flatMap(e => (0 until 10).map(shift(e, _)))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
 
     val family = Seq(
@@ -90,7 +106,10 @@ object ScaleProbe {
       "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
       "dedup_drop_near", "dedup_drop_embed", "knn_cosine_brute",
       "knn_lsh_bucketed", "knn_lsh_multiprobe", "knn_ivf",
-      "embed_cosine_pairs", "embed_cosine_pairs_ivf", "text_tfidf")
+      "embed_cosine_pairs", "embed_cosine_pairs_ivf", "text_tfidf",
+      // the FLAGSHIP family at 10× event density (same key cardinality)
+      "pull_latest_events", "j1_coarse_range", "pit_events_ttl1h",
+      "pit_native_asof", "w1_topk_per_key")
 
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
