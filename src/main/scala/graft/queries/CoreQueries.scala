@@ -499,6 +499,11 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // gap-based sessionization of the event stream (30-minute gap)
+    "x_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(
+        events(s, dir), "user_id", "ts", "event_id", gapSeconds = 1800)),
+
     // TPC-H Q18 shape: large-volume orders — big aggregate + HAVING,
     // join back to the fact, broadcast customer dim, top-k. sum over
     // integral quantities cast to long so the aggregate is order-exact.
@@ -765,6 +770,26 @@ object CoreQueries {
         |       count(*) FILTER (lang = 'es') AS es,
         |       count(*) FILTER (lang = 'zh') AS zh
         |FROM documents GROUP BY source""".stripMargin,
+    // integer-microsecond gap arithmetic + (ts, event_id) tie order make
+    // the session assignment bit-reproducible
+    "x_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                   > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |  FROM e)
+        |SELECT user_id, session_idx::BIGINT AS session_idx,
+        |       count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
     "x_q18_big_orders" ->
       """SELECT c_name, o_orderkey, o_totalprice, sum_qty::BIGINT AS sum_qty
         |FROM (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty

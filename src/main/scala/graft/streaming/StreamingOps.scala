@@ -146,6 +146,21 @@ object StreamingOps {
         featureCols.map(c => col(s"__best.$c").as(c)): _*)
   }
 
+  /** STREAMING sessionization: watermarked `session_window` aggregation —
+    * the streaming counterpart of batch [[graft.Sessionize]]. A session
+    * closes (and emits, append mode) once the watermark passes its end +
+    * gap; state per key is the open session only. */
+  def sessionCounts(
+      events: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+
   /** Internal union row for the stream-stream as-of join. */
   final case class SSRow(
       user_id: Long, ts: Timestamp, is_feature: Boolean, value: Double)

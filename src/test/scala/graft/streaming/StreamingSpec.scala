@@ -132,6 +132,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionCounts closes a session after the gap, splits on it") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamingOps.sessionCounts(
+      in.toDF(), "ts", "user_id", gap = "5 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").start()
+    try {
+      // two bursts 20 min apart -> two sessions for user 1
+      in.addData(
+        KeyedEvent(1, ts(0), 1), KeyedEvent(1, ts(3), 2),
+        KeyedEvent(1, ts(23), 3),
+        KeyedEvent(2, ts(1), 4))
+      q.processAllAvailable()
+      in.addData(KeyedEvent(9, ts(120), 0)) // advance the watermark
+      q.processAllAvailable()
+      val got = spark.table("sess_t")
+        .selectExpr("user_id", "n_events").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+      assert(got(1L) == Seq(1L, 2L), s"user 1 sessions: ${got(1L)}")
+      assert(got(2L) == Seq(1L))
+    } finally q.stop()
+  }
+
   test("stream-stream as-of: late-arriving features still enrich") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
