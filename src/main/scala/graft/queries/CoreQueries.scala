@@ -504,6 +504,11 @@ object CoreQueries {
       Sessionize.sessions(
         events(s, dir), "user_id", "ts", "event_id", gapSeconds = 1800)),
 
+    // ordered funnel: signup → view → purchase, per user in time order
+    "x_funnel" -> ((s, dir) =>
+      Funnel.funnel(events(s, dir), "user_id", "ts", "event_id",
+        "event_type", Seq("signup", "view", "purchase"))),
+
     // TPC-H Q18 shape: large-volume orders — big aggregate + HAVING,
     // join back to the fact, broadcast customer dim, top-k. sum over
     // integral quantities cast to long so the aggregate is order-exact.
@@ -770,6 +775,27 @@ object CoreQueries {
         |       count(*) FILTER (lang = 'es') AS es,
         |       count(*) FILTER (lang = 'zh') AS zh
         |FROM documents GROUP BY source""".stripMargin,
+    // stage walk = fold with an integer state; the VARCHAR-encoded
+    // accumulator works around DuckDB lists being homogeneous
+    "x_funnel" ->
+      """WITH o AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, list_reduce(
+        |    ['0'] || types,
+        |    (a, t) -> CASE
+        |      WHEN a::INT < 3 AND t = (['signup','view','purchase'])[a::INT + 1]
+        |        THEN (a::INT + 1)::VARCHAR
+        |      ELSE a END)::INT AS reached
+        |  FROM o),
+        |x AS (SELECT unnest(range(1, reached + 1)) AS stage_idx FROM r
+        |      WHERE reached >= 1)
+        |SELECT stage_idx::BIGINT AS stage_idx,
+        |       (['signup','view','purchase'])[stage_idx] AS stage,
+        |       count(*) AS n_keys
+        |FROM x GROUP BY stage_idx""".stripMargin,
+
     // integer-microsecond gap arithmetic + (ts, event_id) tie order make
     // the session assignment bit-reproducible
     "x_sessionize" ->
