@@ -20,6 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** Cohort retention: bucket each key by its FIRST-seen week (the
+    * cohort), then count distinct keys active in each later week —
+    * the (cohort_week, week_offset, n_keys) retention triangle.
+    *
+    * Weeks are integer epoch-week indices (`epoch_us // (7·86400·10^6)`)
+    * — pure integer arithmetic, no date-type drift. Plan: one
+    * distinct over (key, week), one min-per-key aggregation (broadcast-
+    * able — one row per key), one counting aggregation. All keyed
+    * shuffles. */
+  def retention(
+      df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val wk = floor(unix_micros(col(tsCol)) / lit(604800000000L))
+      .cast("long")
+    val active = df.select(col(keyCol), wk.as("week")).distinct()
+    val cohort = active.groupBy(col(keyCol))
+      .agg(min(col("week")).as("cohort_week"))
+    active.join(cohort, keyCol)
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   def funnel(
       df: DataFrame, keyCol: String, tsCol: String, tieBreakCol: String,
       typeCol: String, stages: Seq[String]): DataFrame = {

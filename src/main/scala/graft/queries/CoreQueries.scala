@@ -509,6 +509,10 @@ object CoreQueries {
       Funnel.funnel(events(s, dir), "user_id", "ts", "event_id",
         "event_type", Seq("signup", "view", "purchase"))),
 
+    // weekly cohort retention triangle over the event stream
+    "x_retention" -> ((s, dir) =>
+      Funnel.retention(events(s, dir), "user_id", "ts")),
+
     // TPC-H Q18 shape: large-volume orders — big aggregate + HAVING,
     // join back to the fact, broadcast customer dim, top-k. sum over
     // integral quantities cast to long so the aggregate is order-exact.
@@ -775,6 +779,17 @@ object CoreQueries {
         |       count(*) FILTER (lang = 'es') AS es,
         |       count(*) FILTER (lang = 'zh') AS zh
         |FROM documents GROUP BY source""".stripMargin,
+    // integer epoch-week indices — no date-type drift across engines
+    "x_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             epoch_us(ts) // 604800000000 AS week
+        |           FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1)
+        |SELECT c.cohort_week, (a.week - c.cohort_week) AS week_offset,
+        |       count(*) AS n_keys
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
     // stage walk = fold with an integer state; the VARCHAR-encoded
     // accumulator works around DuckDB lists being homogeneous
     "x_funnel" ->
