@@ -92,7 +92,16 @@ object Example {
     budget.show()
     mixed.groupBy("mixture_source").count().show()
 
-    // 7. Materialize features into an online store and point-read it —
+    // 7. Event analytics over the same stream: sessions, funnel,
+    //    retention — all single-shuffle keyed plans.
+    println("— sessions / funnel / retention —")
+    val ev = Tables.read(spark, dir, "events")
+    Sessionize.sessions(ev, "user_id", "ts", "event_id", 1800)
+      .orderBy("user_id", "session_idx").show(3)
+    Funnel.funnel(ev, "user_id", "ts", "event_id", "event_type",
+      Seq("signup", "view", "purchase")).orderBy("stage_idx").show()
+
+    // 8. Materialize features into an online store and point-read it —
     //    the offline/online consistency loop (see ConsistencySpec).
     println("— materialize + online point read —")
     val mat = new Materializer(spark, view)
