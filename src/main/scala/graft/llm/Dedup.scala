@@ -300,6 +300,50 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** TEST-SET DECONTAMINATION — the pipeline stage between dedup and
+    * training: score each corpus doc by the fraction of its n-gram
+    * shingles that appear ANYWHERE in a benchmark/eval set, so
+    * evaluation data (and its near-copies) can be dropped from the
+    * training corpus instead of inflating the benchmark.
+    *
+    * Plan: corpus shingles exploded once (the shared shuffle-free
+    * shingle pipeline), benchmark shingles collapsed to a DISTINCT
+    * relation (vocabulary-sized ≪ corpus — broadcast-able), one
+    * shingle-keyed equi-join + per-doc count. Output:
+    * (doc_id, n_shingles, n_overlap, contamination ∈ [0,1]).
+    * Docs with no shingles (shorter than n words) are skipped — they
+    * carry no n-gram evidence either way. */
+  def contaminationScores(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val cSh = shingleSets(corpus, idCol, textCol, n)
+      .filter(size(col("s32")) > 0)
+    val bSh = shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("s32")).as("g")).distinct()
+    val overlap = cSh.select(col("doc_id"), explode(col("s32")).as("g"))
+      .join(bSh, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    cSh.select(col("doc_id"), size(col("s32")).as("n_shingles"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("contamination"))
+  }
+
+  /** Drop corpus docs whose [[contaminationScores]] fraction is ≥ `tau`
+    * (benchmark members themselves score 1.0 when present). */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      tau: Double = 0.8): DataFrame = {
+    val flagged = contaminationScores(corpus, benchmark, idCol, textCol, n)
+      .filter(col("contamination") >= tau)
+      .select(col("doc_id").as("__graft_contam"))
+    corpus.join(broadcast(flagged),
+      col(idCol) === col("__graft_contam"), "left_anti")
+  }
+
   /** End-to-end near-dup dedup MATERIALIZATION: the input rows minus
     * non-representative cluster members — i.e. each near-dup cluster
     * keeps exactly its smallest-id document, everything unclustered

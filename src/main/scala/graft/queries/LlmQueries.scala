@@ -252,6 +252,20 @@ object LlmQueries {
         centroids = Some(cents))
     }),
 
+    // decontamination vs a benchmark stand-in (the doc_id % 97 slice)
+    "dedup_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d, d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, tau = 0.8)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
+    "dedup_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationScores(d, d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+    }),
+
     "dedup_drop_embed" -> ((s, dir) => {
       val e = emb(s, dir)
       val cents = ivfCentroids.computeIfAbsent((dir, 16, 3), _ =>
@@ -539,6 +553,38 @@ object LlmQueries {
     // near-dup pairs bucketed by the same trained cells
     "embed_cosine_pairs_ivf" -> ivfPairsOracleSql(
       nList = 16, iters = 3, dim = 64, tau = 0.4),
+
+    // contamination = fraction of a doc's distinct shingles present in
+    // the benchmark slice's shingle vocabulary
+    "dedup_contamination" ->
+      s"""WITH $DocsCte, ${shCte32(3)},
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh
+         |       WHERE doc_id % 97 = 0),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh2),
+         |ov AS (SELECT ex.doc_id, count(*) AS n_overlap
+         |       FROM ex JOIN bg USING (g) GROUP BY 1)
+         |SELECT t.doc_id, len(t.s) AS n_shingles,
+         |       COALESCE(ov.n_overlap, 0) AS n_overlap,
+         |       round(COALESCE(ov.n_overlap, 0)::DOUBLE / len(t.s), 6)
+         |         AS contamination
+         |FROM sh2 t LEFT JOIN ov USING (doc_id)""".stripMargin,
+
+    // filter on the ROUNDED score — matches the Spark side exactly
+    "dedup_decontaminate" ->
+      s"""WITH $DocsCte, ${shCte32(3)},
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh
+         |       WHERE doc_id % 97 = 0),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh2),
+         |ov AS (SELECT ex.doc_id, count(*) AS n_overlap
+         |       FROM ex JOIN bg USING (g) GROUP BY 1),
+         |flagged AS (
+         |  SELECT t.doc_id FROM sh2 t LEFT JOIN ov USING (doc_id)
+         |  WHERE round(COALESCE(ov.n_overlap, 0)::DOUBLE / len(t.s), 6)
+         |        >= 0.8)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
 
     // semantic dedup end-to-end: IVF-bucketed cosine pairs → recursive
     // min-label components → keep the smallest-id member per cluster

@@ -376,6 +376,21 @@ class LlmSpec extends SparkSpec {
       "audio decode must not shuffle")
   }
 
+  test("decontamination drops benchmark members, keeps zero-overlap docs") {
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    val clean = Dedup.decontaminate(docs, bench, "doc_id", "text")
+    val cleanIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(benchIds.intersect(cleanIds).isEmpty,
+      "benchmark members score 1.0 and must be dropped")
+    assert(cleanIds.size < docs.count(), "something must be dropped")
+    val scores = Dedup.contaminationScores(docs, bench, "doc_id", "text")
+    val zeros = scores.filter(col("contamination") === 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(zeros.nonEmpty && zeros.subsetOf(cleanIds),
+      "docs sharing no shingles with the benchmark must survive")
+  }
+
   test("MP4 box parser: valid walk, loud failure on malformed structure") {
     val bytes = Multimodal.Mp4Box.encode(Array.tabulate(100)(_.toByte))
     val (types, mdat) = Multimodal.Mp4Box.parse(bytes)
