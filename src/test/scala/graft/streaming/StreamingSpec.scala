@@ -218,6 +218,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream as-of equals the batch flagship on the same data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // randomized-but-seeded data, interleaved arrival order
+    val rnd = new scala.util.Random(7)
+    val feats = Seq.tabulate(30)(i =>
+      KeyedEvent(rnd.nextInt(4).toLong, ts(rnd.nextInt(40)), i.toDouble))
+    val ents = Seq.tabulate(20)(i =>
+      KeyedEvent(rnd.nextInt(5).toLong, ts(rnd.nextInt(40)), 100.0 + i))
+
+    val eIn = MemoryStream[KeyedEvent]
+    val fIn = MemoryStream[KeyedEvent]
+    // 1-hour watermark delay: the interleaved chunks below are in-order
+    // WITHIN the contract (nothing is late until the final sentinel
+    // advances the watermark past everything) — arrival order across
+    // the two streams is then provably irrelevant
+    val q = StreamingOps.enrichAsOfStreamStream(
+      eIn.toDS(), fIn.toDS(), ttlSeconds = 600, watermark = "1 hour")
+      .writeStream.format("memory").queryName("ss_vs_batch")
+      .outputMode("append").start()
+    try {
+      // features arrive in two chunks AFTER some entities — arrival
+      // order must not matter
+      eIn.addData(ents.take(10): _*)
+      q.processAllAvailable()
+      fIn.addData(feats.take(15): _*)
+      eIn.addData(ents.drop(10): _*)
+      q.processAllAvailable()
+      fIn.addData(feats.drop(15): _*)
+      q.processAllAvailable()
+      eIn.addData(KeyedEvent(99, ts(600), 0)) // advance both watermarks
+      fIn.addData(KeyedEvent(99, ts(600), 0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("ss_vs_batch")
+        .as[StreamingOps.EnrichedEvent].collect()
+        .filter(_.user_id != 99L)
+        .map(e => (e.user_id, e.ts.getTime, e.value, e.feature))
+        .sorted.toSeq
+
+      // batch flagship over identical rows. The stream-stream tie rule
+      // (same feature ts → larger value) maps to tieBreakColumns=value.
+      feats.toDF("user_id", "fts", "fval")
+        .createOrReplaceTempView("ssb_feats")
+      val fv = graft.model.FeatureView("f", Seq("user_id"),
+        graft.sources.FeatureSource(table = Some("ssb_feats"),
+          eventTimestampColumn = "fts"),
+        features = Seq("fval"), ttlSeconds = 600,
+        tieBreakColumns = Seq("fval"))
+      val batch = graft.PointInTime.getHistoricalFeatures(
+        ents.toDF("user_id", "ts", "value")
+          .withColumnRenamed("ts", "event_timestamp"),
+        Seq(fv), entityTsCol = "event_timestamp")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("event_timestamp").getTime,
+          r.getAs[Double]("value"),
+          Option(r.getAs[Any]("fval")).map(_.asInstanceOf[Double])))
+        .sorted.toSeq
+
+      assert(streamed == batch,
+        s"stream-stream != batch\nstream: $streamed\nbatch:  $batch")
+    } finally q.stop()
+  }
+
   test("enrichAsOf rejects columns colliding with internal __f_* names") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
