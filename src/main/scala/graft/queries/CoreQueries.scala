@@ -513,6 +513,20 @@ object CoreQueries {
     "x_retention" -> ((s, dir) =>
       Funnel.retention(events(s, dir), "user_id", "ts")),
 
+    // inter-event gap stats per user: lag over a keyed window, then an
+    // all-integer aggregate (sum/max of microsecond gaps — no FP means)
+    "x_event_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum("gap_us").as("sum_gap_us"),
+          max("gap_us").as("max_gap_us"))
+    }),
+
     // TPC-H Q18 shape: large-volume orders — big aggregate + HAVING,
     // join back to the fact, broadcast customer dim, top-k. sum over
     // integral quantities cast to long so the aggregate is order-exact.
@@ -779,6 +793,16 @@ object CoreQueries {
         |       count(*) FILTER (lang = 'es') AS es,
         |       count(*) FILTER (lang = 'zh') AS zh
         |FROM documents GROUP BY source""".stripMargin,
+    "x_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |       sum(gap_us)::BIGINT AS sum_gap_us, max(gap_us) AS max_gap_us
+        |FROM g GROUP BY 1""".stripMargin,
+
     // integer epoch-week indices — no date-type drift across engines
     "x_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
