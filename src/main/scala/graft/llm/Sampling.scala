@@ -78,6 +78,26 @@ object Sampling {
       .drop("__graft_uk")
   }
 
+  /** TOKEN-BUDGET sample: keep a deterministic subset whose token count
+    * lands at ≈`budget` — how training mixtures are actually sized (by
+    * tokens, not documents). Two passes, both scale-correct: (1) one
+    * scalar aggregate for the corpus token total (the only driver
+    * value), (2) a Bernoulli keep at fraction `budget/total`. No global
+    * sort, no cumulative window — the alternative "sort by hash, take
+    * until the running sum hits the budget" needs a single-partition
+    * scan at exactly the corpus sizes where budgets matter. The kept
+    * token count concentrates tightly around `budget` (Bernoulli over
+    * many docs); same-seed monotonicity in `budget` is inherited from
+    * [[bernoulliSample]]. */
+  def tokenBudgetSample(
+      df: DataFrame, idCol: String, tokensCol: String, budget: Long,
+      seed: String = "graft"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val total = df.agg(sum(col(tokensCol).cast("long"))).head().getLong(0)
+    val fraction = math.min(1.0, budget.toDouble / total)
+    bernoulliSample(df, idCol, fraction, seed)
+  }
+
   /** Weighted mixture of sources: label each source, Bernoulli-downsample
     * each to its weight, and union — the "mix 30% web + 70% books"
     * pipeline stage. Weights are per-source KEEP FRACTIONS (each in

@@ -288,6 +288,12 @@ object LlmQueries {
       Sampling.uniformK(docs(s, dir), "doc_id", 25, "graft")
         .select("doc_id", "lang", "n_chars")),
 
+    // ~30k chars of the corpus, sized by the two-pass budget fraction
+    "sample_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSample(docs(s, dir), "doc_id", "n_chars",
+        budget = 30000, seed = "graft")
+        .select("doc_id", "lang", "n_chars")),
+
     "sample_mixture" -> ((s, dir) => {
       val d = docs(s, dir)
       Sampling.mixture(Seq(
@@ -629,6 +635,17 @@ object LlmQueries {
       s"""SELECT doc_id, lang, n_chars FROM documents
          |ORDER BY ${h32("'graft:' || CAST(doc_id AS VARCHAR)")}, doc_id
          |LIMIT 25""".stripMargin,
+
+    // identical IEEE steps as the Spark side: exact integer total →
+    // double fraction → ×2^32 → floor (Scala toLong truncates; floor
+    // matches for positives — DuckDB's ::BIGINT cast would ROUND)
+    "sample_token_budget" ->
+      s"""WITH t AS (SELECT sum(CAST(n_chars AS BIGINT))::BIGINT AS total
+         |           FROM documents),
+         |th AS (SELECT floor(least(1.0, 30000::DOUBLE / total::DOUBLE)
+         |                    * 4294967296.0)::BIGINT AS thr FROM t)
+         |SELECT doc_id, lang, n_chars FROM documents, th
+         |WHERE ${h32("'graft:' || CAST(doc_id AS VARCHAR)")} < thr""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM (

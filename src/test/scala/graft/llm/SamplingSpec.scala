@@ -66,6 +66,22 @@ class SamplingSpec extends SparkSpec {
     assert(a.subsetOf(bigger), "growing k must only add rows")
   }
 
+  test("tokenBudgetSample lands near the budget, monotone, full at cap") {
+    val total = docs.agg(sum(col("n_chars"))).head().getLong(0)
+    val kept = Sampling.tokenBudgetSample(docs, "doc_id", "n_chars", 30000)
+    val keptTokens = kept.agg(sum(col("n_chars"))).head().getLong(0)
+    // Bernoulli concentration: within 35% of the budget at this corpus size
+    assert(math.abs(keptTokens - 30000) < 30000 * 0.35,
+      s"kept $keptTokens of a 30000 budget (total $total)")
+    val small = Sampling.tokenBudgetSample(docs, "doc_id", "n_chars", 15000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(ids), "growing the budget must only add docs")
+    // budget >= total keeps everything
+    val all = Sampling.tokenBudgetSample(docs, "doc_id", "n_chars", total * 2)
+    assert(all.count() == docs.count())
+  }
+
   test("bernoulliSql escapes quotes in seeds (mixture derives them from names)") {
     val sql = Sampling.bernoulliSql("doc_id", 0.5, "it's a 'seed'")
     assert(sql.contains("'it''s a ''seed'':'"), sql)
