@@ -98,6 +98,34 @@ object Sampling {
     bernoulliSample(df, idCol, fraction, seed)
   }
 
+  /** SEQUENCE PACKING: assign every document a position in a stream of
+    * fixed-length training sequences — the concat-and-split layout
+    * pretraining actually uses (documents flow across sequence
+    * boundaries; `seq_idx`/`start_offset` say where each doc's tokens
+    * land). Output: input row + (bucket, seq_idx, start_offset).
+    *
+    * Deterministic AND distributed: docs are hash-assigned to `nBuckets`
+    * independent packing streams, ordered inside each by (hash, id), and
+    * positioned by an exclusive running token sum — one bucket-keyed
+    * window, no global sort, repartition-invariant. One stream per
+    * bucket is exactly how a sharded tokenizer writes its output files.
+    * All arithmetic is integer (driver-gated oracle). */
+  def packSequences(
+      df: DataFrame, idCol: String, tokensCol: String, seqLen: Long,
+      nBuckets: Int = 256, seed: String = "graft"): DataFrame = {
+    require(seqLen > 0 && nBuckets > 0, "seqLen and nBuckets must be positive")
+    val key = selKey(col(idCol), seed)
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(key, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bucket", pmod(key, lit(nBuckets.toLong)))
+      .withColumn("__graft_cum",
+        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+      .withColumn("seq_idx", floor(col("__graft_cum") / seqLen).cast("long"))
+      .withColumn("start_offset", col("__graft_cum") % seqLen)
+      .drop("__graft_cum")
+  }
+
   /** Weighted mixture of sources: label each source, Bernoulli-downsample
     * each to its weight, and union — the "mix 30% web + 70% books"
     * pipeline stage. Weights are per-source KEEP FRACTIONS (each in

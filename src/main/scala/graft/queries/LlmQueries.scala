@@ -294,6 +294,12 @@ object LlmQueries {
         budget = 30000, seed = "graft")
         .select("doc_id", "lang", "n_chars")),
 
+    // pack the corpus into 2048-token sequences across 8 streams
+    "sample_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(docs(s, dir), "doc_id", "n_chars",
+        seqLen = 2048, nBuckets = 8, seed = "graft")
+        .select("doc_id", "bucket", "seq_idx", "start_offset")),
+
     "sample_mixture" -> ((s, dir) => {
       val d = docs(s, dir)
       Sampling.mixture(Seq(
@@ -635,6 +641,24 @@ object LlmQueries {
       s"""SELECT doc_id, lang, n_chars FROM documents
          |ORDER BY ${h32("'graft:' || CAST(doc_id AS VARCHAR)")}, doc_id
          |LIMIT 25""".stripMargin,
+
+    // exclusive running token sum inside each hash bucket — pure
+    // integer window arithmetic
+    "sample_pack_sequences" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n,
+         |         ${h32("'graft:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, h % 8 AS bucket,
+         |         COALESCE(sum(n) OVER (
+         |           PARTITION BY h % 8 ORDER BY h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cum
+         |  FROM b)
+         |SELECT doc_id, bucket, (cum // 2048)::BIGINT AS seq_idx,
+         |       (cum % 2048)::BIGINT AS start_offset
+         |FROM c""".stripMargin,
 
     // identical IEEE steps as the Spark side: exact integer total →
     // double fraction → ×2^32 → floor (Scala toLong truncates; floor

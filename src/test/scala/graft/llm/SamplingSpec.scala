@@ -82,6 +82,31 @@ class SamplingSpec extends SparkSpec {
     assert(all.count() == docs.count())
   }
 
+  test("packSequences: gapless within buckets, repartition-invariant") {
+    def packed(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, "doc_id", "n_chars", seqLen = 512,
+        nBuckets = 4)
+        .select("doc_id", "bucket", "seq_idx", "start_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val a = packed(docs)
+    assert(a == packed(docs.repartition(7)),
+      "packing must not depend on physical layout")
+    // positions are gapless: within a bucket, global offsets
+    // (seq_idx·512 + start_offset) are exactly the exclusive running sum
+    val byDoc = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.groupBy(_._2).values.foreach { bucketRows =>
+      val inOrder = bucketRows.sortBy(r => r._3 * 512 + r._4)
+      var cum = 0L
+      inOrder.foreach { case (id, _, seqIdx, off) =>
+        assert(seqIdx * 512 + off == cum,
+          s"doc $id expected global offset $cum, got ${seqIdx * 512 + off}")
+        cum += byDoc(id)
+      }
+    }
+  }
+
   test("bernoulliSql escapes quotes in seeds (mixture derives them from names)") {
     val sql = Sampling.bernoulliSql("doc_id", 0.5, "it's a 'seed'")
     assert(sql.contains("'it''s a ''seed'':'"), sql)
