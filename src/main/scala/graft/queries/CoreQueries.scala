@@ -527,6 +527,25 @@ object CoreQueries {
           max("gap_us").as("max_gap_us"))
     }),
 
+    // TPC-H Q4 shape: EXISTS ⇒ LEFT SEMI join with a cross-table
+    // residual — orders with at least one late shipment (> 60 days
+    // after ordering), counted per priority. The semi join never
+    // duplicates or widens order rows; the fact side is consumed
+    // existence-only.
+    "x_q4_late_orders" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(Timestamp.valueOf("1997-01-01 00:00:00")))
+      val l = lineitem(s, dir)
+      o.join(l,
+          o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // TPC-H Q18 shape: large-volume orders — big aggregate + HAVING,
     // join back to the fact, broadcast customer dim, top-k. sum over
     // integral quantities cast to long so the aggregate is order-exact.
@@ -854,6 +873,17 @@ object CoreQueries {
         |       count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "x_q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "x_q18_big_orders" ->
       """SELECT c_name, o_orderkey, o_totalprice, sum_qty::BIGINT AS sum_qty
