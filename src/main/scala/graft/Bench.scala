@@ -82,5 +82,13 @@ object Bench {
     } catch { case _: Throwable => () }
     println(line)
     spark.stop()
+    // Compact totals-only object as the very LAST stdout line (after
+    // spark.stop() so no shutdown logging can follow it): the driver's
+    // tail window truncated the full per-query line in r3 AND r4
+    // ("parsed": null). This one is ~120 bytes and always fits.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nerr,"sf":"$sfDir","reps":$reps,"n_queries":${results.size}}"""
+    println(compact)
+    System.out.flush()
   }
 }

@@ -190,6 +190,18 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Default IVF cell count as a function of corpus size: `⌈√N⌉`
+    * (floored at 16) keeps expected cell OCCUPANCY at √N, so same-cell
+    * candidate work per probe grows as √N instead of linearly — the
+    * standard IVF sizing. A fixed nList makes cells denser as the corpus
+    * grows (the 100× probe measured 6.2×/decade on knn_ivf with
+    * nList=16 at 200k vectors). Mirrored in the oracle as a scalar
+    * subquery (`greatest(16, ceil(sqrt(count(*))))`) — both sides take
+    * `ceil(sqrt)` of an exact integer count, which is deterministic
+    * IEEE arithmetic, so the engines derive the identical cell count. */
+  def defaultNList(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   /** Fixed-point quantization scale for k-means training: vectors enter
     * the training space as `floor(x · 2^20)`. Every training-time sum is
     * then an exact long — ORDER-INDEPENDENT — so Spark's distributed
