@@ -300,6 +300,70 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** (id, rep) map for EXACT-duplicate pre-contraction: rep = the smallest
+    * doc id sharing the doc's md5(normalized text). Exact-dup groups are
+    * CLIQUES in any near-dup pair graph with τ ≤ 1 (identical text ⇒
+    * identical shingle sets ⇒ jaccard 1.0), so their internal edges add
+    * CC rounds and shuffle volume but zero connectivity information. */
+  private def exactRepMap(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), md5(normText(col(textCol))).as("__h"))
+      .withColumn("rep", min("id").over(Window.partitionBy("__h")))
+      .select("id", "rep")
+
+  /** [[connectedComponents]] with CLIQUE PRE-CONTRACTION: nodes known to
+    * be mutually connected (exact duplicates, via `repMap: (id, rep)`)
+    * are collapsed to their representative BEFORE the iterative CC, and
+    * the component labels fan back out afterwards. On a duplicate-heavy
+    * corpus (the regime where near-dup dedup matters) this shrinks the
+    * CC input by the duplicate factor — the 100× stress probe's dup-soup
+    * graph is near-complete, and a complete subgraph of k exact copies
+    * contributes k·(k-1)/2 edges that propagation would otherwise chew
+    * through every round.
+    *
+    * Lossless: contracting edges between already-connected nodes
+    * preserves components, and because each rep IS the min id of its
+    * clique, the contracted component's min-label equals the original
+    * component's min doc id. Docs whose clique has no external edge get
+    * their rep as the label directly. */
+  def connectedComponentsContracted(
+      pairs: DataFrame, aCol: String, bCol: String,
+      repMap: DataFrame, maxIter: Int = 50): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+    // every pair-graph node's representative (itself when not an exact dup)
+    val nr = org.apache.spark.sql.GraftSql.persistedView(
+      nodes.join(repMap, Seq("id"), "left")
+        .select(col("id"), coalesce(col("rep"), col("id")).as("rep")))
+    val contracted = pairs
+      .join(nr.select(col("id").as(aCol), col("rep").as("__ra")), aCol)
+      .join(nr.select(col("id").as(bCol), col("rep").as("__rb")), bCol)
+      .filter(col("__ra") =!= col("__rb")) // clique-internal edges vanish
+      .select(col("__ra"), col("__rb")).distinct()
+    val cc = connectedComponents(contracted, "__ra", "__rb", maxIter)
+      .select(col("doc_id").as("rep"), col("cluster_id"))
+    // fan out: clique members inherit their rep's component label; cliques
+    // with no external edges ARE their own component, labeled by the rep
+    val out = nr.join(cc, Seq("rep"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+      .localCheckpoint() // materialize before releasing nr's storage
+    org.apache.spark.sql.GraftSql.unpersistCheckpoint(nr)
+    out
+  }
+
+  /** Near-dup cluster assignment over the exact-Jaccard pair graph with
+    * exact-dup cliques pre-contracted — the production path behind
+    * `dedup_clusters` and [[dropNearDuplicates]]. Identical output to
+    * `connectedComponents(jaccardShinglePairs(...))`, cheaper on
+    * duplicate-heavy corpora. */
+  def nearDupClusters(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.5): DataFrame =
+    connectedComponentsContracted(
+      jaccardShinglePairs(df, idCol, textCol, n, tau),
+      "id_a", "id_b", exactRepMap(df, idCol, textCol))
+
   /** TEST-SET DECONTAMINATION — the pipeline stage between dedup and
     * training: score each corpus doc by the fraction of its n-gram
     * shingles that appear ANYWHERE in a benchmark/eval set, so
@@ -357,8 +421,7 @@ object Dedup {
   def dropNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5): DataFrame = {
-    val clusters = connectedComponents(
-      jaccardShinglePairs(df, idCol, textCol, n, tau), "id_a", "id_b")
+    val clusters = nearDupClusters(df, idCol, textCol, n, tau)
     val losers = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("__graft_loser"))

@@ -235,10 +235,8 @@ object LlmQueries {
       Dedup.simHashPairs(docs(s, dir), "doc_id", "text", hammingMax = 3)),
 
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.connectedComponents(
-        Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
-          n = 3, tau = 0.5),
-        "id_a", "id_b")),
+      Dedup.nearDupClusters(docs(s, dir), "doc_id", "text",
+        n = 3, tau = 0.5)),
 
     "dedup_drop_near" -> ((s, dir) =>
       Dedup.dropNearDuplicates(docs(s, dir), "doc_id", "text",

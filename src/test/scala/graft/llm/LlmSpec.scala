@@ -77,6 +77,42 @@ class LlmSpec extends SparkSpec {
     clusters.values.foreach(c => assert(clusters(c) == c))
   }
 
+  test("clique-contracted CC equals plain CC on real docs") {
+    val plain = Dedup.connectedComponents(
+      Dedup.jaccardShinglePairs(docs, "doc_id", "text", 3, 0.5),
+      "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val contracted = Dedup.nearDupClusters(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain.nonEmpty)
+    assert(contracted == plain)
+  }
+
+  test("contracted CC handles isolated exact cliques and mixed components") {
+    import spark.implicits._
+    // docs 1,2,3: one exact clique with NO external near-dup edge (must
+    // still come out labeled, all with cluster_id 1). docs 10,11 exact
+    // dups; doc 12 a near-dup of 11 only (template suffix): the clique's
+    // external edge must carry 12 into cluster 10.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val alt = "completely different text about graph contraction semantics here yes"
+    val df = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (10L, alt), (11L, alt), (12L, alt + " extra"),
+      (99L, "an unrelated singleton document with no duplicate partner at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupClusters(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Dedup.connectedComponents(
+      Dedup.jaccardShinglePairs(df, "doc_id", "text", 3, 0.5),
+      "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L && got(12L) == 10L)
+    assert(!got.contains(99L), "singletons stay out of the cluster relation")
+  }
+
   test("IVF kNN sims agree exactly with brute force where visible") {
     val queries = emb.filter(col("vec_id") % 100 === 0)
     val brute = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 50)
