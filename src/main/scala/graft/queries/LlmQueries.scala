@@ -176,6 +176,21 @@ object LlmQueries {
        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $tau""".stripMargin
 
+  /** Per-doc pair-emission cap (mirror of `Dedup.capPairsPerDoc`): keep a
+    * pair when either endpoint ranks it in its top `k` by
+    * (rounded sim DESC, neighbor id ASC) — the identical total order the
+    * Spark-side bounded aggregator uses, so capping is deterministic
+    * cross-engine. `jpName` must expose (id_a, id_b, `simCol`). */
+  private def capSql(
+      jpName: String, simCol: String, k: Int, outCols: String): String =
+    s"""ce AS (SELECT id_a AS d, id_b AS o, $simCol AS s FROM $jpName
+       |      UNION ALL SELECT id_b, id_a, $simCol FROM $jpName),
+       |cr AS (SELECT d, o, row_number() OVER (
+       |         PARTITION BY d ORDER BY s DESC, o) AS rk FROM ce),
+       |ckeep AS (SELECT DISTINCT least(d, o) AS id_a, greatest(d, o) AS id_b
+       |          FROM cr WHERE rk <= $k)
+       |SELECT $outCols FROM $jpName JOIN ckeep USING (id_a, id_b)""".stripMargin
+
   /** Exact jaccard pairs at tau=0.5 (needs docs+sh CTEs in scope); ends in
     * `jp(id_a, id_b, inter, size_a, size_b, jaccard)` — shared by the
     * pair and cluster oracles. */
@@ -226,6 +241,14 @@ object LlmQueries {
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
         n = 3, tau = 0.5)),
+
+    // bounded-emission variant: each doc keeps its 2 best pairs (union
+    // over endpoints) — output linear in the corpus even on dup-soup
+    "dedup_jaccard_pairs_capped" -> ((s, dir) =>
+      Dedup.capPairsPerDoc(
+        Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+          n = 3, tau = 0.5),
+        "jaccard", k = 2)),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
@@ -281,6 +304,14 @@ object LlmQueries {
       val e = emb(s, dir)
       Similarity.cosinePairsIvf(e, "vec_id", "embedding", tau = 0.4,
         centroids = Some(trainedCentroids(s, dir)))
+    }),
+
+    "embed_cosine_pairs_capped" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Dedup.capPairsPerDoc(
+        Similarity.cosinePairsIvf(e, "vec_id", "embedding", tau = 0.4,
+          centroids = Some(trainedCentroids(s, dir))),
+        "sim", k = 2)
     }),
 
     // decontamination vs a benchmark stand-in (the doc_id % 97 slice)
@@ -434,6 +465,21 @@ object LlmQueries {
     "dedup_jaccard_pairs" ->
       s"""WITH $DocsCte, ${shCte32(3)}, $JaccardCtes
          |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM jp""".stripMargin,
+
+    "dedup_jaccard_pairs_capped" ->
+      s"""WITH $DocsCte, ${shCte32(3)}, $JaccardCtes,
+         |${capSql("jp", "jaccard", 2,
+            "id_a, id_b, inter, size_a, size_b, jaccard")}""".stripMargin,
+
+    "embed_cosine_pairs_capped" ->
+      s"""${ivfTrainCtes(3, 64)},
+         |jp AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS sim
+         |  FROM nb a JOIN nb b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4),
+         |${capSql("jp", "sim", 2, "id_a, id_b, sim")}""".stripMargin,
 
     // connected components over the jaccard pair graph: min reachable id.
     // The recursive CTE materializes (node, reachable-label) tuples —

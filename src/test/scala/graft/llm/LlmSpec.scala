@@ -77,6 +77,26 @@ class LlmSpec extends SparkSpec {
     clusters.values.foreach(c => assert(clusters(c) == c))
   }
 
+  test("capPairsPerDoc bounds dup-soup output, keeps every doc attached") {
+    import spark.implicits._
+    // 30 identical docs → a complete pair graph: 30·29/2 = 435 pairs
+    val soup = (1L to 30L)
+      .map(i => (i, "many copies of this exact same sentence for the test"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardShinglePairs(soup, "doc_id", "text", 3, 0.5)
+    assert(pairs.count() == 435)
+    val capped = Dedup.capPairsPerDoc(pairs, "jaccard", k = 2)
+    val n = capped.count()
+    assert(n <= 2 * 2 * 30, s"capped output must be <= 2kN, got $n")
+    assert(n < 435, "cap must actually prune a complete graph")
+    // union-over-endpoints guarantee: no doc loses all its edges
+    val attached = capped.select("id_a")
+      .union(capped.select(col("id_b").as("id_a"))).distinct().count()
+    assert(attached == 30)
+    // capped output is a SUBSET of the uncapped pairs, rows intact
+    assert(capped.exceptAll(pairs).isEmpty)
+  }
+
   test("clique-contracted CC equals plain CC on real docs") {
     val plain = Dedup.connectedComponents(
       Dedup.jaccardShinglePairs(docs, "doc_id", "text", 3, 0.5),
