@@ -51,6 +51,12 @@ object GraftSql {
       case _ => ()
     }
 
+  /** Drain the Spark listener bus (private[spark]) — lets tests assert
+    * "this code path launched zero jobs" without racing the async
+    * listener delivery. */
+  def awaitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Serialize a DataFrame's result as ONE self-contained Arrow IPC stream
     * (schema header + record batches + end-of-stream), consumable by any
     * Arrow implementation. Batches are produced DISTRIBUTED — each

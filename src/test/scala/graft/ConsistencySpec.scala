@@ -165,6 +165,28 @@ class ConsistencySpec extends SparkSpec {
     assert(store.get(Map("driver_id" -> 1)).get("value") == 2.0)
   }
 
+  test("point reads launch zero Spark jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val fv = featureView("table")
+    val m = new Materializer(spark, fv)
+    m.materializeIncremental(now)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    org.apache.spark.sql.GraftSql.awaitListenerBus(spark) // drain setup jobs
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(m.store.get(Map("driver_id" -> 1)).isDefined)
+      assert(m.store.get(Map("driver_id" -> 2)).isDefined)
+      assert(m.store.get(Map("driver_id" -> 999)).isEmpty)
+      org.apache.spark.sql.GraftSql.awaitListenerBus(spark)
+      assert(jobs.get() == 0,
+        s"get() must be a driver-map lookup; saw ${jobs.get()} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("materializeIncremental with no watermark uses end - ttl") {
     val fv = featureView("table")
     val m = new Materializer(spark, fv)
