@@ -161,6 +161,141 @@ object StreamingOps {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
 
+  /** A keyed, typed event row — the funnel analysis unit. */
+  final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  /** Funnel output: `user_id` advanced to 1-based `stage_idx` (emitted
+    * exactly once per (key, stage), in stage order). */
+  final case class StageReach(user_id: Long, stage_idx: Int, stage: String)
+  /** Per-key funnel state: stages completed so far + events not yet past
+    * the watermark (millis, type). */
+  final case class FunnelBuf(reached: Int, pending: List[(Long, String)])
+
+  /** STREAMING ordered funnel — the incremental counterpart of batch
+    * [[graft.Funnel.funnel]]: per key, walk the time-ordered event stream
+    * and emit a [[StageReach]] row each time the key completes the NEXT
+    * funnel stage (a stage matches only after every earlier one has).
+    * `groupBy(stage_idx).count` over the output (streaming update-mode or
+    * batch over the sink) reproduces the batch funnel table.
+    *
+    * Out-of-order correctness: events are buffered per key until the
+    * watermark passes their timestamp — only then is their order final —
+    * and walked sorted by (ts, type), the batch ordering with
+    * `tieBreakCol = typeCol`. Events arriving later than the watermark
+    * are discarded (the same contract the built-in streaming aggregates
+    * apply). An event-time timeout finalizes buffered events even when a
+    * key goes silent.
+    *
+    * State per key is BOUNDED: the pending buffer lives only inside the
+    * watermark horizon; what persists is one Int (stages completed) —
+    * the same per-key residue any cohort semantic needs. A key whose
+    * funnel never started carries no state at all. */
+  def funnelStream(
+      events: Dataset[TypedEvent], stages: Seq[String],
+      watermark: String = "1 hour"): Dataset[StageReach] = {
+    require(stages.nonEmpty, "funnelStream needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val n = stages.length
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, StageReach](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val prev = state.getOption.getOrElse(FunnelBuf(0, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          // rows older than the watermark are late-beyond-contract: their
+          // position in the per-key order was already finalized
+          val fresh = rows
+            .map(r => (r.ts.getTime, r.event_type))
+            .filter(_._1 >= wm).toList
+          val pend = prev.pending ++ fresh
+          val (ready, still) = pend.partition(_._1 < wm)
+          var r = prev.reached
+          val out = ready.sorted.flatMap { case (_, t) =>
+            if (r < n && t == stages(r)) { r += 1
+              Some(StageReach(key, r, stages(r - 1)))
+            } else None
+          }
+          if (r == 0 && still.isEmpty) state.remove()
+          else {
+            state.update(FunnelBuf(r, still))
+            if (still.nonEmpty)
+              state.setTimeoutTimestamp(still.map(_._1).min + 1)
+          }
+          out.iterator
+      }
+  }
+
+  /** Retention output: `user_id` (cohort = first-seen epoch-week) was
+    * active in cohort_week + week_offset — exactly once per (key, week). */
+  final case class CohortHit(
+      user_id: Long, cohort_week: Long, week_offset: Long)
+  /** Per-key retention state: the finalized cohort week (None while the
+    * watermark hasn't yet confirmed the earliest week), weeks already
+    * emitted, weeks buffered until the cohort finalizes. */
+  final case class RetBuf(
+      cohort: Option[Long], emitted: List[Long], pending: List[Long])
+
+  private val WeekMs = 604800000L // 7 * 86400 * 1000 — matches batch µs/1e3
+
+  /** STREAMING cohort retention — the incremental counterpart of batch
+    * [[graft.Funnel.retention]]: emits one [[CohortHit]] per distinct
+    * (key, epoch-week); `groupBy(cohort_week, week_offset).count` over
+    * the output reproduces the batch retention triangle.
+    *
+    * The cohort (a key's MINIMUM week) finalizes once the watermark
+    * reaches that week's start: no event with a smaller timestamp can
+    * arrive anymore, so nothing can lower the min. Until then weeks are
+    * buffered (an event-time timeout fires the finalization if the key
+    * goes silent); after, each newly-seen week emits immediately.
+    *
+    * State per key is BOUNDED: one Long (the cohort) plus the emitted
+    * weeks still inside the watermark horizon — older weeks cannot
+    * recur (an event in week w is behind the watermark once wmWeek > w)
+    * and are pruned each call. */
+  def retentionStream(
+      events: Dataset[KeyedEvent],
+      watermark: String = "1 hour"): Dataset[CohortHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetBuf, CohortHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val prev = state.getOption.getOrElse(RetBuf(None, Nil, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val wmWeek = Math.floorDiv(wm, WeekMs)
+          val fresh = rows.map(r => Math.floorDiv(r.ts.getTime, WeekMs))
+            // late-beyond-contract (see funnelStream); with a cohort
+            // already finalized this also rejects impossible min-lowering
+            .filter(w => w >= wmWeek).toList
+          val weeks = (prev.pending ++ fresh).distinct
+          val (cohort, toEmit, stillPending) = prev.cohort match {
+            case Some(c) => (Some(c), weeks, Nil)
+            case None if weeks.nonEmpty && weeks.min <= wmWeek =>
+              (Some(weeks.min), weeks, Nil) // min is final: wm is in/past it
+            case None => (None, Nil, weeks)
+          }
+          val newWeeks = toEmit.filterNot(prev.emitted.contains).sorted
+          val out = newWeeks.map(w => CohortHit(key, cohort.get, w - cohort.get))
+          // weeks behind the watermark cannot recur — prune them
+          val emitted = (prev.emitted ++ newWeeks).filter(_ >= wmWeek)
+          if (cohort.isEmpty && stillPending.isEmpty) state.remove()
+          else {
+            state.update(RetBuf(cohort, emitted, stillPending))
+            if (stillPending.nonEmpty)
+              // fire once the watermark enters the earliest pending week
+              state.setTimeoutTimestamp(stillPending.min * WeekMs + 1)
+          }
+          out.iterator
+      }
+  }
+
   /** Internal union row for the stream-stream as-of join. */
   final case class SSRow(
       user_id: Long, ts: Timestamp, is_feature: Boolean, value: Double)

@@ -283,6 +283,150 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream walks stages in event-time order across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stages = Seq("view", "click", "buy")
+    val in = MemoryStream[StreamingOps.TypedEvent]
+    // 10-minute delay: the cross-batch out-of-order arrivals below stay
+    // within the lateness contract until the sentinel closes them out
+    val q = StreamingOps.funnelStream(in.toDS(), stages, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel_t")
+      .outputMode("append").start()
+    try {
+      // the CLICK arrives in an earlier micro-batch than the VIEW, but
+      // event-time order is view(10:01) < click(10:03) — buffering must
+      // wait for the watermark, then walk in ts order
+      in.addData(StreamingOps.TypedEvent(1, ts(3), "click"))
+      q.processAllAvailable()
+      in.addData(StreamingOps.TypedEvent(1, ts(1), "view"))
+      // key 2 clicks without ever viewing: no stage reached
+      in.addData(StreamingOps.TypedEvent(2, ts(2), "click"))
+      q.processAllAvailable()
+      in.addData(StreamingOps.TypedEvent(9, ts(30), "zzz")) // advance wm
+      q.processAllAvailable()
+      val got = spark.table("funnel_t").as[StreamingOps.StageReach]
+        .collect().map(r => (r.user_id, r.stage_idx, r.stage)).toSet
+      assert(got == Set((1L, 1, "view"), (1L, 2, "click")))
+
+      // the funnel RESUMES from persisted per-key progress: a later buy
+      // completes stage 3 exactly once
+      in.addData(StreamingOps.TypedEvent(1, ts(40), "buy"))
+      q.processAllAvailable()
+      in.addData(StreamingOps.TypedEvent(9, ts(90), "zzz"))
+      q.processAllAvailable()
+      val got2 = spark.table("funnel_t").as[StreamingOps.StageReach]
+        .collect().map(r => (r.user_id, r.stage_idx)).toSet
+      assert(got2 == Set((1L, 1), (1L, 2), (1L, 3)))
+    } finally q.stop()
+  }
+
+  test("funnelStream equals the batch funnel on the same events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stages = Seq("view", "click", "buy")
+    val types = Array("view", "click", "buy", "other")
+    val rnd = new scala.util.Random(11)
+    val evs = Seq.tabulate(120)(_ => StreamingOps.TypedEvent(
+      rnd.nextInt(12).toLong, ts(rnd.nextInt(50)), types(rnd.nextInt(4))))
+
+    val in = MemoryStream[StreamingOps.TypedEvent]
+    val q = StreamingOps.funnelStream(in.toDS(), stages, watermark = "1 hour")
+      .writeStream.format("memory").queryName("funnel_eq")
+      .outputMode("append").start()
+    try {
+      // three interleaved chunks — nothing is late within the 1h contract
+      in.addData(evs.take(40): _*)
+      q.processAllAvailable()
+      in.addData(evs.slice(40, 80): _*)
+      q.processAllAvailable()
+      in.addData(evs.drop(80): _*)
+      q.processAllAvailable()
+      in.addData(StreamingOps.TypedEvent(99, ts(600), "zzz")) // advance wm
+      q.processAllAvailable()
+
+      val streamed = spark.table("funnel_eq").as[StreamingOps.StageReach]
+        .collect().filter(_.user_id != 99L)
+        .groupBy(r => (r.stage_idx, r.stage))
+        .map { case (k, v) => (k._1, k._2, v.length.toLong) }.toSet
+
+      val batch = graft.Funnel.funnel(
+        evs.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", "event_type", stages)
+        .as[(Int, String, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream != batch\nstream: $streamed\nbatch: $batch")
+    } finally q.stop()
+  }
+
+  test("retentionStream equals batch retention on the same events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val day = 86400000L
+    def tsd(d: Int): Timestamp = // day d of 2024, mid-day
+      new Timestamp(Timestamp.valueOf("2024-01-01 12:00:00").getTime + d * day)
+    val rnd = new scala.util.Random(13)
+    val evs = Seq.tabulate(150)(_ => StreamingOps.KeyedEvent(
+      rnd.nextInt(10).toLong, tsd(rnd.nextInt(42)), 1.0))
+
+    val in = MemoryStream[StreamingOps.KeyedEvent]
+    // the chunks interleave events across the full 42-day span — a
+    // 50-day delay keeps every arrival inside the lateness contract, so
+    // arrival order is provably irrelevant (as in the as-of equality test)
+    val q = StreamingOps.retentionStream(in.toDS(), watermark = "50 days")
+      .writeStream.format("memory").queryName("ret_eq")
+      .outputMode("append").start()
+    try {
+      in.addData(evs.take(50): _*)
+      q.processAllAvailable()
+      in.addData(evs.slice(50, 100): _*)
+      q.processAllAvailable()
+      in.addData(evs.drop(100): _*)
+      q.processAllAvailable()
+      in.addData(StreamingOps.KeyedEvent(99, tsd(150), 0.0)) // wm → day 100
+      q.processAllAvailable()
+
+      val streamed = spark.table("ret_eq").as[StreamingOps.CohortHit]
+        .collect().filter(_.user_id != 99L)
+        .groupBy(r => (r.cohort_week, r.week_offset))
+        .map { case (k, v) => (k._1, k._2, v.length.toLong) }.toSet
+
+      val batch = graft.Funnel.retention(
+        evs.toDF("user_id", "ts", "value"), "user_id", "ts")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream != batch\nstream: $streamed\nbatch: $batch")
+    } finally q.stop()
+  }
+
+  test("retentionStream emits each (key, week) exactly once across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val wk0 = Timestamp.valueOf("2024-01-04 00:00:00") // mid-week anchor
+    def tw(w: Int): Timestamp =
+      new Timestamp(wk0.getTime + w * 604800000L)
+    val in = MemoryStream[StreamingOps.KeyedEvent]
+    val q = StreamingOps.retentionStream(in.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ret_once")
+      .outputMode("append").start()
+    try {
+      in.addData(StreamingOps.KeyedEvent(1, tw(0), 1.0))
+      q.processAllAvailable()
+      // the same week again (duplicate), plus two later weeks
+      in.addData(
+        StreamingOps.KeyedEvent(1, tw(0), 2.0),
+        StreamingOps.KeyedEvent(1, tw(2), 3.0),
+        StreamingOps.KeyedEvent(1, tw(3), 4.0))
+      q.processAllAvailable()
+      in.addData(StreamingOps.KeyedEvent(99, tw(9), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ret_once").as[StreamingOps.CohortHit]
+        .collect().filter(_.user_id == 1L)
+        .map(r => r.week_offset).sorted.toSeq
+      assert(got == Seq(0L, 2L, 3L), s"offsets: $got")
+    } finally q.stop()
+  }
+
   test("enrichAsOf rejects columns colliding with internal __f_* names") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
