@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Shared machinery for the IVF cell-assignment expressions: a vector
+  * column scored against an in-plan centroid MATRIX with a generated
+  * LOOP, not an unrolled term per centroid.
+  *
+  * Why this exists: the original formulation built
+  * `array_max(array(struct(dot(v, lit(c_j)) / …, j) for j ← cells))` —
+  * fine at nList=16, but nList now scales as ⌈√N⌉, and at a few hundred
+  * cells that expression unrolls to tens of thousands of generated
+  * multiply-add terms, blowing past janino's method limits (codegen
+  * splits/aborts) and making every corpus pass tens of times slower —
+  * the 10× standing bench caught exactly this. A loop over a referenced
+  * `double[][]` keeps generated-code size CONSTANT in nList.
+  *
+  * Determinism contract (same as [[DotProduct]]): per centroid j the
+  * similarity is the LEFT-TO-RIGHT element fold `Σ v_i·c_ji` starting at
+  * 0.0, divided by `nrm · cnorm_j` — bit-identical to the expression
+  * chain it replaces and to the DuckDB oracle's `list_reduce` fold.
+  * Ranking replicates Spark's struct ordering over (sim, cid): ties on
+  * the similarity (including `-0.0 == 0.0`) resolve to the LARGER cell
+  * id; NaN ranks above every finite value (java.lang.Double.compare).
+  *
+  * Element null handling: the centroid matrix is driver-built and dense;
+  * vector ELEMENTS are assumed non-null (embedding columns are
+  * fixed-width floats; the quantized training vectors are `transform`s
+  * of them). A null vector or norm yields NULL (nullSafeEval).
+  */
+trait CentroidScorer { self: BinaryExpression =>
+  def cents: Seq[Seq[Double]]
+  def cnorms: Seq[Double]
+
+  @transient protected lazy val centsArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient protected lazy val cnormsArr: Array[Double] = cnorms.toArray
+
+  protected def vecType: DataType = left.dataType
+
+  protected def okVec(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (okVec(left) && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, double), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  protected def elemAt(x: ArrayData, i: Int): Double =
+    left.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => x.getFloat(i).toDouble
+      case _         => x.getDouble(i)
+    }
+
+  /** sim of `x` against centroid j — the shared fold. */
+  protected def simAt(x: ArrayData, nrm: Double, j: Int): Double = {
+    val cv = centsArr(j)
+    val n = math.min(x.numElements(), cv.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += elemAt(x, i) * cv(i); i += 1 }
+    acc / (nrm * cnormsArr(j))
+  }
+
+  /** `(s, j)` strictly better than `(bs, bj)` under Spark's struct-max
+    * order: sim first (`==` catches -0.0/0.0, Double.compare puts NaN on
+    * top), larger cell id on ties. With j iterated ascending, `>=` on
+    * equal sims is equivalent — kept explicit for the eval/codegen pair. */
+  protected def better(s: Double, j: Int, bs: Double, bj: Int): Boolean =
+    (s == bs && j > bj) || java.lang.Double.compare(s, bs) > 0
+}
+
+/** Cell id (0-based) of the max-cosine centroid for a vector — the
+  * corpus-side assignment of every IVF operator, generated as a tight
+  * two-level loop inside whole-stage codegen. */
+case class ArgmaxCell(
+    left: Expression, right: Expression,
+    cents: Seq[Seq[Double]], cnorms: Seq[Double])
+    extends BinaryExpression with CentroidScorer {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val nrm = b.asInstanceOf[Double]
+    var bs = Double.NaN
+    var bj = -1
+    var j = 0
+    while (j < centsArr.length) {
+      val s = simAt(x, nrm, j)
+      if (bj < 0 || better(s, j, bs, bj)) { bs = s; bj = j }
+      j += 1
+    }
+    bj
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cm = ctx.addReferenceObj("cents", centsArr, "double[][]")
+    val nm = ctx.addReferenceObj("cnorms", cnormsArr, "double[]")
+    val getElem = left.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      case _         => (arr: String, i: String) => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (j, i, n, acc, s, bs, bj, cv) = (
+        ctx.freshName("j"), ctx.freshName("i"), ctx.freshName("n"),
+        ctx.freshName("acc"), ctx.freshName("s"), ctx.freshName("bs"),
+        ctx.freshName("bj"), ctx.freshName("cv"))
+      s"""
+         |double $bs = Double.NaN;
+         |int $bj = -1;
+         |for (int $j = 0; $j < $cm.length; $j++) {
+         |  double[] $cv = $cm[$j];
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${getElem(a, i)} * $cv[$i];
+         |  }
+         |  double $s = $acc / ($b * $nm[$j]);
+         |  if ($bj < 0 || ($s == $bs && $j > $bj)
+         |      || java.lang.Double.compare($s, $bs) > 0) {
+         |    $bs = $s; $bj = $j;
+         |  }
+         |}
+         |${ev.value} = $bj;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgmaxCell =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_argmax_cell"
+}
+
+/** The `nProbe` nearest cell ids for a QUERY vector, ordered (sim desc,
+  * cell id desc) — replaces `slice(reverse(array_sort(array(struct(sim,
+  * cid)…))), 1, nProbe)`, whose unrolled array was the same
+  * codegen-size trap as the assignment. Query sides are small
+  * (broadcast), so interpreted evaluation (CodegenFallback) is fine and
+  * keeps this simple; the loop still makes PLAN size constant in nList. */
+case class TopCells(
+    left: Expression, right: Expression,
+    cents: Seq[Seq[Double]], cnorms: Seq[Double], nProbe: Int)
+    extends BinaryExpression with CentroidScorer with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) return null
+    val x = a.asInstanceOf[ArrayData]
+    val nrm = b.asInstanceOf[Double]
+    val m = centsArr.length
+    val p = math.min(nProbe, m)
+    // bounded insertion into a (sim desc, cid desc) top-p list — O(m·p)
+    val bs = new Array[Double](p)
+    val bc = new Array[Int](p)
+    var cnt = 0
+    var j = 0
+    while (j < m) {
+      val s = simAt(x, nrm, j)
+      var pos = cnt
+      while (pos > 0 && better(s, j, bs(pos - 1), bc(pos - 1))) pos -= 1
+      if (pos < p) {
+        val last = math.min(cnt, p - 1)
+        var t = last
+        while (t > pos) { bs(t) = bs(t - 1); bc(t) = bc(t - 1); t -= 1 }
+        bs(pos) = s; bc(pos) = j
+        if (cnt < p) cnt += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(bc.take(cnt))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopCells =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_top_cells"
+}

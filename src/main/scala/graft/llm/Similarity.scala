@@ -159,30 +159,19 @@ object Similarity {
         // centroid norm precomputed driver-side with the same left fold
         (i, v, math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x)))
       }
-    // per-row cosine against centroid j (centroid enters as a literal)
-    def cSim(v: Column, nrm: Column, j: Int): Column = {
-      val (_, cv, cn) = centroids(j)
-      dot(v, typedlit(cv)) / (nrm * lit(cn))
-    }
-    // argmax cell per row: lexicographic array_max over (sim, cid) structs
-    // — ties resolve to the larger cid, mirrored in the oracle
-    def cell(v: Column, nrm: Column): Column =
-      array_max(array(centroids.map { case (j, _, _) =>
-        struct(cSim(v, nrm, j).as("s"), lit(j).as("cid"))
-      }: _*)).getField("cid")
+    // (cid, vector, norm) triples → the loop expressions' matrix form;
+    // argmax ties resolve to the larger cid, mirrored in the oracle
+    val cpairs = centroids.map { case (_, cv, cn) => (cv, cn) }
 
     val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("cell", cell(col("v"), col("nrm")))
+      .withColumn("cell", argmaxCell(col("v"), col("nrm"), cpairs))
     // query side: nProbe nearest cells, exploded to (qid, cell) probe rows
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("probes",
-        slice(reverse(array_sort(array(centroids.map { case (j, _, _) =>
-          struct(cSim(col("qv"), col("qn"), j).as("s"), lit(j).as("cid"))
-        }: _*))), 1, nProbe))
+      .withColumn("probes", topCells(col("qv"), col("qn"), cpairs, nProbe))
       .select(col("qid"), col("qv"), col("qn"),
-        explode(col("probes").getField("cid")).as("cell"))
+        explode(col("probes")).as("cell"))
     val scored = v.join(broadcast(q), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
@@ -218,13 +207,31 @@ object Similarity {
       x => floor(x.cast("double") * lit(KMeansScale)).cast("double"))
 
   /** argmax cell over centroid cosine sims; ties → larger cid (struct max
-    * ≡ the oracle's `ORDER BY s DESC, cid DESC` rank-1). */
+    * ≡ the oracle's `ORDER BY s DESC, cid DESC` rank-1). A native LOOP
+    * expression ([[graft.functions.ArgmaxCell]]): generated-code size is
+    * constant in nList, where the previous unrolled
+    * `array_max(array(struct…))` form blew past janino limits once nList
+    * started scaling with ⌈√N⌉ (the 10× bench measured the IVF family
+    * 9-36× slower from exactly that). Bit-identical fold + tie order. */
   private def argmaxCell(
-      vqd: Column, qnrm: Column, cents: Seq[(Seq[Double], Double)]): Column =
-    array_max(array(cents.zipWithIndex.map { case ((cv, cn), j) =>
-      struct((dot(vqd, typedlit(cv)) / (qnrm * lit(cn))).as("s"),
-        lit(j).as("cid"))
-    }: _*)).getField("cid")
+      vqd: Column, qnrm: Column, cents: Seq[(Seq[Double], Double)]): Column = {
+    import org.apache.spark.sql.GraftSql
+    GraftSql.column(graft.functions.ArgmaxCell(
+      GraftSql.expression(vqd), GraftSql.expression(qnrm),
+      cents.map(_._1), cents.map(_._2)))
+  }
+
+  /** Top `nProbe` cells for a query vector, ordered (sim desc, cid desc)
+    * — the loop form of `slice(reverse(array_sort(array(struct…))), 1,
+    * nProbe)` (same codegen-size trap as [[argmaxCell]]). */
+  private def topCells(
+      vqd: Column, qnrm: Column, cents: Seq[(Seq[Double], Double)],
+      nProbe: Int): Column = {
+    import org.apache.spark.sql.GraftSql
+    GraftSql.column(graft.functions.TopCells(
+      GraftSql.expression(vqd), GraftSql.expression(qnrm),
+      cents.map(_._1), cents.map(_._2), nProbe))
+  }
 
   private def withNormPair(cv: Seq[Double]): (Seq[Double], Double) =
     // same left fold as the oracle's sqrt(dot(cv, cv))
@@ -306,15 +313,9 @@ object Similarity {
       .withColumn("vqd", quantDouble(col("qv")))
       .withColumn("qqn", norm(col("vqd")))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("probes",
-        slice(reverse(array_sort(array(cents.zipWithIndex.map {
-          case ((cv, cn), j) =>
-            struct(
-              (dot(col("vqd"), typedlit(cv)) / (col("qqn") * lit(cn))).as("s"),
-              lit(j).as("cid"))
-        }: _*))), 1, nProbe))
+      .withColumn("probes", topCells(col("vqd"), col("qqn"), cents, nProbe))
       .select(col("qid"), col("qv"), col("qn"),
-        explode(col("probes").getField("cid")).as("cell"))
+        explode(col("probes")).as("cell"))
     val scored = v.join(broadcast(q), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
