@@ -191,6 +191,19 @@ object Similarity {
   def defaultNList(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
 
+  /** K-means TRAINING-set size: `min(N, max(4096, 64·nList))` — the
+    * standard IVF practice of training the coarse quantizer on a sample
+    * (~64 vectors per cell is plenty for a stable Lloyd's fixed point)
+    * rather than every row. Without it training cost is
+    * O(iters·N·nList·d) = O(N^1.5·d) under the √N cell default — the
+    * term that dominated `knn_ivf` at the 10× probe scale. Pure integer
+    * arithmetic, mirrored verbatim in the oracle's scalar subquery, so
+    * both engines train on the identical subset: the first S rows of the
+    * same `(hash32("ivf:"+id), id)` total order the seed centroids are
+    * the nList-prefix of. */
+  def trainSampleSize(n: Long, nList: Int): Long =
+    math.min(n, math.max(4096L, 64L * nList.toLong))
+
   /** Fixed-point quantization scale for k-means training: vectors enter
     * the training space as `floor(x · 2^20)`. Every training-time sum is
     * then an exact long — ORDER-INDEPENDENT — so Spark's distributed
@@ -241,12 +254,14 @@ object Similarity {
     *
     * Init: the `nList` vectors with smallest `(hash32("ivf:" || id), id)`
     * — id-hash-seeded, so the seed set is data-derived but arbitrary-
-    * order-stable. Then `iters` fixed rounds of: assign every vector to
-    * its max-cosine centroid (per-row map work against literal centroids
-    * — no shuffle), recompute each centroid as the exact-integer
-    * component mean of its members (`posexplode` → groupBy(cell, pos) —
-    * the one shuffle per round, nList·dim result rows). Cells that lose
-    * all members keep their centroid. Only nList·dim sums ever reach the
+    * order-stable. Training runs on the [[trainSampleSize]]-prefix of
+    * that SAME total order (the seeds are its nList-prefix): `iters`
+    * fixed rounds of: assign each training vector to its max-cosine
+    * centroid (per-row loop against the referenced centroid matrix — no
+    * shuffle), recompute each centroid as the exact-integer component
+    * mean of its members (`posexplode` → groupBy(cell, pos) — the one
+    * shuffle per round, nList·dim result rows). Cells that lose all
+    * members keep their centroid. Only nList·dim sums ever reach the
     * driver (a few KB — the coarse quantizer IS small by design).
     *
     * Returns centroids in the QUANTIZED space (cosine is scale-invariant,
@@ -258,10 +273,18 @@ object Similarity {
       quantLong(col(vecCol)).as("vq"),
       quantDouble(col(vecCol)).as("vqd"))
       .withColumn("qnrm", norm(col("vqd")))
-
-    val seeds = base
       .withColumn("h", TextOps.hash32(
         concat(lit("ivf:"), col("id").cast("string"))))
+
+    // TRAINING SUBSET: the first `sample` rows of the (h, id) total order
+    // (see trainSampleSize) — a unique set, so partitioning cannot change
+    // it. The limit's single-partition residue is repartitioned away
+    // before the iteration passes; S is small by construction.
+    val sample = trainSampleSize(corpus.count(), nList)
+    val tr = base.orderBy(col("h"), col("id")).limit(sample.toInt)
+      .repartition(col("id")).persist()
+
+    val seeds = tr
       .orderBy(col("h"), col("id")).limit(nList)
       .select("vq").collect() // TakeOrdered — rows arrive in seed order
 
@@ -270,7 +293,7 @@ object Similarity {
     }.toIndexedSeq
 
     for (_ <- 0 until iters) {
-      val sums = base
+      val sums = tr
         .withColumn("cell", argmaxCell(col("vqd"), col("qnrm"), cents))
         .select(col("cell"), posexplode(col("vq")))
         .groupBy("cell", "pos")
@@ -285,6 +308,7 @@ object Similarity {
         }
       }
     }
+    tr.unpersist()
     cents.map(_._1)
   }
 

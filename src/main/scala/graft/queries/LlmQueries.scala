@@ -98,6 +98,13 @@ object LlmQueries {
   private val AutoNListSql =
     "(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
+  /** Training-sample size — the exact mirror of
+    * [[Similarity.trainSampleSize]] (`min(N, max(4096, 64·nList))`, pure
+    * integer arithmetic). */
+  private val TrainSampleSql =
+    "(SELECT least(count(*), greatest(4096, " +
+      "64 * greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)))) FROM embeddings)"
+
   private def ivfTrainCtes(iters: Int, dim: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH v AS (SELECT vec_id,
@@ -107,21 +114,26 @@ object LlmQueries {
        |          FROM embeddings),
        |n AS (SELECT vec_id, v, vq, sqrt(${dotSql("v", "v")}) AS nrm,
        |        sqrt(${dotSql("vq", "vq")}) AS qnrm FROM v),
-       |c0 AS (SELECT rn - 1 AS cid, vq AS cv
+       |rk AS (SELECT vec_id, vq,
+       |         row_number() OVER (ORDER BY h, vec_id) AS rn
        |       FROM (SELECT vec_id, vq,
-       |               row_number() OVER (ORDER BY h, vec_id) AS rn
-       |             FROM (SELECT vec_id, vq,
-       |                     ${h32("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
-       |                   FROM v) t0) t
+       |               ${h32("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+       |             FROM v) t0),
+       |c0 AS (SELECT rn - 1 AS cid, vq AS cv FROM rk
        |       WHERE rn <= $AutoNListSql),
+       |tr AS (SELECT n.vec_id, n.vq, n.qnrm FROM n
+       |       JOIN rk ON n.vec_id = rk.vec_id
+       |       WHERE rk.rn <= $TrainSampleSql),
        |""".stripMargin
     for (i <- 0 to iters) {
-      // assignment of every corpus row against generation-i centroids
+      // training iterations assign only the sample; the FINAL pass
+      // assigns every corpus row against the converged centroids
+      val src = if (i < iters) "tr" else "n"
       sb ++= s"""a$i AS (SELECT vec_id, vq, cell FROM (
          |    SELECT n.vec_id, n.vq, c.cid AS cell, row_number() OVER (
          |      PARTITION BY n.vec_id
          |      ORDER BY ${cSim("c")} DESC, c.cid DESC) AS rk
-         |    FROM n CROSS JOIN c$i c) t WHERE rk = 1),
+         |    FROM $src n CROSS JOIN c$i c) t WHERE rk = 1),
          |""".stripMargin
       if (i < iters) {
         // exact-integer component sums → generation-(i+1) centroids
