@@ -73,19 +73,12 @@ object ScaleProbe {
     Emb(e.vec_id * 10 + r, vec, e.label)
   }
 
-  def main(args: Array[String]): Unit = {
-    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outDir = if (args.length > 1) args(1) else "tmp_scale10"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** Synthesize the seeded 10× corpus from `baseDir` into `outDir`
+    * (idempotent — skipped when the parquet already exists). Shared by
+    * the standalone probe main and Bench's `SPARK_GRAFT_BENCH_10X`
+    * standing-artifact mode. */
+  def ensureCorpus(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     import spark.implicits._
-
     if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
       Tables.read(spark, baseDir, "documents").as[Doc]
         .flatMap(d => (0 until 10).map(mutate(d, _)))
@@ -100,27 +93,49 @@ object ScaleProbe {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
+  }
 
-    val family = Seq(
-      "dedup_exact", "dedup_drop_exact", "dedup_jaccard_pairs",
-      "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-      "dedup_drop_near", "dedup_drop_embed", "knn_cosine_brute",
-      "knn_lsh_bucketed", "knn_lsh_multiprobe", "knn_ivf",
-      "embed_cosine_pairs", "embed_cosine_pairs_ivf", "text_tfidf",
-      // the FLAGSHIP family at 10× event density (same key cardinality)
-      "pull_latest_events", "j1_coarse_range", "pit_events_ttl1h",
-      "pit_native_asof", "w1_topk_per_key")
+  /** The scale-sensitive query family the 10× probe measures: the whole
+    * dedup/ANN pipeline plus the flagship as-of path at 10× event
+    * density. */
+  val family: Seq[String] = Seq(
+    "dedup_exact", "dedup_drop_exact", "dedup_jaccard_pairs",
+    "dedup_jaccard_pairs_capped", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_clusters", "dedup_drop_near", "dedup_drop_embed",
+    "knn_cosine_brute", "knn_lsh_bucketed", "knn_lsh_multiprobe",
+    "knn_ivf", "embed_cosine_pairs", "embed_cosine_pairs_capped",
+    "embed_cosine_pairs_ivf", "text_tfidf",
+    // the FLAGSHIP family at 10× event density (same key cardinality)
+    "pull_latest_events", "j1_coarse_range", "pit_events_ttl1h",
+    "pit_native_asof", "w1_topk_per_key")
 
-    def time(name: String, dir: String): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
-      ((System.nanoTime() - t0) / 1e9, n)
-    }
+  /** Time one declared query against one SF dir: (seconds, rows). Same
+    * `toRdd.count()` materialization as Bench (see Bench.scala on why
+    * `df.count()` would be wrong). */
+  def time(spark: SparkSession, name: String, dir: String): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = if (args.length > 1) args(1) else "tmp_scale10"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    ensureCorpus(spark, baseDir, outDir)
 
     println(f"${"query"}%-22s ${"base_s"}%8s ${"x10_s"}%8s ${"ratio"}%6s ${"base_rows"}%10s ${"x10_rows"}%10s")
     family.foreach { q =>
-      val (tb, nb) = time(q, baseDir)
-      val (tx, nx) = time(q, outDir)
+      val (tb, nb) = time(spark, q, baseDir)
+      val (tx, nx) = time(spark, q, outDir)
       println(f"$q%-22s $tb%8.2f $tx%8.2f ${tx / tb}%6.1f $nb%10d $nx%10d")
     }
     spark.stop()

@@ -312,27 +312,44 @@ object Similarity {
     cents.map(_._1)
   }
 
-  /** IVF ANN with the TRAINED [[trainIvfKMeans]] quantizer: cell
-    * assignment and query probing happen in the quantized space against
-    * literal centroids (per-row map work), candidate lookup is the cell-id
-    * equi-join, final ranking is exact cosine on the ORIGINAL vectors —
-    * same plan shape as [[ivfKnn]], representative recall behavior.
-    * Output: (qid, nid, rank, sim). */
-  def ivfKnnTrained(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nList: Int = 16, nProbe: Int = 4, iters: Int = 3,
-      centroids: Option[IndexedSeq[Seq[Double]]] = None): DataFrame = {
-    val cents = centroids
-      .getOrElse(trainIvfKMeans(corpus, idCol, vecCol, nList, iters))
-      .map(withNormPair)
-
-    val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
+  /** The INVERTED-FILE index body: every corpus row with its assigned
+    * cell — `(id, v, nrm, cell)`. This is the O(N·nList·d) pass of every
+    * IVF operator; a real deployment builds it ONCE per corpus snapshot
+    * and amortizes it across queries (exactly how faiss-style IVF is
+    * used), so callers should cache the result (see
+    * `LlmQueries.ivfIndex`) rather than re-assigning per query. */
+  def assignCells(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: IndexedSeq[Seq[Double]]): DataFrame = {
+    val cents = centroids.map(withNormPair)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("vqd", quantDouble(col("v")))
       .withColumn("qnrm", norm(col("vqd")))
       .withColumn("cell", argmaxCell(col("vqd"), col("qnrm"), cents))
       .drop("vqd", "qnrm")
+  }
+
+  /** IVF ANN with the TRAINED [[trainIvfKMeans]] quantizer: cell
+    * assignment and query probing happen in the quantized space against
+    * literal centroids (per-row map work), candidate lookup is the cell-id
+    * equi-join, final ranking is exact cosine on the ORIGINAL vectors —
+    * same plan shape as [[ivfKnn]], representative recall behavior.
+    * Pass `assigned` (an [[assignCells]] result) to reuse a prebuilt
+    * index instead of re-running the assignment pass.
+    * Output: (qid, nid, rank, sim). */
+  def ivfKnnTrained(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nList: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      centroids: Option[IndexedSeq[Seq[Double]]] = None,
+      assigned: Option[DataFrame] = None): DataFrame = {
+    val centsRaw = centroids
+      .getOrElse(trainIvfKMeans(corpus, idCol, vecCol, nList, iters))
+    val cents = centsRaw.map(withNormPair)
+
+    val v = assigned.getOrElse(assignCells(corpus, idCol, vecCol, centsRaw))
+      .withColumnRenamed("id", "nid")
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("vqd", quantDouble(col("qv")))
       .withColumn("qqn", norm(col("vqd")))
@@ -358,16 +375,10 @@ object Similarity {
   def cosinePairsIvf(
       corpus: DataFrame, idCol: String, vecCol: String, tau: Double,
       nList: Int = 16, iters: Int = 3,
-      centroids: Option[IndexedSeq[Seq[Double]]] = None): DataFrame = {
-    val cents = centroids
-      .getOrElse(trainIvfKMeans(corpus, idCol, vecCol, nList, iters))
-      .map(withNormPair)
-    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .withColumn("vqd", quantDouble(col("v")))
-      .withColumn("qnrm", norm(col("vqd")))
-      .withColumn("cell", argmaxCell(col("vqd"), col("qnrm"), cents))
-      .drop("vqd", "qnrm")
+      centroids: Option[IndexedSeq[Seq[Double]]] = None,
+      assigned: Option[DataFrame] = None): DataFrame = {
+    val base = assigned.getOrElse(assignCells(corpus, idCol, vecCol,
+      centroids.getOrElse(trainIvfKMeans(corpus, idCol, vecCol, nList, iters))))
     base.as("a")
       .join(base.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
@@ -387,8 +398,10 @@ object Similarity {
   def dropNearDuplicatesByEmbedding(
       df: DataFrame, idCol: String, vecCol: String, tau: Double,
       nList: Int = 16, iters: Int = 3,
-      centroids: Option[IndexedSeq[Seq[Double]]] = None): DataFrame = {
-    val pairs = cosinePairsIvf(df, idCol, vecCol, tau, nList, iters, centroids)
+      centroids: Option[IndexedSeq[Seq[Double]]] = None,
+      assigned: Option[DataFrame] = None): DataFrame = {
+    val pairs = cosinePairsIvf(
+      df, idCol, vecCol, tau, nList, iters, centroids, assigned)
     val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val losers = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
