@@ -81,6 +81,50 @@ object Bench {
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
     println(line)
+    // Standing 10× scale artifact (opt-in: SPARK_GRAFT_BENCH_10X=1):
+    // regenerate the seeded 10× corpus, time the scale-sensitive family
+    // on base and 10× data, write BENCH_10x.json, and refresh the
+    // marker-delimited table in STATUS.md — so scale REGRESSIONS (not
+    // just sf0.1 wall-clock) are round-over-round signal. File-only
+    // output: nothing here may print after the compact stdout line.
+    if (sys.env.get("SPARK_GRAFT_BENCH_10X").contains("1")) {
+      val dir10 = sys.env.getOrElse("SPARK_GRAFT_10X_DIR", "tmp_bench10x")
+      ScaleProbe.ensureCorpus(spark, sfDir, dir10)
+      val rows = ScaleProbe.family.filter(SparkEntry.queries.contains).map { q =>
+        val (tb, nb) = ScaleProbe.time(spark, q, sfDir)
+        val (tx, nx) = ScaleProbe.time(spark, q, dir10)
+        (q, tb, tx, nb, nx)
+      }
+      val qjson = rows.map { case (q, tb, tx, nb, nx) =>
+        s"${jstr(q)}:{${jstr("base_s")}:${f"$tb%.3f"},${jstr("x10_s")}:${f"$tx%.3f"}," +
+          s"${jstr("ratio")}:${f"${tx / tb}%.2f"},${jstr("base_rows")}:$nb,${jstr("x10_rows")}:$nx}"
+      }.mkString("{", ",", "}")
+      val j10 =
+        s"""{"metric":"bench_10x","base_sf":${jstr(sfDir)},"n_queries":${rows.size},"queries":$qjson}"""
+      try {
+        val w = new java.io.PrintWriter("BENCH_10x.json", "UTF-8")
+        try w.println(j10) finally w.close()
+      } catch { case _: Throwable => () }
+      // refresh STATUS.md between the BENCH_10X markers
+      try {
+        val p = java.nio.file.Paths.get("STATUS.md")
+        val begin = "<!-- BENCH_10X_BEGIN -->"
+        val end = "<!-- BENCH_10X_END -->"
+        val table = (
+          Seq(s"| query | base (s) | 10× (s) | ratio | rows base → 10× |",
+              "|---|---|---|---|---|") ++
+          rows.map { case (q, tb, tx, nb, nx) =>
+            f"| $q | $tb%.2f | $tx%.2f | ${tx / tb}%.1f | $nb%,d → $nx%,d |" }
+          ).mkString("\n")
+        val md = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val (b, e) = (md.indexOf(begin), md.indexOf(end))
+        if (b >= 0 && e > b) {
+          val patched = md.substring(0, b + begin.length) +
+            "\n" + table + "\n" + md.substring(e)
+          java.nio.file.Files.write(p, patched.getBytes("UTF-8"))
+        }
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
     // Compact totals-only object as the very LAST stdout line (after
     // spark.stop() so no shutdown logging can follow it): the driver's
