@@ -296,6 +296,76 @@ object StreamingOps {
       }
   }
 
+  /** An event row with an id for deterministic same-timestamp ordering
+    * (the gap operator's unit). */
+  final case class GapEvent(user_id: Long, ts: Timestamp, event_id: Long)
+  /** Gap-stats snapshot for one key: event count so far, sum and max of
+    * inter-event gaps in MICROSECONDS (None until two events exist —
+    * matching the batch lag-window NULLs). */
+  final case class GapStats(
+      user_id: Long, n_events: Long,
+      sum_gap_us: Option[Long], max_gap_us: Option[Long])
+  /** Per-key gap state: running stats + the last finalized (tsUs, id)
+    * + events still inside the watermark horizon. */
+  final case class GapBuf(
+      n: Long, lastTsUs: Long, lastId: Long, sumUs: Long, maxUs: Long,
+      pending: List[(Long, Long)])
+
+  /** STREAMING inter-event gap statistics — the incremental counterpart
+    * of the batch lag-window + integer aggregate (`x_event_gaps`): per
+    * key, events are buffered until the watermark finalizes their order
+    * (sorted by (ts, event_id), the batch window order), then folded
+    * into running (count, Σgap, max gap) state; each finalization emits
+    * an updated [[GapStats]] snapshot (append mode — the LATEST snapshot
+    * per key equals the batch aggregate over the same events).
+    *
+    * State per key is O(1) after the watermark horizon: four numbers and
+    * the last event's (ts, id). Same lateness contract as the other
+    * stateful ops here: rows older than the watermark are discarded. */
+  def gapsStream(
+      events: Dataset[GapEvent],
+      watermark: String = "1 hour"): Dataset[GapStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapBuf, GapStats](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val prev = state.getOption.getOrElse(GapBuf(0, 0, 0, 0, 0, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val fresh = rows
+            .map(r => (r.ts.getTime * 1000L, r.event_id))
+            .filter(_._1 >= wm * 1000L).toList // late-beyond-contract
+          val pend = prev.pending ++ fresh
+          val (ready, still) = pend.partition(_._1 < wm * 1000L)
+          var (n, lts, lid, sum, mx) =
+            (prev.n, prev.lastTsUs, prev.lastId, prev.sumUs, prev.maxUs)
+          ready.sorted.foreach { case (tus, id) =>
+            if (n > 0) {
+              val gap = tus - lts
+              sum += gap
+              mx = math.max(mx, gap)
+            }
+            n += 1; lts = tus; lid = id
+          }
+          val out =
+            if (ready.isEmpty) Nil
+            else List(GapStats(key, n,
+              if (n >= 2) Some(sum) else None,
+              if (n >= 2) Some(mx) else None))
+          if (n == 0 && still.isEmpty) state.remove()
+          else {
+            state.update(GapBuf(n, lts, lid, sum, mx, still))
+            if (still.nonEmpty)
+              state.setTimeoutTimestamp(still.map(_._1 / 1000L).min + 1)
+          }
+          out.iterator
+      }
+  }
+
   /** Internal union row for the stream-stream as-of join. */
   final case class SSRow(
       user_id: Long, ts: Timestamp, is_feature: Boolean, value: Double)

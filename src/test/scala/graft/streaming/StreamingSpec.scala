@@ -427,6 +427,82 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gapsStream equals the batch lag-window gap stats on the same events") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val evs = Seq.tabulate(200)(i => StreamingOps.GapEvent(
+      rnd.nextInt(8).toLong, ts(rnd.nextInt(55)), i.toLong))
+
+    val in = MemoryStream[StreamingOps.GapEvent]
+    val q = StreamingOps.gapsStream(in.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("gaps_eq")
+      .outputMode("append").start()
+    try {
+      in.addData(evs.take(70): _*)
+      q.processAllAvailable()
+      in.addData(evs.slice(70, 140): _*)
+      q.processAllAvailable()
+      in.addData(evs.drop(140): _*)
+      q.processAllAvailable()
+      in.addData(StreamingOps.GapEvent(99, ts(600), 9999)) // advance wm
+      q.processAllAvailable()
+
+      // LATEST snapshot per key (largest n_events) == the batch aggregate
+      val streamed = spark.table("gaps_eq").as[StreamingOps.GapStats]
+        .collect().filter(_.user_id != 99L)
+        .groupBy(_.user_id).map { case (k, v) =>
+          val last = v.maxBy(_.n_events)
+          (k, last.n_events, last.sum_gap_us, last.max_gap_us)
+        }.toSet
+
+      val w = Window.partitionBy("user_id")
+        .orderBy(org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.col("event_id"))
+      val batch = evs.toDF("user_id", "ts", "event_id")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum("gap_us").as("sum_gap_us"),
+          max("gap_us").as("max_gap_us"))
+        .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(streamed == batch,
+        s"stream != batch\nstream: $streamed\nbatch: $batch")
+    } finally q.stop()
+  }
+
+  test("gapsStream emits running snapshots as micro-batches finalize") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.GapEvent]
+    val q = StreamingOps.gapsStream(in.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("gaps_inc")
+      .outputMode("append").start()
+    try {
+      in.addData(StreamingOps.GapEvent(1, ts(0), 1))
+      q.processAllAvailable()
+      in.addData(StreamingOps.GapEvent(1, ts(5), 2)) // finalizes ts(0)
+      q.processAllAvailable()
+      in.addData(StreamingOps.GapEvent(1, ts(7), 3)) // finalizes ts(5)
+      q.processAllAvailable()
+      in.addData(StreamingOps.GapEvent(99, ts(60), 9)) // finalizes ts(7)
+      q.processAllAvailable()
+      val snaps = spark.table("gaps_inc").as[StreamingOps.GapStats]
+        .collect().filter(_.user_id == 1L)
+        .sortBy(_.n_events)
+        .map(s => (s.n_events, s.sum_gap_us, s.max_gap_us)).toSeq
+      // snapshots: after 1 event (NULL gaps), after 2 (300s), after 3
+      // (300+120s, max 300s) — all microseconds
+      assert(snaps == Seq(
+        (1L, None, None),
+        (2L, Some(300000000L), Some(300000000L)),
+        (3L, Some(420000000L), Some(300000000L))), s"snaps: $snaps")
+    } finally q.stop()
+  }
+
   test("enrichAsOf rejects columns colliding with internal __f_* names") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
