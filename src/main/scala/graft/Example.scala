@@ -111,6 +111,27 @@ object Example {
     val someUser = mat.store.snapshot.get.select("user_id").head().getLong(0)
     println(s"online user $someUser → ${mat.store.get(Map("user_id" -> someUser))}")
 
+    // 9. ANN as an INDEX (round 5): train the deterministic k-means
+    //    quantizer once, assign the corpus once, then serve kNN and
+    //    near-dup-pair queries from the shared inverted file. Pair
+    //    emission is CAPPED per doc — bounded output even on a
+    //    duplicate-soup corpus (connected components only need a
+    //    spanning set of edges).
+    println("— IVF index: train once, assign once, query many —")
+    val nList = llm.Similarity.defaultNList(emb.count())
+    val cents = llm.Similarity.trainIvfKMeans(
+      emb, "vec_id", "embedding", nList = nList)
+    val index = llm.Similarity.assignCells(emb, "vec_id", "embedding", cents)
+      .persist()
+    llm.Similarity.ivfKnnTrained(
+      emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3,
+      centroids = Some(cents), assigned = Some(index)).show()
+    llm.Dedup.capPairsPerDoc(
+      llm.Similarity.cosinePairsIvf(emb, "vec_id", "embedding", tau = 0.4,
+        assigned = Some(index)),
+      "sim", k = 2).show(5)
+    index.unpersist()
+
     spark.stop()
   }
 }
