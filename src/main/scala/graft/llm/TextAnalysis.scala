@@ -202,4 +202,33 @@ object TextAnalysis {
       path: String, outCol: String): DataFrame =
     df.select(col(idCol),
       get_json_object(col(jsonCol), path).cast("long").as(outCol))
+
+  /** Fixed-size token chunking — the context-window prep step of a
+    * training pipeline: each document becomes ⌈n/k⌉ chunks of `k`
+    * whitespace tokens (final chunk short), output one row per chunk
+    * `(doc_id, chunk_idx, chunk_text, n_tokens)`. Pure per-row array
+    * expressions + one `explode` — no shuffle, no UDF; output order is
+    * irrelevant (chunk_idx carries position). The word array is bound
+    * ONCE via the one-element-array wrapper (see [[TextOps.wordNgrams]]
+    * — CSE does not reach lambda bodies). `ceil(n / k)` uses double
+    * division — exact across engines for any realistic n (quotients at
+    * integer values are exactly representable). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64): DataFrame = {
+    val k = chunkTokens
+    require(k > 0, "chunkTokens must be positive")
+    val pre = df.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("__w"))
+    val chunks = expr(
+      s"""element_at(transform(array(__w), arr ->
+         |  transform(sequence(0,
+         |      greatest(CAST(ceil(size(arr) / $k.0D) AS INT), 1) - 1),
+         |    i -> struct(i AS ci,
+         |                concat_ws(' ', slice(arr, i * $k + 1, $k)) AS ct,
+         |                greatest(least(size(arr) - i * $k, $k), 0) AS nt))),
+         |  1)""".stripMargin)
+    pre.select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.ci").as("chunk_idx"),
+        col("c.ct").as("chunk_text"), col("c.nt").as("n_tokens"))
+  }
 }

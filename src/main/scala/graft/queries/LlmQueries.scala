@@ -431,6 +431,10 @@ object LlmQueries {
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdf(docs(s, dir), "doc_id", "text", k = 3)),
 
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
+        chunkTokens = 64)),
+
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
         Multimodal.asBinary(docs(s, dir), "doc_id", "text", "text/plain"))),
@@ -893,6 +897,19 @@ object LlmQueries {
          |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank
          |      FROM s)
          |SELECT doc_id, term, rank, score FROM r WHERE rank <= 3""".stripMargin,
+
+    "text_chunks" ->
+      s"""WITH $DocsCte,
+         |ch AS (SELECT doc_id, unnest(list_transform(
+         |         range(0, greatest(CAST(ceil(len(w) / 64.0) AS BIGINT), 1)),
+         |         i -> struct_pack(
+         |           ci := i,
+         |           ct := array_to_string(w[CAST(i*64+1 AS BIGINT):CAST(i*64+64 AS BIGINT)], ' '),
+         |           nt := greatest(least(len(w) - i*64, 64), 0)))) AS c
+         |       FROM docs)
+         |SELECT doc_id, CAST(c.ci AS INT) AS chunk_idx, c.ct AS chunk_text,
+         |       CAST(c.nt AS INT) AS n_tokens
+         |FROM ch""".stripMargin,
 
     "text_length_hist" ->
       """WITH b AS (SELECT CASE WHEN length(text) <= 0 THEN -1

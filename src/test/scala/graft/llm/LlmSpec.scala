@@ -164,6 +164,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("chunking reassembles to the normalized text, sizes exact") {
+    import spark.implicits._
+    val k = 7 // awkward chunk size: last chunks are short
+    val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text", k)
+    // reassembly: chunks joined in chunk_idx order == the normalized doc
+    val together = chunks
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct(col("chunk_idx"), col("chunk_text"))))
+        .getField("chunk_text")).as("rebuilt"),
+        sum("n_tokens").as("total_tokens"),
+        count(lit(1)).as("n_chunks"),
+        max("n_tokens").as("max_nt"))
+    val joined = together.join(
+      docs.select(col("doc_id"),
+        TextOps.normText(col("text")).as("norm"),
+        size(TextOps.words(col("text"))).as("nw")), "doc_id")
+    assert(joined.filter(col("rebuilt") =!= col("norm")).count() == 0,
+      "some doc did not reassemble from its chunks")
+    // token accounting: Σ n_tokens == word count, ⌈nw/k⌉ chunks, none over k
+    assert(joined.filter(col("total_tokens") =!= col("nw")).count() == 0)
+    assert(joined.filter(
+      col("n_chunks") =!= ceil(col("nw") / lit(k.toDouble)).cast("long"))
+      .count() == 0)
+    assert(joined.filter(col("max_nt") > k).count() == 0)
+  }
+
   test("exact dedup drop keeps one row per normalized text") {
     import spark.implicits._
     val df = Seq(
