@@ -340,12 +340,24 @@ object Dedup {
     * doc id sharing the doc's md5(normalized text). Exact-dup groups are
     * CLIQUES in any near-dup pair graph with τ ≤ 1 (identical text ⇒
     * identical shingle sets ⇒ jaccard 1.0), so their internal edges add
-    * CC rounds and shuffle volume but zero connectivity information. */
+    * CC rounds and shuffle volume but zero connectivity information.
+    *
+    * Only NON-REPRESENTATIVE members of groups of ≥ 2 are emitted
+    * (everything else contracts to itself via the consumer's coalesce),
+    * so the map is dup-member-sized, not corpus-sized — a broadcast
+    * lookup on real corpora. The group-min is a map-side-combinable
+    * aggregate, not a window (no per-hash sort of the corpus). */
   private def exactRepMap(
-      df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), md5(normText(col(textCol))).as("__h"))
-      .withColumn("rep", min("id").over(Window.partitionBy("__h")))
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = df.select(col(idCol).as("id"), md5(normText(col(textCol))).as("__h"))
+    val reps = h.groupBy("__h")
+      .agg(min("id").as("rep"), count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select("__h", "rep")
+    h.join(reps, "__h")
+      .filter(col("id") =!= col("rep"))
       .select("id", "rep")
+  }
 
   /** [[connectedComponents]] with CLIQUE PRE-CONTRACTION: nodes known to
     * be mutually connected (exact duplicates, via `repMap: (id, rep)`)
@@ -365,13 +377,18 @@ object Dedup {
   def connectedComponentsContracted(
       pairs: DataFrame, aCol: String, bCol: String,
       repMap: DataFrame, maxIter: Int = 50): DataFrame = {
-    val nodes = pairs.select(col(aCol).as("id"))
-      .union(pairs.select(col(bCol).as("id"))).distinct()
+    // pairs feed TWO consumers (node set + edge contraction): materialize
+    // once — recomputing the full pair pipeline per consumer cost more
+    // than the contraction saved on low-dup corpora
+    val p = org.apache.spark.sql.GraftSql.persistedView(
+      pairs.select(col(aCol), col(bCol)))
+    val nodes = p.select(col(aCol).as("id"))
+      .union(p.select(col(bCol).as("id"))).distinct()
     // every pair-graph node's representative (itself when not an exact dup)
     val nr = org.apache.spark.sql.GraftSql.persistedView(
       nodes.join(repMap, Seq("id"), "left")
         .select(col("id"), coalesce(col("rep"), col("id")).as("rep")))
-    val contracted = pairs
+    val contracted = p
       .join(nr.select(col("id").as(aCol), col("rep").as("__ra")), aCol)
       .join(nr.select(col("id").as(bCol), col("rep").as("__rb")), bCol)
       .filter(col("__ra") =!= col("__rb")) // clique-internal edges vanish
@@ -385,6 +402,7 @@ object Dedup {
         coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
       .localCheckpoint() // materialize before releasing nr's storage
     org.apache.spark.sql.GraftSql.unpersistCheckpoint(nr)
+    org.apache.spark.sql.GraftSql.unpersistCheckpoint(p)
     out
   }
 
