@@ -296,6 +296,37 @@ object StreamingOps {
       }
   }
 
+  /** STREAMING MATERIALIZATION — drive a [[graft.OnlineStore]] from an
+    * unbounded event stream: each micro-batch is upserted through the
+    * store's latest-wins merge, closing the lambda loop (batch
+    * [[graft.Materializer]] and this stream feed the SAME store type
+    * with the same semantics).
+    *
+    * Correctness leans on the store's write contract, not on streaming
+    * machinery: the merge is COMMUTATIVE and IDEMPOTENT in
+    * `(event_ts, created_ts)` per key, so micro-batch boundaries,
+    * cross-batch arrival order, and replays (foreachBatch's
+    * at-least-once delivery under recovery) cannot change the final
+    * state — a stream-fed store provably equals one batch write over
+    * the same rows (spec-proved in StreamingSpec). No watermark is
+    * needed: late rows are merged like any others and lose only if
+    * genuinely older.
+    *
+    * Scale posture: per micro-batch work is one keyed window over
+    * (state ∪ batch) — state is key-cardinality-sized by the store's
+    * invariant. */
+  def materializeInto(
+      events: DataFrame, store: graft.OnlineStore,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream
+      .outputMode("append")
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store.write(batch.toDF()))
+    checkpoint.fold(writer)(c =>
+      writer.option("checkpointLocation", c)).start()
+  }
+
   /** An event row with an id for deterministic same-timestamp ordering
     * (the gap operator's unit). */
   final case class GapEvent(user_id: Long, ts: Timestamp, event_id: Long)

@@ -503,6 +503,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-fed online store equals one batch write over the same rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    // several versions per key, delivered SHUFFLED across micro-batches
+    val evs = rnd.shuffle(Seq.tabulate(60)(i => KeyedEvent(
+      (i % 9).toLong, ts(rnd.nextInt(50)), i.toDouble)))
+
+    val streamStore = new graft.OnlineStore(Seq("user_id"), "ts", None)
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamingOps.materializeInto(in.toDF(), streamStore)
+    try {
+      in.addData(evs.take(20): _*)
+      q.processAllAvailable()
+      in.addData(evs.slice(20, 40): _*)
+      q.processAllAvailable()
+      // REPLAY batch 2 (at-least-once delivery): latest-wins idempotence
+      // means the state cannot change
+      streamStore.write(evs.slice(20, 40).toDF("user_id", "ts", "value"))
+      in.addData(evs.drop(40): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchStore = new graft.OnlineStore(Seq("user_id"), "ts", None)
+    batchStore.write(evs.toDF("user_id", "ts", "value"))
+
+    def rows(s: graft.OnlineStore) = s.snapshot.get
+      .as[KeyedEvent].collect().map(e => (e.user_id, e.ts, e.value)).toSet
+    assert(rows(streamStore) == rows(batchStore),
+      s"stream-fed != batch-fed:\n${rows(streamStore)}\n${rows(batchStore)}")
+    // point reads agree too
+    (0L until 9L).foreach { k =>
+      assert(streamStore.get(Map("user_id" -> k)) ==
+        batchStore.get(Map("user_id" -> k)), s"key $k diverged")
+    }
+  }
+
   test("enrichAsOf rejects columns colliding with internal __f_* names") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
