@@ -78,6 +78,45 @@ object Sampling {
       .drop("__graft_uk")
   }
 
+  /** Deterministic TRAIN/VALIDATION/TEST split — every row labeled with
+    * exactly one split, leak-free BY ID (a document can never land in
+    * two splits, under any partitioning, on any engine) and reproducible
+    * from (seed, id) alone. Fractions are cut points on the same
+    * [0, 2^32) selection key the other samplers use, so the split
+    * composes with them: the train partition of a Bernoulli sample is
+    * the Bernoulli sample of the train partition (different seeds ⇒
+    * independent). Growing a fraction only MOVES the cut point —
+    * monotone, like [[bernoulliSample]]: rows enter `train` from `val`
+    * in hash order, never shuffle arbitrarily. Pure per-row projection,
+    * no shuffle. */
+  def trainTestSplit(
+      df: DataFrame, idCol: String,
+      trainFrac: Double = 0.9, valFrac: Double = 0.05,
+      seed: String = "graft"): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      "fractions must be non-negative and sum to at most 1")
+    val tCut = (trainFrac * 4294967296.0).toLong
+    val vCut = ((trainFrac + valFrac) * 4294967296.0).toLong
+    val k = selKey(col(idCol), seed)
+    df.withColumn("split",
+      when(k < lit(tCut), lit("train"))
+        .when(k < lit(vCut), lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** The DuckDB mirror of [[trainTestSplit]]'s split column (same cuts,
+    * same hash). */
+  def trainTestSplitSql(
+      idCol: String, trainFrac: Double, valFrac: Double,
+      seed: String): String = {
+    val tCut = (trainFrac * 4294967296.0).toLong
+    val vCut = ((trainFrac + valFrac) * 4294967296.0).toLong
+    val esc = seed.replace("'", "''")
+    val k = hash32Sql(s"'$esc' || ':' || CAST($idCol AS VARCHAR)")
+    s"CASE WHEN $k < $tCut THEN 'train' " +
+      s"WHEN $k < $vCut THEN 'val' ELSE 'test' END"
+  }
+
   /** TOKEN-BUDGET sample: keep a deterministic subset whose token count
     * lands at ≈`budget` — how training mixtures are actually sized (by
     * tokens, not documents). Two passes, both scale-correct: (1) one

@@ -403,6 +403,10 @@ object LlmQueries {
         .select("doc_id", "lang", "mixture_source")
     }),
 
+    "sample_split" -> ((s, dir) =>
+      Sampling.trainTestSplit(docs(s, dir), "doc_id", 0.9, 0.05, "graft")
+        .select("doc_id", "lang", "split")),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
 
@@ -755,6 +759,11 @@ object LlmQueries {
       s"""SELECT doc_id, lang, n_chars FROM documents
          |ORDER BY ${h32("'graft:' || CAST(doc_id AS VARCHAR)")}, doc_id
          |LIMIT 25""".stripMargin,
+
+    "sample_split" ->
+      s"""SELECT doc_id, lang,
+         |  ${Sampling.trainTestSplitSql("doc_id", 0.9, 0.05, "graft")} AS split
+         |FROM documents""".stripMargin,
 
     // exclusive running token sum inside each hash bucket — pure
     // integer window arithmetic

@@ -107,6 +107,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("trainTestSplit: exhaustive, leak-free, monotone, composable") {
+    import org.apache.spark.sql.functions._
+    val d = docs
+    val n = d.count()
+    val split = Sampling.trainTestSplit(d, "doc_id", 0.8, 0.1, "split-v1")
+    // every row exactly one split; fractions land near the cuts
+    val byS = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS.values.sum == n)
+    assert(math.abs(byS("train") - 0.8 * n) < 0.08 * n, s"train: $byS")
+    assert(math.abs(byS("test") - 0.1 * n) < 0.05 * n, s"test: $byS")
+    // repartition cannot move a row between splits
+    val re = Sampling.trainTestSplit(
+      d.repartition(17), "doc_id", 0.8, 0.1, "split-v1")
+    assert(split.select("doc_id", "split").exceptAll(
+      re.select("doc_id", "split")).isEmpty)
+    // monotone: growing train only PROMOTES rows val→train, never evicts
+    val wider = Sampling.trainTestSplit(d, "doc_id", 0.9, 0.05, "split-v1")
+    val trainNarrow = split.filter(col("split") === "train").select("doc_id")
+    val trainWide = wider.filter(col("split") === "train").select("doc_id")
+    assert(trainNarrow.exceptAll(trainWide).isEmpty,
+      "a 0.8-train doc left the 0.9-train split")
+    // composable: independent-seed Bernoulli of train == train of Bernoulli
+    val a = Sampling.bernoulliSample(
+      split.filter(col("split") === "train"), "doc_id", 0.5, "other-seed")
+    val b = Sampling.trainTestSplit(
+      Sampling.bernoulliSample(d, "doc_id", 0.5, "other-seed"),
+      "doc_id", 0.8, 0.1, "split-v1").filter(col("split") === "train")
+    assert(a.select("doc_id").exceptAll(b.select("doc_id")).isEmpty &&
+      b.select("doc_id").exceptAll(a.select("doc_id")).isEmpty)
+  }
+
   test("bernoulliSql escapes quotes in seeds (mixture derives them from names)") {
     val sql = Sampling.bernoulliSql("doc_id", 0.5, "it's a 'seed'")
     assert(sql.contains("'it''s a ''seed'':'"), sql)
