@@ -1,0 +1,217 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Approximate-query sketches — the summary structures a 100 TB pipeline
+  * uses where exact answers are either unaffordable or unnecessary:
+  * HyperLogLog distinct counting, Count-Min frequency estimation, and a
+  * Bloom-filter semi-join prefilter.
+  *
+  * Everything is DETERMINISTIC on purpose. Standard sketch libraries
+  * (DataSketches, Spark's own `approx_count_distinct`) hash with
+  * engine-private functions, so their estimates can't be checked by an
+  * independent engine. Here every hash is the portable 32-bit
+  * md5-derived [[TextOps.hash32]] and every register update is integer
+  * arithmetic, so DuckDB can replay the EXACT sketch — registers,
+  * estimate and all — and the driver's hash-compare gate applies to
+  * approximate operators just like exact ones.
+  *
+  * Scale posture: each sketch is one map-side-combinable aggregation
+  * over a tiny fixed key space (≤2048 groups), i.e. a shuffle of a few
+  * KB regardless of input size — the whole point of sketching.
+  */
+object Sketches {
+
+  // ── HyperLogLog ────────────────────────────────────────────────────────
+
+  /** Register count m = 2^8. At 31 KB of state per 10^9 inputs this is
+    * the classic "count distinct users over a year of events without a
+    * 100 TB shuffle" trade: ~6.5% standard error. */
+  val HllM = 256
+  /** Bits of the 32-bit hash used for the rank: 32 - 8. Rank values are
+    * in [1, 25] (25 = all rank bits zero). */
+  val HllRankBits = 24
+
+  /** alpha_m * m^2 * 2^HllRankBits, precomputed in ONE place and injected
+    * into both engines as the same decimal literal: the estimate is this
+    * constant divided by the exact-integer register denominator, so both
+    * engines perform a single identical IEEE division. alpha_m for
+    * m >= 128 is 0.7213 / (1 + 1.079/m) (Flajolet et al. 2007). */
+  val HllAlphaNumerator: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM *
+      (1L << (HllRankBits + 1)).toDouble
+  /** Below 2.5m the raw estimator is biased; linear counting takes over. */
+  val HllLinearThreshold: Double = 2.5 * HllM
+
+  /** HyperLogLog distinct-count estimate of `keyCol`, as ONE row:
+    * `(n_exact, est_hll, method, registers_nonzero, denom)`.
+    *
+    * The register build is a groupBy on the 8-bit bucket — 256 groups,
+    * map-side partial `max`, a shuffle of at most 256 rows per task. The
+    * exact count is computed alongside purely as the accuracy yardstick
+    * (on real 100 TB runs you'd drop it — it's the expensive half).
+    *
+    * Determinism: the rank is integer (binary digit count, no FP log2);
+    * the denominator sum(2^(RankBits+1-M[j])) is EXACT in a BIGINT
+    * (≤ 256·2^25 < 2^34); the one division happens on bit-identical
+    * doubles in both engines. Linear counting (`m·ln(m/V)`) only
+    * involves ln on an exact ratio, rounded to 4dp — the same ln-then-
+    * round treatment the tf-idf oracle already proved portable. */
+  def hllDistinct(df: DataFrame, keyCol: String): DataFrame = {
+    val h = hash32(col(keyCol).cast("string"))
+    val bucket = shiftright(h, HllRankBits)
+    val rem = h.bitwiseAND(lit((1L << HllRankBits) - 1))
+    // rank = leading zeros in RankBits bits, + 1 == RankBits+1 - bitlength
+    val rank = when(rem === 0L, lit(HllRankBits + 1))
+      .otherwise(lit(HllRankBits + 1) - length(bin(rem)))
+    val regs = df
+      .select(bucket.as("bucket"), rank.as("rank"))
+      .groupBy("bucket").agg(max("rank").as("m"))
+    val exact = df.select(countDistinct(col(keyCol)).as("n_exact"))
+    val agg = regs.agg(
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRankBits + 1} - m)"))
+        .as("present_sum"),
+      count(lit(1)).as("n_present"))
+    // register scale is 2^(RankBits+1): present buckets contribute
+    // 2^(RankBits+1-M), empty buckets M=0 contribute the full 2^(RankBits+1)
+    val denom = (col("present_sum") +
+      (lit(HllM) - col("n_present")) * lit(1L << (HllRankBits + 1))).as("denom")
+    val withDenom = agg.select(
+      denom, (lit(HllM) - col("n_present")).as("v"),
+      col("n_present").as("registers_nonzero"))
+    val raw = lit(HllAlphaNumerator) / col("denom").cast("double")
+    val linear = lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v").cast("double"))
+    withDenom.crossJoin(exact).select(
+      col("n_exact"),
+      round(when(raw <= HllLinearThreshold && col("v") > 0, linear)
+        .otherwise(raw), 4).as("est_hll"),
+      when(raw <= HllLinearThreshold && col("v") > 0, "linear")
+        .otherwise("raw").as("method"),
+      col("registers_nonzero"),
+      col("denom"))
+  }
+
+  // ── Count-Min sketch ───────────────────────────────────────────────────
+
+  /** Depth (independent hash rows) and width (buckets per row). 4×512
+    * longs = 16 KB of state for any input size; overestimate-only error
+    * ≤ 2N/w with probability 1 - 2^-4. */
+  val CmsDepth = 4
+  val CmsWidth = 512
+
+  /** The Count-Min hash family: row r maps key-hash x to
+    * ((a_r·x + b_r) mod P) mod width — the SAME (a,b) constants the
+    * MinHash permutations use, shared with the oracle. */
+  def cmsConstants: Seq[(Int, Long, Long)] = permConstants(CmsDepth)
+
+  /** Count-Min frequency estimates for the top-`k` true heavy hitters of
+    * `keyCol`: `(key, n_true, n_est, overcount)`, ordered by true count.
+    *
+    * The sketch build is ONE groupBy over (row, bucket) — at most
+    * 4×512 = 2048 groups, fully map-side combinable: the classic
+    * "frequency table without the full-cardinality shuffle". The true
+    * counts are computed only as the evaluation yardstick; `n_est ≥
+    * n_true` always (Count-Min never undercounts), and the spec asserts
+    * it. */
+  def cmsTopK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val h = hash32(col(keyCol).cast("string"))
+    val rowBuckets = array(cmsConstants.map { case (r, a, b) =>
+      struct(lit(r).as("r"),
+        ((h * a + b) % P % CmsWidth).as("bucket"))
+    }: _*)
+    val sketch = df
+      .select(explode(rowBuckets).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val truth = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("key"))
+      .limit(k)
+    val probes = truth
+      .withColumn("h", hash32(col("key").cast("string")))
+      .select(col("key"), col("n_true"), explode(array(cmsConstants.map {
+        case (r, a, b) => struct(lit(r).as("r"),
+          ((col("h") * a + b) % P % CmsWidth).as("bucket"))
+      }: _*)).as("rb"))
+      .select(col("key"), col("n_true"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    probes.join(sketch, Seq("r", "bucket"))
+      .groupBy("key", "n_true").agg(min("c").as("n_est"))
+      .select(col("key"), col("n_true"), col("n_est"),
+        (col("n_est") - col("n_true")).as("overcount"))
+      .orderBy(col("n_true").desc, col("key"))
+  }
+
+  // ── Bloom-filter semi-join prefilter ───────────────────────────────────
+
+  /** Filter size: 2^12 bits = 64 longs, and 3 hash probes per key. For a
+    * ~300-key build side that is ~0.8% false positives — the "ship 512
+    * bytes to every executor instead of shuffling the fact table"
+    * semi-join prefilter. */
+  val BloomBits = 4096
+  val BloomWords: Int = BloomBits / 64
+  val BloomK = 3
+
+  def bloomConstants: Seq[(Int, Long, Long)] = permConstants(BloomK)
+
+  /** The `BloomK` bit positions for a key-hash column. */
+  private def bloomPositions(h: Column): Seq[Column] =
+    bloomConstants.map { case (_, a, b) => (h * a + b) % P % BloomBits }
+
+  /** Builds the bitset over `buildKeys` and probes `probe(probeKeyCol)`
+    * with it; returns ONE row
+    * `(n_probe, n_exact, n_bloom_pass, n_false_pos)` comparing the
+    * prefilter against the exact LEFT SEMI join.
+    *
+    * 100 TB shape: the build side collapses to 64 longs broadcast as a
+    * single-row cross join (Spark plans it as BroadcastNestedLoopJoin
+    * over ONE row — constant cost), and the probe side tests 3 bit
+    * positions per row inside whole-stage codegen. No shuffle of the
+    * probe table at all; the exact semi-join here exists only to measure
+    * the false-positive rate. Bloom passes are a SUPERSET of exact
+    * matches by construction (no false negatives) — spec-asserted. */
+  def bloomSemiJoinStats(
+      probe: DataFrame, probeKeyCol: String,
+      buildKeys: DataFrame, buildKeyCol: String): DataFrame = {
+    val bh = hash32(col(buildKeyCol).cast("string"))
+    val positions = buildKeys
+      .select(explode(array(bloomPositions(bh).map(_.as("p")): _*)).as("pos"))
+      .distinct()
+    // 64-word bitset as one array<long> row: word = pos >> 6, mask = OR of
+    // 1 << (pos & 63). map_from_entries + a sequence fill keeps absent
+    // words as 0 without a driver collect.
+    val bits = positions
+      .groupBy(shiftright(col("pos"), 6).as("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+        .as("mask"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("mask"))))
+        .as("mp"))
+      .select(transform(sequence(lit(0), lit(BloomWords - 1)),
+        w => coalesce(element_at(col("mp"), w), lit(0L))).as("bits"))
+    val ph = hash32(col(probeKeyCol).cast("string"))
+    // Per-probe position columns first, then the 3 bit tests against the
+    // broadcast single-row bitset — all inside one codegen stage.
+    val withPos = bloomConstants.zipWithIndex.foldLeft(
+      probe.crossJoin(broadcast(bits))) { case (d, ((_, a, b), i)) =>
+      d.withColumn(s"__pos$i", (ph * a + b) % P % BloomBits)
+    }
+    val cond = (0 until BloomK).map { i =>
+      element_at(col("bits"), (shiftright(col(s"__pos$i"), 6) + 1).cast("int"))
+        .bitwiseAND(expr(
+          s"shiftleft(CAST(1 AS BIGINT), CAST(__pos$i % 64 AS INT))")) =!= 0L
+    }.reduce(_ && _)
+    val bloomPass = withPos.filter(cond)
+      .select(count(lit(1)).as("n_bloom_pass"))
+    val nProbe = probe.select(count(lit(1)).as("n_probe"))
+    val exact = probe.join(
+      buildKeys.select(col(buildKeyCol).as(probeKeyCol)).distinct(),
+      Seq(probeKeyCol), "left_semi")
+      .select(count(lit(1)).as("n_exact"))
+    nProbe.crossJoin(exact).crossJoin(bloomPass)
+      .select(col("n_probe"), col("n_exact"), col("n_bloom_pass"),
+        (col("n_bloom_pass") - col("n_exact")).as("n_false_pos"))
+  }
+}

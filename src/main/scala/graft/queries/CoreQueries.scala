@@ -586,7 +586,23 @@ object CoreQueries {
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
           * 10000).cast("long")).as("revenue_x10000"),
           count(lit(1)).as("n_items"))
-    })
+    }),
+
+    // Approximate-query sketches (graft.llm.Sketches): deterministic
+    // md5-hashed register builds, so even the ESTIMATES hash-match an
+    // independent engine. Each sketch is a ≤2048-group map-side
+    // combinable aggregation — KB-sized shuffles at any input size.
+    "sketch_hll_distinct" -> ((s, dir) =>
+      graft.llm.Sketches.hllDistinct(lineitem(s, dir), "l_orderkey")),
+
+    "sketch_cms_topk" -> ((s, dir) =>
+      graft.llm.Sketches.cmsTopK(lineitem(s, dir), "l_partkey", 20)),
+
+    "sketch_bloom_semijoin" -> ((s, dir) =>
+      graft.llm.Sketches.bloomSemiJoinStats(
+        Tables.read(s, dir, "orders"), "o_custkey",
+        Tables.read(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING"), "c_custkey"))
   )
 
   // ───────────────────────────── oracles ─────────────────────────────
@@ -921,6 +937,95 @@ object CoreQueries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-        |GROUP BY n_name""".stripMargin
+        |GROUP BY n_name""".stripMargin,
+
+    // ── sketches: the oracle REPLAYS the exact deterministic sketch ──
+    // (same md5-derived hashes, same register arithmetic — estimates
+    // hash-match, not just exact counts)
+    "sketch_hll_distinct" -> {
+      import graft.llm.Sketches._
+      val rb = HllRankBits // 24
+      val rem = s"(h & ${(1L << rb) - 1})"
+      val rank = s"CASE WHEN $rem = 0 THEN ${rb + 1} " +
+        s"ELSE ${rb + 1} - length(bin($rem)) END"
+      val alpha = HllAlphaNumerator.toString // round-trips to the same double
+      val raw = s"$alpha / denom::DOUBLE"
+      val isLinear = s"($raw <= $HllLinearThreshold AND v > 0)"
+      s"""WITH h AS (SELECT ${graft.llm.TextOps.hash32Sql("l_orderkey::VARCHAR")} AS h
+         |           FROM lineitem),
+         |r AS (SELECT h >> $rb AS bucket, $rank AS rank FROM h),
+         |regs AS (SELECT bucket, max(rank) AS m FROM r GROUP BY bucket),
+         |agg AS (SELECT sum((1::BIGINT << (${rb + 1} - m)))::BIGINT AS present_sum,
+         |               count(*) AS n_present FROM regs),
+         |d AS (SELECT present_sum + ($HllM - n_present) * (1::BIGINT << ${rb + 1}) AS denom,
+         |             $HllM - n_present AS v,
+         |             n_present AS registers_nonzero FROM agg),
+         |e AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+         |SELECT n_exact,
+         |       round(CASE WHEN $isLinear
+         |                  THEN $HllM.0 * ln($HllM.0 / v::DOUBLE)
+         |                  ELSE $raw END, 4) AS est_hll,
+         |       CASE WHEN $isLinear THEN 'linear' ELSE 'raw' END AS method,
+         |       registers_nonzero, denom
+         |FROM d CROSS JOIN e""".stripMargin
+    },
+
+    "sketch_cms_topk" -> {
+      import graft.llm.Sketches._
+      import graft.llm.TextOps.{P, hash32Sql}
+      def bucketSql(h: String, a: Long, b: Long) =
+        s"((($h) * $a + $b) % $P) % $CmsWidth"
+      val sketchRows = cmsConstants.map { case (r, a, b) =>
+        s"SELECT $r AS r, ${bucketSql("h", a, b)} AS bucket FROM h"
+      }.mkString("\n  UNION ALL ")
+      val probeRows = cmsConstants.map { case (r, a, b) =>
+        s"SELECT key, n_true, $r AS r, ${bucketSql("h", a, b)} AS bucket FROM t"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH h AS (SELECT ${hash32Sql("l_partkey::VARCHAR")} AS h FROM lineitem),
+         |rb AS ($sketchRows),
+         |sk AS (SELECT r, bucket, count(*) AS c FROM rb GROUP BY 1, 2),
+         |t AS (SELECT l_partkey AS key, count(*) AS n_true,
+         |             ${hash32Sql("l_partkey::VARCHAR")} AS h
+         |      FROM lineitem GROUP BY 1
+         |      ORDER BY n_true DESC, key LIMIT 20),
+         |p AS ($probeRows),
+         |est AS (SELECT key, n_true, min(c) AS n_est
+         |        FROM p JOIN sk USING (r, bucket) GROUP BY 1, 2)
+         |SELECT key, n_true, n_est, n_est - n_true AS overcount
+         |FROM est ORDER BY n_true DESC, key""".stripMargin
+    },
+
+    // The oracle states bloom membership as set-membership of all K bit
+    // positions (HAVING count = K over the distinct-position set) — the
+    // same predicate the Spark side evaluates against the packed 64-word
+    // broadcast bitset.
+    "sketch_bloom_semijoin" -> {
+      import graft.llm.Sketches._
+      import graft.llm.TextOps.{P, hash32Sql}
+      def posSql(h: String, a: Long, b: Long) =
+        s"((($h) * $a + $b) % $P) % $BloomBits"
+      val buildRows = bloomConstants.map { case (_, a, b) =>
+        s"SELECT ${posSql("h", a, b)} AS pos FROM bh"
+      }.mkString("\n  UNION ALL ")
+      val probeRows = bloomConstants.map { case (j, a, b) =>
+        s"SELECT o_orderkey, $j AS j, ${posSql("h", a, b)} AS pos FROM oh"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH bk AS (SELECT DISTINCT c_custkey AS k FROM customer
+         |            WHERE c_mktsegment = 'BUILDING'),
+         |bh AS (SELECT ${hash32Sql("k::VARCHAR")} AS h FROM bk),
+         |pset AS (SELECT DISTINCT pos FROM ($buildRows)),
+         |oh AS (SELECT o_orderkey, ${hash32Sql("o_custkey::VARCHAR")} AS h
+         |       FROM orders),
+         |op AS ($probeRows),
+         |bp AS (SELECT count(*) AS n_bloom_pass FROM (
+         |         SELECT op.o_orderkey FROM op JOIN pset USING (pos)
+         |         GROUP BY op.o_orderkey HAVING count(*) = $BloomK)),
+         |ex AS (SELECT count(*) AS n_exact FROM orders
+         |       WHERE o_custkey IN (SELECT k FROM bk)),
+         |np AS (SELECT count(*) AS n_probe FROM orders)
+         |SELECT n_probe, n_exact, n_bloom_pass,
+         |       n_bloom_pass - n_exact AS n_false_pos
+         |FROM np CROSS JOIN ex CROSS JOIN bp""".stripMargin
+    }
   )
 }

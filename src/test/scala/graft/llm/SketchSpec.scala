@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Sketch guarantees that the hash-exact oracle can't express:
+  * HyperLogLog error bounds and partitioning invariance, Count-Min's
+  * overestimate-only property, Bloom's no-false-negative property. */
+class SketchSpec extends SparkSpec {
+
+  private def lineitem = Tables.read(spark, sf("sf0.001"), "lineitem")
+
+  test("HLL estimate lands within 3 standard errors of the exact count") {
+    val row = Sketches.hllDistinct(lineitem, "l_orderkey").head()
+    val exact = row.getAs[Long]("n_exact").toDouble
+    val est = row.getAs[Double]("est_hll")
+    // sigma = 1.04/sqrt(m) relative standard error for HLL
+    val sigma = 1.04 / math.sqrt(Sketches.HllM) * exact
+    assert(math.abs(est - exact) <= 3 * sigma,
+      s"est $est vs exact $exact (3sigma ${3 * sigma})")
+  }
+
+  test("HLL registers are partitioning-invariant (max is order-free)") {
+    val a = Sketches.hllDistinct(lineitem, "l_orderkey").head()
+    val b = Sketches.hllDistinct(lineitem.repartition(13), "l_orderkey").head()
+    assert(a == b)
+  }
+
+  test("HLL switches to linear counting on tiny cardinalities") {
+    import spark.implicits._
+    val tiny = (1 to 40).map(i => s"k$i").toDF("k")
+    val row = Sketches.hllDistinct(tiny, "k").head()
+    assert(row.getAs[String]("method") == "linear")
+    val est = row.getAs[Double]("est_hll")
+    // linear counting is near-exact at n << m
+    assert(math.abs(est - 40.0) <= 4.0, s"linear est $est for n=40")
+  }
+
+  test("Count-Min never undercounts, and is exact absent collisions") {
+    val rows = Sketches.cmsTopK(lineitem, "l_partkey", 20).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_true"),
+        s"CMS undercounted ${r.get(0)}")
+    }
+    // 20 distinct keys into 4x512 buckets: collisions are impossible to
+    // ENGINEER away in general, but a tiny universe must come back exact
+    import spark.implicits._
+    val tiny = Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val exact = Sketches.cmsTopK(tiny.toDF("k"), "k", 3).collect()
+    assert(exact.map(r => (r.getAs[String]("key"), r.getAs[Long]("n_est")))
+      .toSeq == Seq(("a", 7L), ("b", 3L), ("c", 1L)))
+  }
+
+  test("Bloom prefilter passes every true match (no false negatives)") {
+    val orders = Tables.read(spark, sf("sf0.001"), "orders")
+    val build = Tables.read(spark, sf("sf0.001"), "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val row = Sketches.bloomSemiJoinStats(
+      orders, "o_custkey", build, "c_custkey").head()
+    val nExact = row.getAs[Long]("n_exact")
+    val nPass = row.getAs[Long]("n_bloom_pass")
+    val nFp = row.getAs[Long]("n_false_pos")
+    assert(nPass >= nExact, "bloom dropped a true match")
+    assert(nFp == nPass - nExact)
+    // ~0.8% expected fpp for a ~60-key build side at sf0.001; 10% is the
+    // "something is broken" alarm threshold, not a precision target
+    val nonMatch = row.getAs[Long]("n_probe") - nExact
+    assert(nonMatch == 0 || nFp.toDouble / nonMatch < 0.10,
+      s"false-positive rate ${nFp.toDouble / nonMatch}")
+  }
+
+  test("Bloom bitset itself admits every build key") {
+    // probe the filter WITH its own build side: zero false negatives
+    // means every build key must pass
+    val build = Tables.read(spark, sf("sf0.001"), "customer")
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey"))
+    val row = Sketches.bloomSemiJoinStats(
+      build.withColumnRenamed("c_custkey", "k"), "k",
+      build, "c_custkey").head()
+    assert(row.getAs[Long]("n_bloom_pass") == row.getAs[Long]("n_probe"))
+    assert(row.getAs[Long]("n_false_pos") == 0L)
+  }
+}
