@@ -231,4 +231,127 @@ object TextAnalysis {
       .select(col("doc_id"), col("c.ci").as("chunk_idx"),
         col("c.ct").as("chunk_text"), col("c.nt").as("n_tokens"))
   }
+
+  /** BM25 query-relevance ranking (Robertson/Sparck Jones weights,
+    * k1 = 1.2, b = 0.75): top-`k` documents for a fixed term set.
+    *
+    * Two passes, both full aggregations with tiny outputs: one corpus
+    * stats row (N, total doc length, per-term document frequencies —
+    * broadcast back as a single-row cross join), then a per-row score
+    * and a global top-k (`orderBy.limit` — Spark's distributed
+    * TakeOrdered, NOT a single-partition window; the display rank is
+    * attached after the limit on k rows).
+    *
+    * Determinism: every score input is integer-derived (term counts,
+    * doc lengths, df) so the idf ratio and length normalization are
+    * bit-identical across engines; `ln` is engine-local but rounded to
+    * 6dp — the treatment the tf-idf oracle already proved portable. The
+    * per-term contributions are summed in EXPLICIT fixed order (term1 +
+    * term2 + …), never via an order-free SUM over an exploded frame:
+    * FP addition does not commute, a grouped SUM would not be
+    * hash-stable. Ranking ties break on the ROUNDED score then doc_id
+    * in both engines. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("__w"))
+      .withColumn("dl", size(col("__w")))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"tf$i", size(filter(col("__w"), x => x === lit(t))))
+    }
+    val statCols = Seq(count(lit(1)).as("n"), sum("dl").as("sumdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    val contributions = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val dfT = col(s"df$i").cast("double")
+      val idf = log((col("n").cast("double") - dfT + lit(0.5)) /
+        (dfT + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }
+    val score = contributions.reduce(_ + _)
+    val top = withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "rank", "score")
+  }
+
+  /** C4/Gopher-style document quality rules (Raffel et al. 2020 §2.2,
+    * Rae et al. 2021 A1.1), re-expressed as per-row column arithmetic:
+    * word-count bounds, mean-word-length bounds, a minimum stopword
+    * count, terminal-punctuation line ratio, and the lorem-ipsum /
+    * curly-brace content flags. Emits the individual signals plus the
+    * combined keep decisions so a pipeline can re-weight rules without
+    * recomputing them. Pure per-row expressions — no shuffle at all;
+    * single-division ratios rounded to 6dp for engine portability. */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopwords: Int = 2): DataFrame = {
+    val w = words(col(textCol))
+    val nWords = size(w)
+    val sumWlen = aggregate(transform(w, x => length(x)), lit(0),
+      (acc, x) => acc + x)
+    val meanWlen = sumWlen.cast("double") / nWords.cast("double")
+    val nStop = size(filter(w, x => x.isInCollection(Stopwords)))
+    val lines = split(col(textCol), "\n")
+    val punctLines = size(filter(lines, l =>
+      substring(l, -1, 1).isInCollection(Seq(".", "!", "?", "\""))))
+    val punctRatio = punctLines.cast("double") / size(lines).cast("double")
+    val norm = normText(col(textCol))
+    val hasLorem = norm.contains("lorem ipsum")
+    val hasBrace = norm.contains("{")
+    val keepGopher = nWords.between(minWords, maxWords) &&
+      meanWlen.between(minMeanWordLen, maxMeanWordLen) &&
+      nStop >= minStopwords
+    val keepC4 = !hasLorem && !hasBrace
+    df.select(
+      col(idCol).as("doc_id"),
+      nWords.as("n_words"),
+      round(meanWlen, 6).as("mean_word_len"),
+      nStop.as("stopword_hits"),
+      round(punctRatio, 6).as("punct_line_ratio"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      keepGopher.as("keep_gopher"),
+      keepC4.as("keep_c4"),
+      (keepGopher && keepC4).as("keep"))
+  }
+
+  /** Conservative PII patterns shared with the oracle. Spelled to mean
+    * the same thing under Java regex (Spark) and RE2 (DuckDB): no
+    * lookaround, no backreferences, explicit character classes. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  /** Leading `+` required, so redacted IPs/plain numbers can't re-match. */
+  val PhoneRe = "\\+[0-9][0-9 ()-]{5,}[0-9]"
+
+  /** PII detection and redaction: per-category match counts plus the
+    * redacted text (emails → `<EMAIL>`, then IPv4 → `<IP>`, then
+    * international-format phones → `<PHONE>` — the order matters, later
+    * patterns must not re-match earlier placeholders). Pure per-row
+    * regex expressions (codegen'd, embarrassingly parallel). */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0)))
+        .as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+        .as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
 }

@@ -18,6 +18,9 @@ object LlmQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
+
+  /** Fixed BM25 probe query, shared by the Spark query and its oracle. */
+  private val Bm25Terms = Seq("join", "vector", "customer")
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
@@ -438,6 +441,31 @@ object LlmQueries {
     "text_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
         chunkTokens = 64)),
+
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+        terms = Bm25Terms, k = 10)),
+
+    "text_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(docs(s, dir), "doc_id", "text")),
+
+    // The corpus has no PII, so the query PLANTS deterministic PII
+    // (derived from doc_id, identically in both engines) and then
+    // redacts it — the redaction path is what's under test.
+    "text_pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(
+        docs(s, dir).withColumn("pii_text", concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" contact doc"),
+            col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" call +1 555 01"),
+            col("doc_id").cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, concat(lit(" host 192.168."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string")))
+            .otherwise(lit("")))),
+        "doc_id", "pii_text")),
 
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
@@ -919,6 +947,95 @@ object LlmQueries {
          |SELECT doc_id, CAST(c.ci AS INT) AS chunk_idx, c.ct AS chunk_text,
          |       CAST(c.nt AS INT) AS n_tokens
          |FROM ch""".stripMargin,
+
+    // The FP constants ((k1+1), k1, 1-b, b) are interpolated from the
+    // SAME Scala doubles the Spark expression uses (Double.toString
+    // round-trips), and every other score input is integer-derived, so
+    // the whole score expression tree is bit-identical across engines;
+    // ln is engine-local but rounded to 6dp (the tf-idf treatment).
+    // Ranks are assigned on the ROUNDED score, ties break on doc_id.
+    "text_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      val (k1p1, omb) = ((k1 + 1.0).toString, (1.0 - b).toString)
+      val tfCols = Bm25Terms.indices.map(i =>
+        s"len(list_filter(w, x -> x = '${Bm25Terms(i)}')) AS tf$i")
+        .mkString(",\n         ")
+      val dfCols = Bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(", ")
+      val contrib = Bm25Terms.indices.map { i =>
+        s"""ln((n::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5) + 1.0)
+           | * (tf$i::DOUBLE * $k1p1)
+           | / (tf$i::DOUBLE + $k1 * ($omb + $b * dl::DOUBLE
+           |    / (sumdl::DOUBLE / n::DOUBLE)))""".stripMargin
+          .replaceAll("\n\\s*", " ")
+      }.mkString(" + ")
+      s"""WITH $DocsCte,
+         |d AS (SELECT doc_id, len(w) AS dl,
+         |         $tfCols
+         |      FROM docs),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfCols FROM d),
+         |sc AS (SELECT doc_id, round($contrib, 6) AS score
+         |       FROM d CROSS JOIN st),
+         |r AS (SELECT doc_id, score, row_number() OVER (
+         |        ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |SELECT doc_id, rank, score FROM r WHERE rank <= 10""".stripMargin
+    },
+
+    "text_quality_filter" -> {
+      val stopSet = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH $DocsCte,
+         |m AS (SELECT d.doc_id, d.w,
+         |        string_split(d2.text, chr(10)) AS ls,
+         |        lower(trim(regexp_replace(d2.text,
+         |          '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS norm
+         |      FROM docs d JOIN documents d2 ON d.doc_id = d2.doc_id),
+         |f AS (SELECT doc_id,
+         |        len(w) AS n_words,
+         |        list_sum(list_transform(w, x -> length(x)))::DOUBLE
+         |          / len(w)::DOUBLE AS mwl_raw,
+         |        len(list_filter(w, x -> x IN ($stopSet))) AS stopword_hits,
+         |        len(list_filter(ls, l -> substr(l, -1, 1)
+         |          IN ('.', '!', '?', '"')))::DOUBLE
+         |          / len(ls)::DOUBLE AS plr_raw,
+         |        contains(norm, 'lorem ipsum') AS has_lorem,
+         |        contains(norm, '{') AS has_brace
+         |      FROM m)
+         |SELECT doc_id, n_words, round(mwl_raw, 6) AS mean_word_len,
+         |       stopword_hits, round(plr_raw, 6) AS punct_line_ratio,
+         |       has_lorem, has_brace,
+         |       (n_words BETWEEN 50 AND 100000
+         |        AND mwl_raw BETWEEN 3.0 AND 10.0
+         |        AND stopword_hits >= 2) AS keep_gopher,
+         |       (NOT has_lorem AND NOT has_brace) AS keep_c4,
+         |       (n_words BETWEEN 50 AND 100000
+         |        AND mwl_raw BETWEEN 3.0 AND 10.0
+         |        AND stopword_hits >= 2
+         |        AND NOT has_lorem AND NOT has_brace) AS keep
+         |FROM f""".stripMargin
+    },
+
+    "text_pii_redact" -> {
+      import graft.llm.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH p AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact doc'
+         |      || doc_id::VARCHAR || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 01'
+         |      || doc_id::VARCHAR ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' host 192.168.'
+         |      || (doc_id % 256)::VARCHAR || '.'
+         |      || ((doc_id * 7) % 256)::VARCHAR ELSE '' END AS pii_text
+         |  FROM documents)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(pii_text, '$EmailRe')) AS n_emails,
+         |       len(regexp_extract_all(pii_text, '$Ipv4Re')) AS n_ips,
+         |       len(regexp_extract_all(pii_text, '$PhoneRe')) AS n_phones,
+         |       regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |         '$EmailRe', '<EMAIL>', 'g'),
+         |         '$Ipv4Re', '<IP>', 'g'),
+         |         '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM p""".stripMargin
+    },
 
     "text_length_hist" ->
       """WITH b AS (SELECT CASE WHEN length(text) <= 0 THEN -1

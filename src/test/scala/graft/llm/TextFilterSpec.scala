@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic properties of BM25, the quality filter and PII redaction on
+  * crafted inputs (the oracle gate proves engine-equivalence; these prove
+  * the operators mean what they claim). */
+class TextFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 ranks term-bearing docs above term-free docs, zero for no hits") {
+    val corpus = Seq(
+      (1L, "join join join filter scan"),
+      (2L, "join filter scan table row"),
+      (3L, "filter scan table row batch"),
+      (4L, "vector vector join scan row")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(corpus, "doc_id", "text",
+      terms = Seq("join", "vector"), k = 4).collect()
+    val scores = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(scores(3L) == 0.0, "doc without any query term must score 0")
+    assert(scores(4L) > scores(2L),
+      "doc with both terms must beat doc with one")
+    assert(scores(1L) > scores(2L),
+      "higher tf at equal length must score higher")
+    // ranks are 1..4, aligned with descending score
+    assert(out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      .sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("quality filter rules fire individually") {
+    val rows = Seq(
+      // healthy: >50 words, sane word length, stopwords present
+      (1L, (("the quick brown fox jumps over the lazy dog and runs to it " * 6)
+        .trim + " end.")),
+      (2L, "too short to keep the a an"),                  // < 50 words
+      (3L, ("incomprehensibilities floccinaucinihilipilification " * 30).trim
+        + " the of to in is it"),                          // mean word len > 10
+      (4L, ("lorem ipsum dolor sit amet " * 12).trim + " the of it"),
+      (5L, ("code sample { return 1 } the of it " * 8).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(rows, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("keep_gopher"), "word-count floor")
+    assert(!out(3L).getAs[Boolean]("keep_gopher"), "mean-word-length cap")
+    assert(out(4L).getAs[Boolean]("has_lorem") &&
+      !out(4L).getAs[Boolean]("keep_c4"))
+    assert(out(5L).getAs[Boolean]("has_brace") &&
+      !out(5L).getAs[Boolean]("keep_c4"))
+  }
+
+  test("PII redaction removes every match and counts them") {
+    val rows = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or +44 (0)20 7946 0958"),
+      (2L, "server 10.0.255.3 fell over; admin@ops.io paged"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(rows, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_emails") == 1)
+    assert(out(1L).getAs[Int]("n_phones") == 1)
+    assert(out(2L).getAs[Int]("n_ips") == 1)
+    assert(out(2L).getAs[Int]("n_emails") == 1)
+    assert(out(3L).getAs[String]("redacted") == "no pii here at all")
+    // residual scan: NO pattern may still match any redacted text
+    val res = TextAnalysis.piiRedact(
+      TextAnalysis.piiRedact(rows, "doc_id", "text")
+        .select(col("doc_id"), col("redacted").as("text")),
+      "doc_id", "text").collect()
+    res.foreach { r =>
+      assert(r.getAs[Int]("n_emails") == 0 && r.getAs[Int]("n_ips") == 0 &&
+        r.getAs[Int]("n_phones") == 0,
+        s"residual PII in: ${r.getAs[String]("redacted")}")
+    }
+  }
+}
