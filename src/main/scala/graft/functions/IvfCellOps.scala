@@ -129,8 +129,8 @@ case class ArgmaxCell(
          |    $acc += ${getElem(a, i)} * $cv[$i];
          |  }
          |  double $s = $acc / ($b * $nm[$j]);
-         |  if ($bj < 0 || ($s == $bs && $j > $bj)
-         |      || java.lang.Double.compare($s, $bs) > 0) {
+         |  if ($bj < 0 || ($s == $bs && $j > $bj) ||
+         |      java.lang.Double.compare($s, $bs) > 0) {
          |    $bs = $s; $bj = $j;
          |  }
          |}

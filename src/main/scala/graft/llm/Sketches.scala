@@ -46,31 +46,41 @@ object Sketches {
   /** Below 2.5m the raw estimator is biased; linear counting takes over. */
   val HllLinearThreshold: Double = 2.5 * HllM
 
-  /** HyperLogLog distinct-count estimate of `keyCol`, as ONE row:
-    * `(n_exact, est_hll, method, registers_nonzero, denom)`.
-    *
-    * The register build is a groupBy on the 8-bit bucket — 256 groups,
-    * map-side partial `max`, a shuffle of at most 256 rows per task. The
-    * exact count is computed alongside purely as the accuracy yardstick
-    * (on real 100 TB runs you'd drop it — it's the expensive half).
-    *
-    * Determinism: the rank is integer (binary digit count, no FP log2);
-    * the denominator sum(2^(RankBits+1-M[j])) is EXACT in a BIGINT
-    * (≤ 256·2^25 < 2^34); the one division happens on bit-identical
-    * doubles in both engines. Linear counting (`m·ln(m/V)`) only
-    * involves ln on an exact ratio, rounded to 4dp — the same ln-then-
-    * round treatment the tf-idf oracle already proved portable. */
-  def hllDistinct(df: DataFrame, keyCol: String): DataFrame = {
-    val h = hash32(col(keyCol).cast("string"))
-    val bucket = shiftright(h, HllRankBits)
-    val rem = h.bitwiseAND(lit((1L << HllRankBits) - 1))
-    // rank = leading zeros in RankBits bits, + 1 == RankBits+1 - bitlength
-    val rank = when(rem === 0L, lit(HllRankBits + 1))
+  /** The 8-bit register index for a key. */
+  def hllBucket(c: Column): Column =
+    shiftright(hash32(c.cast("string")), HllRankBits)
+
+  /** The register candidate value (leading zeros in the rank bits, +1 —
+    * computed as an INTEGER binary digit count, no FP log2). */
+  def hllRank(c: Column): Column = {
+    val rem = hash32(c.cast("string"))
+      .bitwiseAND(lit((1L << HllRankBits) - 1))
+    when(rem === 0L, lit(HllRankBits + 1))
       .otherwise(lit(HllRankBits + 1) - length(bin(rem)))
-    val regs = df
-      .select(bucket.as("bucket"), rank.as("rank"))
+  }
+
+  /** The register table `(bucket, m)` — a 256-group max aggregation.
+    * Registers are a MONOTONE MAX: order-, partitioning- and
+    * replay-insensitive, which is what makes the streaming twin
+    * ([[graft.streaming.StreamingOps.hllRegistersStream]]) exactly equal
+    * to this batch build. */
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame =
+    df.select(hllBucket(col(keyCol)).as("bucket"),
+        hllRank(col(keyCol)).as("rank"))
       .groupBy("bucket").agg(max("rank").as("m"))
-    val exact = df.select(countDistinct(col(keyCol)).as("n_exact"))
+
+  /** Finishing step: registers → ONE estimate row
+    * `(est_hll, method, registers_nonzero, denom)`. Separated from the
+    * register build so a maintained register table (e.g. a streaming
+    * snapshot) can be estimated without rescanning the input.
+    *
+    * Determinism: the denominator sum(2^(RankBits+1-M[j])) is EXACT in
+    * a BIGINT (≤ 256·2^25 < 2^34); the one division happens on
+    * bit-identical doubles in both engines. Linear counting
+    * (`m·ln(m/V)`) only involves ln on an exact ratio, rounded to 4dp —
+    * the same ln-then-round treatment the tf-idf oracle already proved
+    * portable. */
+  def hllEstimate(regs: DataFrame): DataFrame = {
     val agg = regs.agg(
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRankBits + 1} - m)"))
         .as("present_sum"),
@@ -84,8 +94,7 @@ object Sketches {
       col("n_present").as("registers_nonzero"))
     val raw = lit(HllAlphaNumerator) / col("denom").cast("double")
     val linear = lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v").cast("double"))
-    withDenom.crossJoin(exact).select(
-      col("n_exact"),
+    withDenom.select(
       round(when(raw <= HllLinearThreshold && col("v") > 0, linear)
         .otherwise(raw), 4).as("est_hll"),
       when(raw <= HllLinearThreshold && col("v") > 0, "linear")
@@ -93,6 +102,15 @@ object Sketches {
       col("registers_nonzero"),
       col("denom"))
   }
+
+  /** HyperLogLog distinct-count estimate of `keyCol` plus the exact
+    * count as the accuracy yardstick (drop the exact half on real 100 TB
+    * runs — it's the expensive one), as ONE row
+    * `(n_exact, est_hll, method, registers_nonzero, denom)`. */
+  def hllDistinct(df: DataFrame, keyCol: String): DataFrame =
+    df.select(countDistinct(col(keyCol)).as("n_exact"))
+      .crossJoin(hllEstimate(hllRegisters(df, keyCol)))
+      .select("n_exact", "est_hll", "method", "registers_nonzero", "denom")
 
   // ── Count-Min sketch ───────────────────────────────────────────────────
 

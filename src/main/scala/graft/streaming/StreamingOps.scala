@@ -62,6 +62,22 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowLength), col(keyCol))
       .agg(count(lit(1)).as("n_events"), max(col(tsCol)).as("latest_ts"))
 
+  /** STREAMING HyperLogLog: maintains the 256-register distinct-count
+    * sketch ([[graft.llm.Sketches]]) over an unbounded key stream — the
+    * "distinct users ever" counter that exact streaming dedup cannot
+    * provide (its state would grow with cardinality; this is 256 rows
+    * FOREVER, no watermark needed).
+    *
+    * Registers are a monotone MAX, so the maintained table is order-,
+    * batching- and replay-insensitive: a late or re-delivered event can
+    * only re-assert a max it already set. HllStreamSpec proves the
+    * streaming register table (and therefore the finished estimate via
+    * [[graft.llm.Sketches.hllEstimate]]) EQUALS the batch build on the
+    * same data delivered out of order. Run with `outputMode(Complete)`
+    * (256 rows) or `Update` into a keyed sink. */
+  def hllRegistersStream(events: DataFrame, keyCol: String): DataFrame =
+    graft.llm.Sketches.hllRegisters(events, keyCol)
+
   /** Streaming exact dedup: first occurrence PER ID wins within the
     * watermark horizon (the streaming analogue of
     * [[graft.llm.Dedup.dropExactDuplicates]]).

@@ -1,7 +1,10 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec, UnaryExecNode}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -38,6 +41,37 @@ class PlanAuditSpec extends SparkSpec {
     *    audited here with no exemption). */
   private val nlJoinAllowed = Set("pit_dummy_entity", "knn_cosine_brute")
 
+  /** True iff `p` provably produces at most one row: a grouping-less
+    * global aggregate, or any row-count-preserving/reducing chain above
+    * one. A nested-loop join whose BUILD side is such a plan is a
+    * "broadcast one scalar row to every partition" pattern (sketch
+    * stats rows, BM25 corpus stats) — constant cost per probe row, the
+    * opposite of a scale-killer — so it is licensed STRUCTURALLY
+    * instead of by name. */
+  private def maxOneRow(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    case q: QueryStageExec => maxOneRow(q.plan)
+    case r: ReusedExchangeExec => maxOneRow(r.child)
+    case a: AdaptiveSparkPlanExec => maxOneRow(a.executedPlan)
+    case j: BroadcastNestedLoopJoinExec => // 1-row × 1-row stats chains
+      maxOneRow(j.left) && maxOneRow(j.right)
+    case u: UnaryExecNode => maxOneRow(u.child) // project/exchange/filter/…
+    case _ => false
+  }
+
+  private def buildSideOf(j: BroadcastNestedLoopJoinExec): SparkPlan =
+    j.buildSide match { case BuildLeft => j.left; case BuildRight => j.right }
+
+  /** A partition-less window whose input is already limit-bounded (a
+    * global top-k sits below it) runs on ≤k rows by construction — the
+    * display-rank-after-limit pattern, not the round-2 scale-killer. */
+  private def limitBounded(p: SparkPlan): Boolean =
+    nodes(p).exists {
+      case _: TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _ => false
+    }
+
   test("no cartesian / stray nested-loop joins / partition-less windows") {
     val dir = sf("sf0.001")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -48,10 +82,12 @@ class PlanAuditSpec extends SparkSpec {
           .map(_ => s"$name: CartesianProductExec")
         val bnlj =
           if (nlJoinAllowed(name)) Nil
-          else all.collect { case j: BroadcastNestedLoopJoinExec => j }
-            .map(j => s"$name: BroadcastNestedLoopJoinExec(${j.joinType})")
+          else all.collect {
+            case j: BroadcastNestedLoopJoinExec if !maxOneRow(buildSideOf(j)) => j
+          }.map(j => s"$name: BroadcastNestedLoopJoinExec(${j.joinType})")
         val winNoPart = all.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
+          case w: WindowExec
+            if w.partitionSpec.isEmpty && !limitBounded(w.child) => w
         }.map(_ => s"$name: partition-less WindowExec")
         cart ++ bnlj ++ winNoPart
     }
