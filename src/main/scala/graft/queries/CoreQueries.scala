@@ -602,7 +602,32 @@ object CoreQueries {
       graft.llm.Sketches.bloomSemiJoinStats(
         Tables.read(s, dir, "orders"), "o_custkey",
         Tables.read(s, dir, "customer")
-          .filter(col("c_mktsegment") === "BUILDING"), "c_custkey"))
+          .filter(col("c_mktsegment") === "BUILDING"), "c_custkey")),
+
+    // EXACT per-group quantiles (percentile_disc semantics: the value at
+    // position ceil(q·n)) WITHOUT sorting full rows through a per-group
+    // partition: the order statistics run over the run-length-compressed
+    // value-frequency table (groupBy value — map-side combinable), so
+    // the per-group window sees |distinct values| rows, not |rows|.
+    // Positional pick, no FP interpolation — engine-exact by
+    // construction (q·n products are identical IEEE doubles).
+    "x_quantiles" -> ((s, dir) => {
+      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      val vf = lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val byV = Window.partitionBy("l_returnflag").orderBy("v")
+      val all = Window.partitionBy("l_returnflag")
+      vf.withColumn("cum", sum("cnt").over(byV))
+        .withColumn("n", sum("cnt").over(all))
+        .withColumn("qq", explode(array(qs.map(q =>
+          struct(lit(q).as("q"),
+            ceil(lit(q) * col("n")).as("pos"))): _*)))
+        .filter(col("cum") - col("cnt") < col("qq.pos") &&
+          col("qq.pos") <= col("cum"))
+        .select(col("l_returnflag"), col("qq.q").as("q"),
+          col("v").as("value"))
+    })
   )
 
   // ───────────────────────────── oracles ─────────────────────────────
@@ -1026,6 +1051,20 @@ object CoreQueries {
          |SELECT n_probe, n_exact, n_bloom_pass,
          |       n_bloom_pass - n_exact AS n_false_pos
          |FROM np CROSS JOIN ex CROSS JOIN bp""".stripMargin
-    }
+    },
+
+    "x_quantiles" ->
+      """WITH vf AS (SELECT l_returnflag, l_extendedprice AS v, count(*) AS cnt
+        |            FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, cnt,
+        |        sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |        sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |      FROM vf),
+        |q AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
+        |                     0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+        |SELECT l_returnflag, q, v AS value
+        |FROM c CROSS JOIN q
+        |WHERE cum - cnt < CAST(ceil(q * n) AS BIGINT)
+        |  AND CAST(ceil(q * n) AS BIGINT) <= cum""".stripMargin
   )
 }
