@@ -93,7 +93,46 @@ object ScaleProbe {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
+    // separate guard: corpora generated before the sketch family existed
+    // upgrade in place instead of silently missing the TPC-H tables
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+      import spark.implicits._
+      // TPC-H side for the sketch/quantile family: 10× orders and their
+      // line items (new order keys, same customers and parts — key
+      // cardinality on the probe side grows, dimension sides don't,
+      // which is exactly the shape Bloom/CMS exist for); customers
+      // copied unchanged as the constant build side.
+      Tables.read(spark, baseDir, "lineitem").as[Li]
+        .flatMap(l => (0 until 10).map(liRep(l, _)))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      Tables.read(spark, baseDir, "orders").as[Ord]
+        .flatMap(o => (0 until 10).map(r =>
+          o.copy(o_orderkey = o.o_orderkey * 10 + r)))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      Tables.read(spark, baseDir, "customer")
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    }
   }
+
+  final case class Li(
+      l_orderkey: Long, l_partkey: Long, l_suppkey: Long, l_linenumber: Int,
+      l_quantity: Double, l_extendedprice: Double, l_discount: Double,
+      l_tax: Double, l_returnflag: String, l_linestatus: String,
+      l_shipdate: java.sql.Timestamp)
+  final case class Ord(
+      o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+      o_totalprice: Double, o_orderdate: java.sql.Timestamp,
+      o_orderpriority: String)
+
+  /** Line-item replica: new order key, hash-jittered price (so the
+    * quantile value-frequency table grows with the data instead of
+    * collapsing onto the original distinct values). */
+  private def liRep(l: Li, r: Int): Li = l.copy(
+    l_orderkey = l.l_orderkey * 10 + r,
+    l_extendedprice = l.l_extendedprice +
+      (h(l.l_orderkey, l.l_linenumber.toLong, r.toLong) % 100L) / 100.0)
 
   /** The scale-sensitive query family the 10× probe measures: the whole
     * dedup/ANN pipeline plus the flagship as-of path at 10× event
@@ -107,7 +146,12 @@ object ScaleProbe {
     "embed_cosine_pairs_ivf", "text_tfidf",
     // the FLAGSHIP family at 10× event density (same key cardinality)
     "pull_latest_events", "j1_coarse_range", "pit_events_ttl1h",
-    "pit_native_asof", "w1_topk_per_key")
+    "pit_native_asof", "w1_topk_per_key",
+    // sketches (state constant by construction — the ratio should be
+    // pure scan growth), exact quantiles (value-frequency window grows
+    // with distinct values), and the per-row text family at 10× docs
+    "sketch_hll_distinct", "sketch_cms_topk", "sketch_bloom_semijoin",
+    "x_quantiles", "text_bm25", "text_quality_filter", "text_pii_redact")
 
   /** Time one declared query against one SF dir: (seconds, rows). Same
     * `toRdd.count()` materialization as Bench (see Bench.scala on why

@@ -627,6 +627,34 @@ object CoreQueries {
           col("qq.pos") <= col("cum"))
         .select(col("l_returnflag"), col("qq.q").as("q"),
           col("v").as("value"))
+    }),
+
+    // The ONE-PASS 100 TB quantile path: a fixed-width histogram
+    // (bounded state — ≤256 bins per group regardless of row count,
+    // map-side combinable) bracketing each quantile to its bin
+    // [est_lo, est_hi). Bin indices are floor(v/width) — integer-exact
+    // in both engines. QuantilesSpec asserts every exact x_quantiles
+    // value falls inside its bracket.
+    "x_quantiles_approx" -> ((s, dir) => {
+      val width = 512.0
+      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      val bins = lineitem(s, dir)
+        .groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") / width).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val byBin = Window.partitionBy("l_returnflag").orderBy("bin")
+      val all = Window.partitionBy("l_returnflag")
+      bins.withColumn("cum", sum("cnt").over(byBin))
+        .withColumn("n", sum("cnt").over(all))
+        .withColumn("qq", explode(array(qs.map(q =>
+          struct(lit(q).as("q"),
+            ceil(lit(q) * col("n")).as("pos"))): _*)))
+        .filter(col("cum") - col("cnt") < col("qq.pos") &&
+          col("qq.pos") <= col("cum"))
+        .select(col("l_returnflag"), col("qq.q").as("q"),
+          (col("bin") * width).as("est_lo"),
+          ((col("bin") + 1) * width).as("est_hi"),
+          col("cnt").as("n_in_bin"))
     })
   )
 
@@ -1063,6 +1091,23 @@ object CoreQueries {
         |q AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
         |                     0.9::DOUBLE, 0.99::DOUBLE]) AS q)
         |SELECT l_returnflag, q, v AS value
+        |FROM c CROSS JOIN q
+        |WHERE cum - cnt < CAST(ceil(q * n) AS BIGINT)
+        |  AND CAST(ceil(q * n) AS BIGINT) <= cum""".stripMargin,
+
+    "x_quantiles_approx" ->
+      """WITH b AS (SELECT l_returnflag,
+        |             CAST(floor(l_extendedprice / 512.0) AS BIGINT) AS bin,
+        |             count(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, bin, cnt,
+        |        sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+        |        sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |      FROM b),
+        |q AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
+        |                     0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+        |SELECT l_returnflag, q, bin * 512.0 AS est_lo,
+        |       (bin + 1) * 512.0 AS est_hi, cnt AS n_in_bin
         |FROM c CROSS JOIN q
         |WHERE cum - cnt < CAST(ceil(q * n) AS BIGINT)
         |  AND CAST(ceil(q * n) AS BIGINT) <= cum""".stripMargin

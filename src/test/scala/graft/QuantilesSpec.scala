@@ -25,4 +25,21 @@ class QuantilesSpec extends SparkSpec {
         s"flag=$flag q=$q: got ${got((flag, q))}, expected $expected")
     }
   }
+
+  test("histogram brackets contain the exact quantiles") {
+    val dir = sf("sf0.001")
+    val exact = CoreQueries.queries("x_quantiles")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val approx = CoreQueries.queries("x_quantiles_approx")(spark, dir)
+      .collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val key = (r.getString(0), r.getDouble(1))
+      val (lo, hi) = (r.getAs[Double]("est_lo"), r.getAs[Double]("est_hi"))
+      assert(lo <= exact(key) && exact(key) < hi,
+        s"$key: exact ${exact(key)} outside bracket [$lo, $hi)")
+    }
+  }
 }
