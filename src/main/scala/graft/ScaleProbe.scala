@@ -151,7 +151,8 @@ object ScaleProbe {
     // pure scan growth), exact quantiles (value-frequency window grows
     // with distinct values), and the per-row text family at 10× docs
     "sketch_hll_distinct", "sketch_cms_topk", "sketch_bloom_semijoin",
-    "x_quantiles", "text_bm25", "text_quality_filter", "text_pii_redact")
+    "x_quantiles", "x_quantiles_approx", "x_zorder",
+    "text_bm25", "text_quality_filter", "text_pii_redact")
 
   /** Time one declared query against one SF dir: (seconds, rows). Same
     * `toRdd.count()` materialization as Bench (see Bench.scala on why

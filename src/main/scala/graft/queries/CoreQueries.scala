@@ -655,7 +655,15 @@ object CoreQueries {
           (col("bin") * width).as("est_lo"),
           ((col("bin") + 1) * width).as("est_hi"),
           col("cnt").as("n_in_bin"))
-    })
+    }),
+
+    // Z-order (Morton) clustering key — the data-layout lever
+    // (graft.Layout): pure integer bit interleaving, oracle-checked
+    // per row; LayoutSpec proves the FILE-SKIPPING effect of writing
+    // with Layout.writeZOrdered.
+    "x_zorder" -> ((s, dir) =>
+      lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        Layout.zOrder2(col("l_partkey"), col("l_suppkey")).as("zval")))
   )
 
   // ───────────────────────────── oracles ─────────────────────────────
@@ -1110,6 +1118,11 @@ object CoreQueries {
         |       (bin + 1) * 512.0 AS est_hi, cnt AS n_in_bin
         |FROM c CROSS JOIN q
         |WHERE cum - cnt < CAST(ceil(q * n) AS BIGINT)
-        |  AND CAST(ceil(q * n) AS BIGINT) <= cum""".stripMargin
+        |  AND CAST(ceil(q * n) AS BIGINT) <= cum""".stripMargin,
+
+    "x_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |       ${Layout.zOrder2Sql("l_partkey", "l_suppkey")} AS zval
+         |FROM lineitem""".stripMargin
   )
 }
