@@ -414,9 +414,18 @@ object Dedup {
   def nearDupClusters(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5): DataFrame =
+    nearDupClustersFromPairs(
+      jaccardShinglePairs(df, idCol, textCol, n, tau), df, idCol, textCol)
+
+  /** [[nearDupClusters]] over PRECOMPUTED pairs — the build-once shape:
+    * one pair materialization serves pair emission, clustering and
+    * dedup (deterministic inputs ⇒ identical results, one shuffle paid
+    * instead of three). */
+  def nearDupClustersFromPairs(
+      pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     connectedComponentsContracted(
-      jaccardShinglePairs(df, idCol, textCol, n, tau),
-      "id_a", "id_b", exactRepMap(df, idCol, textCol))
+      pairs, "id_a", "id_b", exactRepMap(df, idCol, textCol))
 
   /** TEST-SET DECONTAMINATION — the pipeline stage between dedup and
     * training: score each corpus doc by the fraction of its n-gram
@@ -474,8 +483,16 @@ object Dedup {
     * without the hint (shuffled anti join, same result). */
   def dropNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, tau: Double = 0.5): DataFrame = {
-    val clusters = nearDupClusters(df, idCol, textCol, n, tau)
+      n: Int = 3, tau: Double = 0.5): DataFrame =
+    dropNearDuplicatesFromPairs(
+      jaccardShinglePairs(df, idCol, textCol, n, tau), df, idCol, textCol)
+
+  /** [[dropNearDuplicates]] over precomputed pairs (see
+    * [[nearDupClustersFromPairs]]). */
+  def dropNearDuplicatesFromPairs(
+      pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val clusters = nearDupClustersFromPairs(pairs, df, idCol, textCol)
     val losers = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("__graft_loser"))

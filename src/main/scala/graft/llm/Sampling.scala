@@ -189,4 +189,31 @@ object Sampling {
     val q = seed.replace("'", "''")
     s"${hash32Sql(s"'$q:' || CAST($idSql AS VARCHAR)")} < $threshold"
   }
+
+  /** Deterministic WEIGHTED Bernoulli sample: keep a row with
+    * probability min(1, rate · weight) — "sample proportional to token
+    * count" without RNG state: the same (seed, id) selection hash the
+    * other samplers use, compared against a per-row threshold. Shares
+    * every sampler property: reproducible, repartition-invariant,
+    * monotone in `rate` (growing the rate only ADDS rows), zero-weight
+    * rows never selected, and composable with [[trainTestSplit]] /
+    * [[bernoulliSample]] under disjoint seeds. Pure per-row predicate —
+    * no shuffle. */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, rate: Double,
+      seed: String = "graft"): DataFrame = {
+    require(rate >= 0, "rate must be non-negative")
+    // hash < rate · w · 2^32; the product chain is the same expression
+    // tree the oracle states, so the per-row threshold is bit-identical
+    df.filter(selKey(col(idCol), seed).cast("double") <
+      lit(rate) * col(weightCol).cast("double") * lit(4294967296.0))
+  }
+
+  /** The DuckDB fragment matching [[weightedSample]]'s predicate. */
+  def weightedSql(
+      idSql: String, weightSql: String, rate: Double, seed: String): String = {
+    val q = seed.replace("'", "''")
+    s"${hash32Sql(s"'$q:' || CAST($idSql AS VARCHAR)")}::DOUBLE" +
+      s" < $rate * ($weightSql)::DOUBLE * 4294967296.0"
+  }
 }

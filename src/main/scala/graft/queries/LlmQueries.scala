@@ -32,16 +32,40 @@ object LlmQueries {
   private val ivfCentroids = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), IndexedSeq[Seq[Double]]]()
 
-  private def embFingerprint(dir: String): String = {
+  private def tableFingerprint(dir: String, table: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty)
           .sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
-    walk(new java.io.File(dir, "embeddings.parquet"))
+    walk(new java.io.File(dir, s"$table.parquet"))
       .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
       .mkString(",")
   }
+
+  private def embFingerprint(dir: String): String =
+    tableFingerprint(dir, "embeddings")
+
+  /** The materialized Jaccard near-dup PAIR set for `dir`'s documents —
+    * persisted once per (session, content fingerprint, n, tau) and
+    * shared by pair emission, capped emission, clustering and dedup
+    * (the same build-once-amortize lifecycle as [[ivfIndex]]: the pair
+    * join is the expensive half of all four, its inputs are
+    * deterministic, so caching can only save work, never change
+    * results; rewriting the documents parquet rebuilds). */
+  private val jaccardPairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Double), DataFrame]()
+
+  private[graft] def jaccardPairs(
+      s: SparkSession, dir: String,
+      n: Int = 3, tau: Double = 0.5): DataFrame =
+    jaccardPairsCache.computeIfAbsent(
+      (s, tableFingerprint(dir, "documents"), n, tau), _ => {
+        val p = Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text", n, tau)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // materialize eagerly so consumers never race the build
+        p
+      })
 
   /** The trained coarse quantizer for `dir`'s embeddings table, with
     * `nList` scaled to the corpus (`max(16, ⌈√N⌉)` — cell occupancy √N,
@@ -275,17 +299,12 @@ object LlmQueries {
     "dedup_drop_exact" -> ((s, dir) =>
       Dedup.dropExactDuplicates(docs(s, dir), "doc_id", "text")),
 
-    "dedup_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
-        n = 3, tau = 0.5)),
+    "dedup_jaccard_pairs" -> ((s, dir) => jaccardPairs(s, dir)),
 
     // bounded-emission variant: each doc keeps its 2 best pairs (union
     // over endpoints) — output linear in the corpus even on dup-soup
     "dedup_jaccard_pairs_capped" -> ((s, dir) =>
-      Dedup.capPairsPerDoc(
-        Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
-          n = 3, tau = 0.5),
-        "jaccard", k = 2)),
+      Dedup.capPairsPerDoc(jaccardPairs(s, dir), "jaccard", k = 2)),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
@@ -295,12 +314,12 @@ object LlmQueries {
       Dedup.simHashPairs(docs(s, dir), "doc_id", "text", hammingMax = 3)),
 
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.nearDupClusters(docs(s, dir), "doc_id", "text",
-        n = 3, tau = 0.5)),
+      Dedup.nearDupClustersFromPairs(
+        jaccardPairs(s, dir), docs(s, dir), "doc_id", "text")),
 
     "dedup_drop_near" -> ((s, dir) =>
-      Dedup.dropNearDuplicates(docs(s, dir), "doc_id", "text",
-        n = 3, tau = 0.5)),
+      Dedup.dropNearDuplicatesFromPairs(
+        jaccardPairs(s, dir), docs(s, dir), "doc_id", "text")),
 
     "knn_cosine_brute" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -409,6 +428,13 @@ object LlmQueries {
     "sample_split" -> ((s, dir) =>
       Sampling.trainTestSplit(docs(s, dir), "doc_id", 0.9, 0.05, "graft")
         .select("doc_id", "lang", "split")),
+
+    // longer docs proportionally more likely — token-weighted corpus
+    // thinning at a deterministic per-char rate
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(docs(s, dir), "doc_id", "n_chars",
+        rate = 0.0015, seed = "graft")
+        .select("doc_id", "lang", "n_chars")),
 
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
@@ -792,6 +818,10 @@ object LlmQueries {
       s"""SELECT doc_id, lang,
          |  ${Sampling.trainTestSplitSql("doc_id", 0.9, 0.05, "graft")} AS split
          |FROM documents""".stripMargin,
+
+    "sample_weighted" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${Sampling.weightedSql("doc_id", "n_chars", 0.0015, "graft")}""".stripMargin,
 
     // exclusive running token sum inside each hash bucket — pure
     // integer window arithmetic

@@ -144,4 +144,26 @@ class SamplingSpec extends SparkSpec {
     val sql = Sampling.bernoulliSql("doc_id", 0.5, "it's a 'seed'")
     assert(sql.contains("'it''s a ''seed'':'"), sql)
   }
+
+  test("weightedSample: zero weight never selected, monotone in rate, " +
+    "selection biased toward heavy rows") {
+    import spark.implicits._
+    val d = (1 to 2000).map(i => (i.toLong, if (i % 10 == 0) 0L else (i % 100) + 1L))
+      .toDF("doc_id", "w")
+    val lo = Sampling.weightedSample(d, "doc_id", "w", 0.002, "s")
+    val hi = Sampling.weightedSample(d, "doc_id", "w", 0.004, "s")
+    assert(lo.filter(col("w") === 0).count() == 0)
+    assert(lo.select("doc_id").exceptAll(hi.select("doc_id")).isEmpty,
+      "rate growth must only add rows")
+    // determinism + repartition invariance
+    val again = Sampling.weightedSample(
+      d.repartition(7), "doc_id", "w", 0.002, "s")
+    assert(lo.select("doc_id").exceptAll(again.select("doc_id")).isEmpty &&
+      again.select("doc_id").exceptAll(lo.select("doc_id")).isEmpty)
+    // heavier rows must be overrepresented: mean weight of the sample
+    // strictly exceeds the population mean
+    val popMean = d.filter(col("w") > 0).agg(avg("w")).head().getDouble(0)
+    val samMean = lo.agg(avg("w")).head().getDouble(0)
+    assert(samMean > popMean, s"sample mean $samMean vs population $popMean")
+  }
 }
