@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    // graft_zorder2(x, y): the Morton clustering key (Layout.zOrder2) as
+    // a SQL name — built from existing codegen'd integer expressions, so
+    // registration is a composition, not a new Expression class
+    ext.injectFunction((
+      new FunctionIdentifier("graft_zorder2"),
+      new ExpressionInfo(Layout.getClass.getName, "graft_zorder2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Layout.zOrder2Expr(exprs(0), exprs(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -54,6 +54,25 @@ object Layout {
     s"(${spread16Sql(s"(($x) & 65535)")} | " +
       s"(${spread16Sql(s"(($y) & 65535)")} << 1))"
 
+  /** Catalyst-Expression form of [[zOrder2]], for the `graft_zorder2`
+    * SQL registration (the function registry needs a resolvable
+    * expression tree, not a Column wrapper). Same shift-or-mask ladder,
+    * same integer semantics. */
+  def zOrder2Expr(
+      x: org.apache.spark.sql.catalyst.expressions.Expression,
+      y: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def spread(e: Expression): Expression = {
+      def step(e: Expression, sh: Int, m: Long): Expression =
+        BitwiseAnd(BitwiseOr(e, ShiftLeft(e, Literal(sh))), Literal(m))
+      step(step(step(step(e, 8, 0x00FF00FFL), 4, 0x0F0F0F0FL),
+        2, 0x33333333L), 1, 0x55555555L)
+    }
+    def low16(e: Expression): Expression = BitwiseAnd(e, Literal(0xFFFFL))
+    BitwiseOr(spread(low16(x)), ShiftLeft(spread(low16(y)), Literal(1)))
+  }
+
   /** Writes `df` as parquet clustered on the Morton key of
     * (`xCol`, `yCol`): range-partitioned into `nFiles` z-runs, sorted
     * within each — so every output file covers a contiguous z-range and

@@ -663,7 +663,20 @@ object CoreQueries {
     // with Layout.writeZOrdered.
     "x_zorder" -> ((s, dir) =>
       lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
-        Layout.zOrder2(col("l_partkey"), col("l_suppkey")).as("zval")))
+        Layout.zOrder2(col("l_partkey"), col("l_suppkey")).as("zval"))),
+
+    // Salted JOIN through the oracle gate (the agg twin is
+    // x_skew_salted_agg): the salted (key, salt) equi-join against the
+    // salt-replicated broadcast dim must equal the plain join exactly —
+    // the oracle IS the unsalted formulation.
+    "x_skew_salted_join" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "event_type", "value")
+      val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_n"))
+      graft.Skew.saltedJoin(ev, dim, "event_type", buckets = 16)
+        .groupBy("event_type", "type_n")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    })
   )
 
   // ───────────────────────────── oracles ─────────────────────────────
@@ -1123,6 +1136,14 @@ object CoreQueries {
     "x_zorder" ->
       s"""SELECT l_orderkey, l_linenumber,
          |       ${Layout.zOrder2Sql("l_partkey", "l_suppkey")} AS zval
-         |FROM lineitem""".stripMargin
+         |FROM lineitem""".stripMargin,
+
+    "x_skew_salted_join" ->
+      """WITH dim AS (SELECT event_type, count(*) AS type_n
+        |             FROM events GROUP BY 1)
+        |SELECT e.event_type, d.type_n, count(*) AS n,
+        |       sum(round(e.value * 100)::BIGINT)::BIGINT AS value_cents
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -28,4 +28,19 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_dot(a, b) AS d FROM ext_spec_vecs").collect()(0).getDouble(0)
     assert(viaSql == 11.0)
   }
+
+  test("graft_zorder2 SQL function matches Layout.zOrder2") {
+    import spark.implicits._
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zorder2"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        Layout.getClass.getName, "graft_zorder2"),
+      exprs => Layout.zOrder2Expr(exprs(0), exprs(1)))
+    Seq((3L, 5L), (65535L, 0L)).toDF("x", "y")
+      .createOrReplaceTempView("ext_spec_z")
+    val viaSql = spark.sql(
+      "SELECT graft_zorder2(x, y) AS z FROM ext_spec_z ORDER BY z")
+      .as[Long].collect().toSeq
+    assert(viaSql == Seq(39L, 1431655765L))
+  }
 }
