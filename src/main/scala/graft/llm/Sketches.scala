@@ -65,9 +65,18 @@ object Sketches {
     * ([[graft.streaming.StreamingOps.hllRegistersStream]]) exactly equal
     * to this batch build. */
   def hllRegisters(df: DataFrame, keyCol: String): DataFrame =
-    df.select(hllBucket(col(keyCol)).as("bucket"),
-        hllRank(col(keyCol)).as("rank"))
-      .groupBy("bucket").agg(max("rank").as("m"))
+    hllRegistersBy(df, keyCol, Nil)
+
+  /** Register tables PER GROUP `(groupCols…, bucket, m)` — one
+    * 256-register sketch per group (e.g. per event-time window:
+    * distinct users per hour). The group columns must already exist on
+    * `df`. State is 256 rows × |groups|. */
+  def hllRegistersBy(
+      df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame =
+    df.select(groupCols.map(col) :+ hllBucket(col(keyCol)).as("bucket") :+
+        hllRank(col(keyCol)).as("rank"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rank").as("m"))
 
   /** Finishing step: registers → ONE estimate row
     * `(est_hll, method, registers_nonzero, denom)`. Separated from the
@@ -80,8 +89,12 @@ object Sketches {
     * (`m·ln(m/V)`) only involves ln on an exact ratio, rounded to 4dp —
     * the same ln-then-round treatment the tf-idf oracle already proved
     * portable. */
-  def hllEstimate(regs: DataFrame): DataFrame = {
-    val agg = regs.agg(
+  def hllEstimate(regs: DataFrame): DataFrame = hllEstimateBy(regs, Nil)
+
+  /** Per-group finishing step over [[hllRegistersBy]] output:
+    * `(groupCols…, est_hll, method, registers_nonzero, denom)`. */
+  def hllEstimateBy(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val agg = regs.groupBy(groupCols.map(col): _*).agg(
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRankBits + 1} - m)"))
         .as("present_sum"),
       count(lit(1)).as("n_present"))
@@ -89,18 +102,18 @@ object Sketches {
     // 2^(RankBits+1-M), empty buckets M=0 contribute the full 2^(RankBits+1)
     val denom = (col("present_sum") +
       (lit(HllM) - col("n_present")) * lit(1L << (HllRankBits + 1))).as("denom")
-    val withDenom = agg.select(
+    val withDenom = agg.select(groupCols.map(col) ++ Seq(
       denom, (lit(HllM) - col("n_present")).as("v"),
-      col("n_present").as("registers_nonzero"))
+      col("n_present").as("registers_nonzero")): _*)
     val raw = lit(HllAlphaNumerator) / col("denom").cast("double")
     val linear = lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v").cast("double"))
-    withDenom.select(
+    withDenom.select(groupCols.map(col) ++ Seq(
       round(when(raw <= HllLinearThreshold && col("v") > 0, linear)
         .otherwise(raw), 4).as("est_hll"),
       when(raw <= HllLinearThreshold && col("v") > 0, "linear")
         .otherwise("raw").as("method"),
       col("registers_nonzero"),
-      col("denom"))
+      col("denom")): _*)
   }
 
   /** HyperLogLog distinct-count estimate of `keyCol` plus the exact

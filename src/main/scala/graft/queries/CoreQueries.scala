@@ -604,6 +604,23 @@ object CoreQueries {
         Tables.read(s, dir, "customer")
           .filter(col("c_mktsegment") === "BUILDING"), "c_custkey")),
 
+    // Windowed HLL — "distinct users per hour" with 256 registers per
+    // window instead of a per-window distinct-user set. The estimate is
+    // oracle-replayed per window like the global sketch; exact count
+    // rides along as the yardstick. Streaming twin: hllWindowedStream.
+    "sketch_hll_windowed" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(date_trunc("HOUR", col("ts")).as("hour"), col("user_id"))
+      val est = graft.llm.Sketches.hllEstimateBy(
+        graft.llm.Sketches.hllRegistersBy(ev, "user_id", Seq("hour")),
+        Seq("hour"))
+      val exact = ev.groupBy("hour")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, Seq("hour"))
+        .select("hour", "n_exact", "est_hll", "method",
+          "registers_nonzero", "denom")
+    }),
+
     // EXACT per-group quantiles (percentile_disc semantics: the value at
     // position ceil(q·n)) WITHOUT sorting full rows through a per-group
     // partition: the order statistics run over the run-length-compressed
@@ -1042,6 +1059,39 @@ object CoreQueries {
          |       CASE WHEN $isLinear THEN 'linear' ELSE 'raw' END AS method,
          |       registers_nonzero, denom
          |FROM d CROSS JOIN e""".stripMargin
+    },
+
+    "sketch_hll_windowed" -> {
+      import graft.llm.Sketches._
+      val rb = HllRankBits
+      val rem = s"(h & ${(1L << rb) - 1})"
+      val rank = s"CASE WHEN $rem = 0 THEN ${rb + 1} " +
+        s"ELSE ${rb + 1} - length(bin($rem)) END"
+      val alpha = HllAlphaNumerator.toString
+      val raw = s"$alpha / denom::DOUBLE"
+      val isLinear = s"($raw <= $HllLinearThreshold AND v > 0)"
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+         |                  ${graft.llm.TextOps.hash32Sql("user_id::VARCHAR")} AS h
+         |           FROM events),
+         |r AS (SELECT hour, h >> $rb AS bucket, $rank AS rank FROM h),
+         |regs AS (SELECT hour, bucket, max(rank) AS m FROM r GROUP BY 1, 2),
+         |agg AS (SELECT hour,
+         |               sum((1::BIGINT << (${rb + 1} - m)))::BIGINT AS present_sum,
+         |               count(*) AS n_present FROM regs GROUP BY 1),
+         |d AS (SELECT hour,
+         |             present_sum + ($HllM - n_present) * (1::BIGINT << ${rb + 1}) AS denom,
+         |             $HllM - n_present AS v,
+         |             n_present AS registers_nonzero FROM agg),
+         |e AS (SELECT date_trunc('hour', ts) AS hour,
+         |             count(DISTINCT user_id) AS n_exact
+         |      FROM events GROUP BY 1)
+         |SELECT hour, n_exact,
+         |       round(CASE WHEN $isLinear
+         |                  THEN $HllM.0 * ln($HllM.0 / v::DOUBLE)
+         |                  ELSE $raw END, 4) AS est_hll,
+         |       CASE WHEN $isLinear THEN 'linear' ELSE 'raw' END AS method,
+         |       registers_nonzero, denom
+         |FROM e JOIN d USING (hour)""".stripMargin
     },
 
     "sketch_cms_topk" -> {

@@ -78,6 +78,24 @@ object StreamingOps {
   def hllRegistersStream(events: DataFrame, keyCol: String): DataFrame =
     graft.llm.Sketches.hllRegisters(events, keyCol)
 
+  /** STREAMING WINDOWED HyperLogLog: one 256-register sketch per
+    * event-time window — the "distinct users per hour" counter with
+    * state bounded at 256 rows × |open windows| (the watermark closes
+    * windows and reclaims them; a plain windowed count-distinct would
+    * hold every user id seen in every open window). Finish snapshots
+    * with [[graft.llm.Sketches.hllEstimateBy]] on `window`. */
+  def hllWindowedStream(
+      events: DataFrame, tsCol: String, keyCol: String,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val sk = graft.llm.Sketches
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength),
+        sk.hllBucket(col(keyCol)).as("bucket"))
+      .agg(max(sk.hllRank(col(keyCol))).as("m"))
+  }
+
   /** Streaming exact dedup: first occurrence PER ID wins within the
     * watermark horizon (the streaming analogue of
     * [[graft.llm.Dedup.dropExactDuplicates]]).

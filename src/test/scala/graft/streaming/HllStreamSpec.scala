@@ -54,6 +54,45 @@ class HllStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed streaming registers equal the per-window batch sketch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    // 3 hours of events, delivered out of order across micro-batches
+    val all = for (h <- 10 to 12; m <- 0 until 60; u <- 1 to (h - 9))
+      yield (s"u${(u * m) % 37}", ts(h, m))
+
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingOps.hllWindowedStream(
+      in.toDF().toDF("user", "ts"), "ts", "user", "1 hour", "3 hours")
+      .writeStream.format("memory").queryName("hll_win_t")
+      .outputMode("complete").start()
+    try {
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).shuffle(all)
+      val (b1, b2) = shuffled.splitAt(all.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+
+      val stream = spark.table("hll_win_t")
+        .select(col("window.start").as("ws"), col("bucket"), col("m"))
+        .as[(java.sql.Timestamp, Long, Int)].collect().toSet
+      val batch = Sketches.hllRegistersBy(
+        all.toDF("user", "ts")
+          .select(date_trunc("HOUR", col("ts")).as("ws"), col("user")),
+        "user", Seq("ws"))
+        .as[(java.sql.Timestamp, Long, Int)].collect().toSet
+      assert(stream == batch)
+      // per-window estimates agree too, and state is bounded
+      val est = Sketches.hllEstimateBy(
+        spark.table("hll_win_t")
+          .select(col("window.start").as("ws"), col("bucket"), col("m")),
+        Seq("ws")).collect()
+      assert(est.length == 3)
+      assert(stream.size <= 3 * Sketches.HllM)
+    } finally q.stop()
+  }
+
   test("register state is bounded by m regardless of input cardinality") {
     import spark.implicits._
     val regs = Sketches.hllRegisters(
