@@ -604,6 +604,17 @@ object CoreQueries {
         Tables.read(s, dir, "customer")
           .filter(col("c_mktsegment") === "BUILDING"), "c_custkey")),
 
+    // KMV set algebra — |A∪B| AND |A∩B| estimates (the operation HLL
+    // cannot do) over user-day activity sets for two event types. The
+    // composite key lifts cardinality past k at sf0.01 (estimator
+    // branch) while sf0.001 stays under it (exact-sketch branch) — both
+    // regimes go through the oracle gate across the driver's SFs.
+    "sketch_kmv_setops" -> ((s, dir) =>
+      graft.llm.Sketches.kmvSetOps(
+        events(s, dir).withColumn("ukey",
+          col("user_id") * 1000 + dayofyear(col("ts"))),
+        "ukey", "event_type", "click", "view")),
+
     // Windowed HLL — "distinct users per hour" with 256 registers per
     // window instead of a per-window distinct-user set. The estimate is
     // oracle-replayed per window like the global sketch; exact count
@@ -1059,6 +1070,52 @@ object CoreQueries {
          |       CASE WHEN $isLinear THEN 'linear' ELSE 'raw' END AS method,
          |       registers_nonzero, denom
          |FROM d CROSS JOIN e""".stripMargin
+    },
+
+    "sketch_kmv_setops" -> {
+      import graft.llm.Sketches.KmvK
+      val k = KmvK
+      // (k-1)·2^32 precomputed in Scala and injected — exact in a double
+      val num = ((k - 1).toDouble * 4294967296.0).toString
+      def est(kth: String, sz: String) =
+        s"CASE WHEN $sz < $k THEN $sz::DOUBLE ELSE $num / $kth::DOUBLE END"
+      val h = graft.llm.TextOps.hash32Sql("ukey::VARCHAR")
+      s"""WITH e AS (SELECT event_type AS lab,
+         |                  user_id * 1000 + dayofyear(ts) AS ukey
+         |           FROM events WHERE event_type IN ('click', 'view')),
+         |base AS (SELECT DISTINCT lab, $h AS h FROM e),
+         |bottom AS (SELECT lab, h FROM (
+         |             SELECT lab, h, row_number() OVER (
+         |               PARTITION BY lab ORDER BY h) AS rn FROM base)
+         |           WHERE rn <= $k),
+         |per AS (SELECT lab, max(h) AS kth, count(*) AS sz
+         |        FROM bottom GROUP BY 1),
+         |a AS (SELECT h FROM bottom WHERE lab = 'click'),
+         |b AS (SELECT h FROM bottom WHERE lab = 'view'),
+         |m AS (SELECT coalesce(a.h, b.h) AS h,
+         |             CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS ina,
+         |             CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS inb
+         |      FROM a FULL OUTER JOIN b ON a.h = b.h
+         |      ORDER BY coalesce(a.h, b.h) LIMIT $k),
+         |u AS (SELECT max(h) AS ukth, count(*) AS usz,
+         |             sum(ina * inb) AS nboth FROM m),
+         |ex AS (SELECT
+         |    count(DISTINCT CASE WHEN lab = 'click' THEN ukey END) AS n_exact_a,
+         |    count(DISTINCT CASE WHEN lab = 'view' THEN ukey END) AS n_exact_b,
+         |    count(DISTINCT ukey) AS n_exact_union
+         |  FROM e)
+         |SELECT n_exact_a,
+         |       (SELECT round(${est("kth", "sz")}, 4) FROM per
+         |        WHERE lab = 'click') AS est_a,
+         |       n_exact_b,
+         |       (SELECT round(${est("kth", "sz")}, 4) FROM per
+         |        WHERE lab = 'view') AS est_b,
+         |       n_exact_union,
+         |       (SELECT round(${est("ukth", "usz")}, 4) FROM u) AS est_union,
+         |       n_exact_a + n_exact_b - n_exact_union AS n_exact_inter,
+         |       (SELECT round((nboth::DOUBLE / usz::DOUBLE)
+         |                     * ${est("ukth", "usz")}, 4) FROM u) AS est_inter
+         |FROM ex""".stripMargin
     },
 
     "sketch_hll_windowed" -> {

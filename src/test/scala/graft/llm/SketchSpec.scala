@@ -37,6 +37,38 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - 40.0) <= 4.0, s"linear est $est for n=40")
   }
 
+  test("KMV set ops: exact when sets fit the sketch, bounded error beyond") {
+    import spark.implicits._
+    // small regime: both sets < k → sketches are complete → all exact
+    val small = ((1 to 100).map(i => ("a", s"k$i")) ++
+      (51 to 150).map(i => ("b", s"k$i"))).toDF("lab", "key")
+    val sRow = Sketches.kmvSetOps(small, "key", "lab", "a", "b").head()
+    assert(sRow.getAs[Double]("est_a") == 100.0)
+    assert(sRow.getAs[Double]("est_b") == 100.0)
+    assert(sRow.getAs[Double]("est_union") == 150.0)
+    assert(sRow.getAs[Double]("est_inter") == 50.0)
+    assert(sRow.getAs[Long]("n_exact_inter") == 50L)
+
+    // estimator regime: |A|=4000, |B|=3000, overlap 2000
+    val big = ((1 to 4000).map(i => ("a", s"k$i")) ++
+      (2001 to 5000).map(i => ("b", s"k$i"))).toDF("lab", "key")
+    val row = Sketches.kmvSetOps(big, "key", "lab", "a", "b").head()
+    def relErr(est: Double, exact: Long) = math.abs(est - exact) / exact
+    // 3 standard errors at k=256: 3/sqrt(k-2) ≈ 0.188
+    val tol = 3.0 / math.sqrt(Sketches.KmvK - 2)
+    assert(relErr(row.getAs[Double]("est_a"), 4000) < tol)
+    assert(relErr(row.getAs[Double]("est_b"), 3000) < tol)
+    assert(relErr(row.getAs[Double]("est_union"), 5000) < tol)
+    // intersection compounds union and Jaccard noise — allow 2× the tol
+    assert(relErr(row.getAs[Double]("est_inter"), 2000) < 2 * tol)
+
+    // repartition invariance (bottom-k of a distinct hash set is
+    // order-free)
+    val again = Sketches.kmvSetOps(big.repartition(13), "key", "lab", "a", "b")
+      .head()
+    assert(again == row)
+  }
+
   test("Count-Min never undercounts, and is exact absent collisions") {
     val rows = Sketches.cmsTopK(lineitem, "l_partkey", 20).collect()
     assert(rows.length == 20)
