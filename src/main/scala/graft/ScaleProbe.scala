@@ -151,7 +151,7 @@ object ScaleProbe {
     // pure scan growth), exact quantiles (value-frequency window grows
     // with distinct values), and the per-row text family at 10× docs
     "sketch_hll_distinct", "sketch_cms_topk", "sketch_bloom_semijoin",
-    "sketch_hll_windowed", "sketch_kmv_setops",
+    "sketch_hll_windowed", "sketch_kmv_setops", "graph_pagerank",
     "x_quantiles", "x_quantiles_approx", "x_zorder",
     "text_bm25", "text_quality_filter", "text_pii_redact")
 

@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality as a data-quality signal — the web-graph PageRank
+  * that large-scale corpus pipelines use to score source quality
+  * (RefinedWeb/C4-style URL weighting), re-expressed Spark-first.
+  *
+  * The iteration is FIXED-POINT INTEGER arithmetic end to end (ranks are
+  * longs scaled by `scale`; the damping factor is the rational
+  * dampNum/dampDen; per-edge contributions use integer division): long
+  * sums are order-free, so every iteration — and therefore the final
+  * ranking — is bit-identical across partitionings AND engines, the same
+  * trick the IVF k-means trainer uses. The oracle unrolls the identical
+  * iterations in SQL.
+  *
+  * Scale posture: each iteration is one (src-keyed) equi-join of the
+  * rank vector to the edge list plus a dst-keyed sum — the standard
+  * distributed PageRank shape (edge-partitioned joins, no driver-side
+  * graph). Dangling-node mass is collected by a grouping-less aggregate
+  * (a provably-single-row broadcast) and redistributed uniformly.
+  */
+object Graph {
+
+  /** `iters` rounds of damped PageRank over `edges(srcCol, dstCol)`
+    * (multi-edges collapse to simple edges; every endpoint is a node).
+    * Returns `(node, rank_scaled)` for ALL nodes — rank_scaled is the
+    * fixed-point long; callers rank by it directly (exact ordering, no
+    * FP ties). */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen,
+      "need iters >= 1 and 0 <= dampNum <= dampDen")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val n = nodes.count() // driver scalar: N is a literal in the formula
+    val init = scale / n  // integer division — identical in the oracle
+    val base = (scale / n) * (dampDen - dampNum) / dampDen
+    var rank = nodes.select(col("node"), lit(init).as("r"))
+    for (_ <- 1 to iters) {
+      val withDeg = rank.join(outdeg, col("node") === col("src"), "left")
+      // per-edge contribution: INTEGER division (`div`, not `/` — Spark's
+      // `/` on longs is double division, whose truncation could diverge
+      // from the oracle's exact `//` near integer boundaries)
+      val contrib = withDeg
+        .join(e, Seq("src"))
+        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("in_sum"))
+      // dangling mass (nodes with no out-edges) redistributed uniformly
+      val dangling = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum("r"), lit(0L)).as("d"))
+      rank = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), expr(
+          s"$base + ($dampNum * (coalesce(in_sum, CAST(0 AS BIGINT))" +
+            s" + d div $n)) div $dampDen").as("r"))
+    }
+    rank.select(col("node"), col("r").as("rank_scaled"))
+  }
+
+  /** The DuckDB twin of [[pageRank]] as a WITH-clause body: unrolled
+    * iterations generated from the SAME parameters, over an `edges`
+    * CTE the caller supplies (columns `src`, `dst`). Returns SQL whose
+    * final SELECT yields `(node, rank_scaled)`. */
+  def pageRankSql(
+      edgesCte: String, iters: Int = 3, dampNum: Long = 85,
+      dampDen: Long = 100, scale: Long = 1000000000L): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS node, sum($prev.r // o.outdeg)::BIGINT AS in_sum
+         |       FROM $prev JOIN o ON $prev.node = o.src
+         |       JOIN e ON $prev.node = e.src GROUP BY 1),
+         |d$i AS (SELECT coalesce(sum(r), 0)::BIGINT AS d FROM $prev
+         |        WHERE node NOT IN (SELECT src FROM o)),
+         |r$i AS (SELECT nodes.node,
+         |          ((SELECT base FROM consts)
+         |           + ($dampNum * (coalesce(c$i.in_sum, 0)
+         |                          + (SELECT d FROM d$i) // (SELECT n FROM nn)))
+         |             // $dampDen)::BIGINT AS r
+         |        FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |e AS (SELECT DISTINCT src::VARCHAR AS src, dst::VARCHAR AS dst
+       |      FROM edges_in),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |o AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |consts AS (SELECT ($scale // n) * (${dampDen - dampNum}) // $dampDen AS base,
+       |                  $scale // n AS init FROM nn),
+       |r0 AS (SELECT node, (SELECT init FROM consts) AS r FROM nodes),
+       |$rounds""".stripMargin
+  }
+}

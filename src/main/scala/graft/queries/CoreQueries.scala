@@ -604,6 +604,21 @@ object CoreQueries {
         Tables.read(s, dir, "customer")
           .filter(col("c_mktsegment") === "BUILDING"), "c_custkey")),
 
+    // Deterministic fixed-point PageRank over the part↔supplier graph —
+    // the graph-centrality quality signal corpus pipelines use for
+    // source weighting. Integer arithmetic end to end (graft.llm.Graph),
+    // so three full damped iterations hash-match the oracle's unrolled
+    // SQL twin exactly.
+    "graph_pagerank" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val fwd = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      val rev = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      graft.llm.Graph.pageRank(fwd.union(rev), "src", "dst", iters = 3)
+        .orderBy(col("rank_scaled").desc, col("node")).limit(20)
+    }),
+
     // KMV set algebra — |A∪B| AND |A∩B| estimates (the operation HLL
     // cannot do) over user-day activity sets for two event types. The
     // composite key lifts cardinality past k at sf0.01 (estimator
@@ -1070,6 +1085,19 @@ object CoreQueries {
          |       CASE WHEN $isLinear THEN 'linear' ELSE 'raw' END AS method,
          |       registers_nonzero, denom
          |FROM d CROSS JOIN e""".stripMargin
+    },
+
+    "graph_pagerank" -> {
+      val edgesCte =
+        """WITH edges_in AS (
+          |  SELECT 'p' || l_partkey::VARCHAR AS src,
+          |         's' || l_suppkey::VARCHAR AS dst FROM lineitem
+          |  UNION ALL
+          |  SELECT 's' || l_suppkey::VARCHAR,
+          |         'p' || l_partkey::VARCHAR FROM lineitem)""".stripMargin
+      s"""${graft.llm.Graph.pageRankSql(edgesCte, iters = 3)}
+         |SELECT node, r AS rank_scaled FROM r3
+         |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin
     },
 
     "sketch_kmv_setops" -> {
