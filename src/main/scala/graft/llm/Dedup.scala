@@ -140,6 +140,88 @@ object Dedup {
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** INCREMENTAL ingestion dedup, pair stage: cross-side Jaccard pairs
+    * of `incoming` documents against an existing `corpus` — the shape a
+    * pipeline runs per ingest batch, where recomputing corpus×corpus
+    * pairs daily is exactly the waste to avoid. Output:
+    * `(id_new, id_corpus, inter, size_new, size_corpus, jaccard)` with
+    * `jaccard >= tau` — identical to brute-force cross-side comparison.
+    *
+    * The prefix order is CORPUS-ONLY document frequency (unseen shingles
+    * rank rarest at df 0): prefix filtering is lossless under ANY total
+    * order shared by both sides, and pinning it to the corpus makes the
+    * corpus's frequency table and prefix index deterministic functions
+    * of the corpus alone — persist them once and amortize across every
+    * ingest batch (the [[graft.queries.LlmQueries]] cache pattern).
+    * Candidate generation joins incoming prefixes to corpus prefixes
+    * only: no incoming×incoming or corpus×corpus work anywhere. */
+  def jaccardPairsAgainst(
+      incoming: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val setsN = shingleSets(incoming, idCol, textCol, n)
+    val setsC = shingleSets(corpus, idCol, textCol, n)
+    def exploded(sets: DataFrame) = sets.select(col("doc_id"),
+      size(col("s32")).as("sz"), explode(col("s32")).as("g32"))
+    val exN = exploded(setsN)
+    val exC = exploded(setsC)
+    val freqC = exC.groupBy("g32").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("g32"))
+    def prefix(ex: DataFrame) = ex
+      .join(freqC, Seq("g32"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + 1)
+      .select("doc_id", "g32", "sz", "rk")
+      .localCheckpoint()
+    val pN = prefix(exN)
+    val pC = prefix(exC) // corpus-only function of (corpus, tau) — cacheable
+    val alpha = ceil(
+      lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
+    val cands = pN.as("a")
+      .join(pC.as("b"),
+        col("a.g32") === col("b.g32") &&
+          col("b.sz") >= ceil(lit(tau) * col("a.sz") - lit(1e-9)) &&
+          col("a.sz") >= ceil(lit(tau) * col("b.sz") - lit(1e-9)) &&
+          least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1 >= alpha)
+      .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_corpus"))
+      .distinct()
+    cands
+      .join(setsN.select(col("doc_id").as("id_new"), col("s32").as("sa")), "id_new")
+      .join(setsC.select(col("doc_id").as("id_corpus"), col("s32").as("sb")), "id_corpus")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("size_new", size(col("sa")))
+      .withColumn("size_corpus", size(col("sb")))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("size_new") + col("size_corpus") - col("inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select("id_new", "id_corpus", "inter", "size_new", "size_corpus",
+        "jaccard")
+  }
+
+  /** INCREMENTAL ingestion dedup, materializing stage: the `incoming`
+    * rows that survive against the corpus — not an exact copy of any
+    * corpus document (content-hash anti-join on the small distinct hash
+    * set) and not a near-duplicate of one ([[jaccardPairsAgainst]]).
+    * Incoming-vs-incoming duplicates are deliberately NOT dropped here:
+    * that is [[dropNearDuplicates]] on the batch, composable before or
+    * after. */
+  def dropDuplicatesAgainst(
+      incoming: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val corpusHashes = corpus
+      .select(md5(normText(col(textCol))).as("__graft_h")).distinct()
+    val nearIds = jaccardPairsAgainst(incoming, corpus, idCol, textCol, n, tau)
+      .select(col("id_new").as("__graft_near")).distinct()
+    // no broadcast hints: the corpus hash set scales with the corpus —
+    // AQE picks broadcast when a side actually fits
+    incoming
+      .withColumn("__graft_h", md5(normText(col(textCol))))
+      .join(corpusHashes, Seq("__graft_h"), "left_anti")
+      .join(nearIds, col(idCol) === col("__graft_near"), "left_anti")
+      .drop("__graft_h")
+  }
+
   /** MinHash-LSH near-dup pairs: shingle → 32-bit hash → `numHashes`
     * permutation minima → `bands` banded signatures → candidates = pairs
     * agreeing on ≥1 full band → exact-Jaccard verification of candidates

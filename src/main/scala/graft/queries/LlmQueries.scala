@@ -270,6 +270,25 @@ object LlmQueries {
       |  JOIN sizes sb ON id_b = sb.doc_id
       |  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5)""".stripMargin
 
+  /** Cross-side (incoming ≥400 vs corpus <400) pair CTEs — brute-force
+    * statement of [[graft.llm.Dedup.jaccardPairsAgainst]] semantics. */
+  private val AgainstCtes =
+    """exn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 400),
+      |exc AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id < 400),
+      |sizes_x AS (SELECT doc_id, len(s) AS sz FROM sh),
+      |pairs_x AS (
+      |  SELECT a.doc_id AS id_new, b.doc_id AS id_corpus, count(*) AS inter
+      |  FROM exn a JOIN exc b ON a.g = b.g
+      |  GROUP BY 1, 2),
+      |jpx AS (
+      |  SELECT id_new, id_corpus, inter, sa.sz AS size_new,
+      |         sb.sz AS size_corpus,
+      |         round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+      |  FROM pairs_x
+      |  JOIN sizes_x sa ON id_new = sa.doc_id
+      |  JOIN sizes_x sb ON id_corpus = sb.doc_id
+      |  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5)""".stripMargin
+
   private val PermsSql = TextOps.permConstants(16)
     .map { case (i, a, b) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
     .mkString("perms(pi, pa, pb) AS (VALUES ", ", ", ")")
@@ -305,6 +324,22 @@ object LlmQueries {
     // over endpoints) — output linear in the corpus even on dup-soup
     "dedup_jaccard_pairs_capped" -> ((s, dir) =>
       Dedup.capPairsPerDoc(jaccardPairs(s, dir), "jaccard", k = 2)),
+
+    // incremental ingestion: docs >= 400 arrive against the < 400 corpus
+    "dedup_pairs_against" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.jaccardPairsAgainst(
+        d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400),
+        "doc_id", "text")
+    }),
+
+    "dedup_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dropDuplicatesAgainst(
+        d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400),
+        "doc_id", "text")
+        .select("doc_id", "lang", "n_chars")
+    }),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
@@ -562,6 +597,22 @@ object LlmQueries {
     "dedup_jaccard_pairs" ->
       s"""WITH $DocsCte, ${shCte32(3)}, $JaccardCtes
          |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM jp""".stripMargin,
+
+    // cross-side pairs: brute-force semantics (the Spark side's
+    // corpus-ordered prefix filter is lossless, so results are equal)
+    "dedup_pairs_against" ->
+      s"""WITH $DocsCte, ${shCte32(3)}, $AgainstCtes
+         |SELECT id_new, id_corpus, inter, size_new, size_corpus, jaccard
+         |FROM jpx""".stripMargin,
+
+    "dedup_ingest" ->
+      s"""WITH $DocsCte, ${shCte32(3)}, $AgainstCtes,
+         |ch AS (SELECT DISTINCT md5($NormSql) AS h
+         |       FROM documents WHERE doc_id < 400)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id >= 400
+         |  AND md5($NormSql) NOT IN (SELECT h FROM ch)
+         |  AND doc_id NOT IN (SELECT id_new FROM jpx)""".stripMargin,
 
     "dedup_jaccard_pairs_capped" ->
       s"""WITH $DocsCte, ${shCte32(3)}, $JaccardCtes,
