@@ -327,6 +327,58 @@ object TextAnalysis {
       (keepGopher && keepC4).as("keep"))
   }
 
+  /** Bigram language-model scoring — the CCNet-style "perplexity
+    * filter" quality signal: per-document mean negative log-likelihood
+    * under an add-one-smoothed bigram model trained on `corpus`
+    * (P(w2|w1) = (C(w1 w2)+1)/(C(w1)+V)). Output:
+    * `(doc_id, n_bigrams, nll)` — lower nll ≈ more corpus-like text;
+    * docs shorter than two words carry no bigram evidence and are
+    * skipped (the [[Dedup.contaminationScores]] convention).
+    *
+    * FP determinism: every probability is a ratio of INTEGER counts
+    * (identical across engines), `ln` is engine-local (the tf-idf
+    * 6dp-round treatment), and — the actual hazard — the per-document
+    * SUM of log-probs is computed as a POSITION-SORTED left fold
+    * (`sort_array(collect_list(struct(pos, lnp)))` then `aggregate`),
+    * never an order-free SUM: FP addition does not commute, so a
+    * grouped SUM would not be hash-stable under repartitioning, let
+    * alone across engines.
+    *
+    * Scale: model training is two map-side-combinable groupBys over the
+    * corpus; scoring is an equi-join of exploded bigrams to the model
+    * (broadcastable when the vocabulary is; shuffle otherwise) and one
+    * per-doc fold. */
+  def lmScore(
+      scored: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val cw = corpus.select(words(col(textCol)).as("w"))
+    val uni = cw.select(explode(col("w")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("c1"))
+    val vocab = uni.count() // driver scalar → literal in the formula
+    val bi = cw.select(col("w"))
+      .select(explode(wordNgrams("w", 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+    val pos = scored
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"),
+        posexplode(wordNgrams("w", 2)).as(Seq("pos", "g")))
+    val lnp = log(
+      (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + lit(vocab)).cast("double"))
+    pos
+      .join(bi, Seq("g"), "left")
+      .withColumn("u", split(col("g"), " ").getItem(0))
+      .join(uni, Seq("u"), "left")
+      .select(col("doc_id"), col("pos"), lnp.as("lnp"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("lnp"))))
+        .as("terms"))
+      .select(col("doc_id"), size(col("terms")).as("n_bigrams"),
+        round(-aggregate(col("terms"), lit(0.0d),
+          (acc, t) => acc + t.getField("lnp")) /
+          size(col("terms")).cast("double"), 6).as("nll"))
+  }
+
   /** Conservative PII patterns shared with the oracle. Spelled to mean
     * the same thing under Java regex (Spark) and RE2 (DuckDB): no
     * lookaround, no backreferences, explicit character classes. */

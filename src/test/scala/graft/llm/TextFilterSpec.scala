@@ -52,6 +52,30 @@ class TextFilterSpec extends SparkSpec {
       !out(5L).getAs[Boolean]("keep_c4"))
   }
 
+  test("LM scoring: corpus-like text scores lower nll; fold is " +
+    "repartition-invariant") {
+    val corpus = Seq.tabulate(50)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val scored = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // in-model
+      (101L, "lazy dog the over fox quick jumps brown the"), // shuffled
+      (102L, "zebra xylophone quantum umbrella")) // out-of-vocabulary
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(scored, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(100L) < out(101L), "verbatim must beat shuffled words")
+    assert(out(100L) < out(102L), "verbatim must beat out-of-vocab")
+    // note: shuffled-but-in-vocab does NOT necessarily beat OOV under
+    // add-one smoothing — an unseen bigram after a FREQUENT prefix gets
+    // 1/(C(w1)+V) < the fully-unknown 1/V; that asymmetry is inherent
+    // to add-one bigram models, not a bug
+    val again = TextAnalysis.lmScore(
+      scored.repartition(5), corpus.repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == out, "position-sorted fold must be partition-stable")
+  }
+
   test("PII redaction removes every match and counts them") {
     val rows = Seq(
       (1L, "reach me at jane.doe+spam@mail.example.org or +44 (0)20 7946 0958"),
