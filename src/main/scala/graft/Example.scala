@@ -132,6 +132,27 @@ object Example {
       "sim", k = 2).show(5)
     index.unpersist()
 
+    // 10. Sketches (round 5): KB-sized summaries where exact answers
+    //     don't scale — distinct counts (HLL), heavy hitters (CMS),
+    //     set overlap (KMV), and a Bloom prefilter for semi-joins.
+    println("— sketches: HLL / CMS / KMV / Bloom —")
+    llm.Sketches.hllDistinct(ev, "user_id").show()
+    llm.Sketches.cmsTopK(ev, "event_type", k = 3).show()
+    llm.Sketches.kmvSetOps(ev, "user_id", "event_type",
+      "click", "view").show()
+
+    // 11. Incremental ingestion (round 5): a new batch dedups against
+    //     the standing corpus only — no corpus×corpus work — and the
+    //     bigram LM scores how corpus-like the survivors are.
+    println("— incremental ingest + LM quality —")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val fresh = llm.Dedup.dropDuplicatesAgainst(batch, corpus,
+      "doc_id", "text")
+    println(s"batch ${batch.count()} docs → ${fresh.count()} novel")
+    llm.TextAnalysis.lmScore(fresh, corpus, "doc_id", "text")
+      .orderBy(col("nll").desc).show(3)
+
     spark.stop()
   }
 }

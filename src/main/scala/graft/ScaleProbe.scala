@@ -153,7 +153,8 @@ object ScaleProbe {
     "sketch_hll_distinct", "sketch_cms_topk", "sketch_bloom_semijoin",
     "sketch_hll_windowed", "sketch_kmv_setops", "graph_pagerank",
     "x_quantiles", "x_quantiles_approx", "x_zorder",
-    "text_bm25", "text_quality_filter", "text_pii_redact")
+    "text_bm25", "text_quality_filter", "text_pii_redact",
+    "text_lm_score", "dedup_pairs_against", "dedup_ingest")
 
   /** Time one declared query against one SF dir: (seconds, rows). Same
     * `toRdd.count()` materialization as Bench (see Bench.scala on why
