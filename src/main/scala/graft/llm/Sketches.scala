@@ -156,14 +156,13 @@ object Sketches {
   def kmvSetOps(
       df: DataFrame, keyCol: String, labelCol: String,
       labelA: String, labelB: String, k: Int = KmvK): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lab = col(labelCol)
-    val base = df.filter(lab === labelA || lab === labelB)
-      .select(lab.as("lab"), hash32(col(keyCol).cast("string")).as("h"))
-      .distinct()
-    val w = Window.partitionBy("lab").orderBy("h")
-    val bottom = base.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    // bottom-k distinct per label via the bounded Aggregator (map-side
+    // partial, ≤k rows shuffled per partition — no per-label window over
+    // the full distinct hash set)
+    val bottom = kmvRegisters(
+      df.filter(lab === labelA || lab === labelB), keyCol, labelCol, k)
+      .select(col("lab"), explode(col("hashes")).as("h"))
     // grouping-less conditional aggregate: ONE stats row for both sets
     // (provably single-row for the plan audit's structural BNLJ license)
     val perSet = bottom.agg(
@@ -202,6 +201,27 @@ object Sketches {
       .select(col("n_exact_a"), col("est_a"), col("n_exact_b"), col("est_b"),
         col("n_exact_union"), col("est_union"),
         col("n_exact_inter"), col("est_inter"))
+  }
+
+  /** Per-label KMV register sets `(lab, hashes)` — the bottom-k distinct
+    * key hashes per label, via [[graft.functions.BottomKDistinctAgg]]
+    * (map-side partial, ≤k rows shuffled per partition). Works on
+    * streams unchanged ([[graft.streaming.StreamingOps.kmvRegistersStream]]):
+    * bottom-k-distinct ignores ordering AND repetition, so the
+    * maintained registers are out-of-order- and replay-safe, like the
+    * HLL max. */
+  def kmvRegisters(
+      df: DataFrame, keyCol: String, labelCol: String,
+      k: Int = KmvK): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(labelCol).cast("string"),
+        hash32(col(keyCol).cast("string")))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.BottomKDistinctAgg(k).toColumn.name("hashes"))
+      .toDF("lab", "hashes")
   }
 
   // ── Count-Min sketch ───────────────────────────────────────────────────

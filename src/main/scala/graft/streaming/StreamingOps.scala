@@ -96,6 +96,40 @@ object StreamingOps {
       .agg(max(sk.hllRank(col(keyCol))).as("m"))
   }
 
+  /** STREAMING KMV registers: the bottom-k distinct key hashes per
+    * label, maintained incrementally — ≤k longs of state per label
+    * FOREVER, no watermark needed. Snapshots feed the
+    * [[graft.llm.Sketches.kmvSetOps]] estimators (distinct counts, set
+    * union/intersection). Bottom-k-distinct ignores ordering and
+    * repetition, so the registers are out-of-order- and replay-safe
+    * (KmvStreamSpec proves stream == batch under both). */
+  def kmvRegistersStream(
+      events: DataFrame, keyCol: String, labelCol: String,
+      k: Int = graft.llm.Sketches.KmvK): DataFrame =
+    graft.llm.Sketches.kmvRegisters(events, keyCol, labelCol, k)
+
+  /** STREAMING ingestion filter: drop stream documents whose normalized
+    * content hash already exists in the static corpus — the streaming
+    * half of [[graft.llm.Dedup.dropDuplicatesAgainst]], as a
+    * stream-static LEFT ANTI join (no state: the corpus relation is the
+    * state). Decisions are per-document against the corpus, so
+    * micro-batch boundaries cannot change results — IngestStreamSpec
+    * proves stream == batch. For NEAR-dup ingestion filtering, run the
+    * batch operator per micro-batch via `foreachBatch { (b, _) =>
+    * Dedup.dropDuplicatesAgainst(b, corpus, …) … }` — the same
+    * per-document-vs-corpus argument makes it batching-invariant. */
+  def ingestExactFilterStream(
+      incoming: DataFrame, corpus: DataFrame, textCol: String,
+      corpusTextCol: String): DataFrame = {
+    val hashes = corpus
+      .select(md5(graft.llm.TextOps.normText(col(corpusTextCol)))
+        .as("__graft_h")).distinct()
+    incoming
+      .withColumn("__graft_h", md5(graft.llm.TextOps.normText(col(textCol))))
+      .join(hashes, Seq("__graft_h"), "left_anti")
+      .drop("__graft_h")
+  }
+
   /** Streaming exact dedup: first occurrence PER ID wins within the
     * watermark horizon (the streaming analogue of
     * [[graft.llm.Dedup.dropExactDuplicates]]).
