@@ -604,6 +604,23 @@ object CoreQueries {
         Tables.read(s, dir, "customer")
           .filter(col("c_mktsegment") === "BUILDING"), "c_custkey")),
 
+    // Rolling event-time range window — the per-entity trailing-window
+    // feature shape (count + sum over the last 7 days AS OF each event).
+    // RANGE frame on epoch seconds ⇔ DuckDB's INTERVAL frame; the summed
+    // measure is integer cents, so the two engines' different window
+    // evaluation orders (running vs segment tree) cannot diverge.
+    "x_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-7L * 24 * 3600 + 1, 0) // (ts-7d, ts] inclusive
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_7d"),
+          sum("cents").over(w).as("cents_7d"))
+    }),
+
     // Deterministic fixed-point PageRank over the part↔supplier graph —
     // the graph-centrality quality signal corpus pipelines use for
     // source weighting. Integer arithmetic end to end (graft.llm.Graph),
@@ -1086,6 +1103,18 @@ object CoreQueries {
          |       registers_nonzero, denom
          |FROM d CROSS JOIN e""".stripMargin
     },
+
+    // both engines frame on FLOORED epoch seconds: Spark's long cast
+    // truncates, but DuckDB's double→BIGINT cast ROUNDS — an .8-second
+    // row would land in a different frame without the explicit floor
+    "x_rolling_window" ->
+      """SELECT event_id, user_id,
+        |       count(*) OVER w AS n_7d,
+        |       (sum(round(value * 100)::BIGINT) OVER w)::BIGINT AS cents_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "graph_pagerank" -> {
       val edgesCte =
