@@ -41,6 +41,7 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val n = nodes.count() // driver scalar: N is a literal in the formula
+    require(n > 0, "pageRank needs a non-empty edge list")
     val init = scale / n  // integer division — identical in the oracle
     val base = (scale / n) * (dampDen - dampNum) / dampDen
     var rank = nodes.select(col("node"), lit(init).as("r"))

@@ -94,8 +94,11 @@ object Sketches {
   /** Per-group finishing step over [[hllRegistersBy]] output:
     * `(groupCols…, est_hll, method, registers_nonzero, denom)`. */
   def hllEstimateBy(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    // coalesce: an EMPTY register table (no input at all) must finish as
+    // v = m → linear counting → estimate 0, not a NULL-poisoned denom
     val agg = regs.groupBy(groupCols.map(col): _*).agg(
-      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRankBits + 1} - m)"))
+      coalesce(sum(expr(
+        s"shiftleft(CAST(1 AS BIGINT), ${HllRankBits + 1} - m)")), lit(0L))
         .as("present_sum"),
       count(lit(1)).as("n_present"))
     // register scale is 2^(RankBits+1): present buckets contribute
