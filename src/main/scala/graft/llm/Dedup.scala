@@ -222,6 +222,56 @@ object Dedup {
       .drop("__graft_h")
   }
 
+  /** CONTAINMENT search: pairs `(id_needle, id_hay)` where at least
+    * fraction `c` of the needle's shingles appear in the haystack
+    * document — the quote/excerpt detector. Jaccard CANNOT express this
+    * when sizes differ (a 64-token chunk inside a 10k-token doc has
+    * J ≈ 0.006 at containment 1.0); containment is the asymmetric
+    * measure the task needs.
+    *
+    * Pruning: the needle side indexes only its first
+    * |A| − ⌈c·|A|⌉ + 1 shingles under the haystack-df total order (the
+    * prefix-filter argument applies verbatim to containment: missing
+    * ALL prefix entries leaves fewer than ⌈c·|A|⌉ possible hits). The
+    * haystack side must index every shingle — no size-compatibility
+    * pruning exists for containment, which is the honest price of
+    * asymmetric search; ordering the needle prefix by haystack df keeps
+    * hot shingles out of the join's driving side. Candidates are
+    * verified with an exact intersection. */
+  def containmentPairs(
+      needles: DataFrame, haystack: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, c: Double = 0.9): DataFrame = {
+    require(c > 0 && c <= 1, "containment threshold must be in (0, 1]")
+    val setsN = shingleSets(needles, idCol, textCol, n)
+      .filter(size(col("s32")) > 0)
+    val setsH = shingleSets(haystack, idCol, textCol, n)
+    val postings = setsH.select(col("doc_id"), explode(col("s32")).as("g32"))
+    val freqH = postings.groupBy("g32").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("g32"))
+    val prefixN = setsN
+      .select(col("doc_id"), size(col("s32")).as("sz"),
+        explode(col("s32")).as("g32"))
+      .join(freqH, Seq("g32"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(lit(c) * col("sz") - lit(1e-9)) + 1)
+      .select(col("doc_id").as("id_needle"), col("g32"))
+    val cands = prefixN
+      .join(postings.select(col("doc_id").as("id_hay"), col("g32")), "g32")
+      .select("id_needle", "id_hay").distinct()
+    cands
+      .join(setsN.select(col("doc_id").as("id_needle"), col("s32").as("sa")),
+        "id_needle")
+      .join(setsH.select(col("doc_id").as("id_hay"), col("s32").as("sb")),
+        "id_hay")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("size_needle", size(col("sa")))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("size_needle"), 6))
+      .filter(col("containment") >= c)
+      .select("id_needle", "id_hay", "inter", "size_needle", "containment")
+  }
+
   /** MinHash-LSH near-dup pairs: shingle → 32-bit hash → `numHashes`
     * permutation minima → `bands` banded signatures → candidates = pairs
     * agreeing on ≥1 full band → exact-Jaccard verification of candidates

@@ -341,6 +341,18 @@ object LlmQueries {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    // containment search: every 32-token chunk must be found inside its
+    // parent (plus any cross-document quote-level matches)
+    "dedup_containment_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val chunks = TextAnalysis
+        .chunkDocuments(d, "doc_id", "text", chunkTokens = 32)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+          col("chunk_text").as("text"))
+      Dedup.containmentPairs(chunks, d.select("doc_id", "text"),
+        "doc_id", "text", n = 3, c = 0.9)
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
         n = 3, numHashes = 16, bands = 4, tau = 0.5)),
@@ -602,6 +614,35 @@ object LlmQueries {
     "dedup_jaccard_pairs" ->
       s"""WITH $DocsCte, ${shCte32(3)}, $JaccardCtes
          |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM jp""".stripMargin,
+
+    // brute-force containment semantics: all chunk×doc shingle joins,
+    // filter on the asymmetric inter/|needle| measure
+    "dedup_containment_pairs" ->
+      s"""WITH $DocsCte, ${shCte32(3)},
+         |ckr AS (SELECT doc_id, unnest(list_transform(
+         |          range(0, greatest(CAST(ceil(len(w) / 32.0) AS BIGINT), 1)),
+         |          i -> struct_pack(ci := i,
+         |            ct := array_to_string(
+         |              w[CAST(i*32+1 AS BIGINT):CAST(i*32+32 AS BIGINT)],
+         |              ' ')))) AS c
+         |        FROM docs),
+         |ckw AS (SELECT doc_id * 1000 + CAST(c.ci AS BIGINT) AS cid,
+         |               string_split(c.ct, ' ') AS w FROM ckr),
+         |csh AS (SELECT cid, list_distinct(list_transform(
+         |          list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                         i -> array_to_string(w[i:i+2], ' ')),
+         |          g -> ${h32("g")})) AS s FROM ckw),
+         |csh2 AS (SELECT * FROM csh WHERE len(s) > 0),
+         |cse AS (SELECT cid, unnest(s) AS g FROM csh2),
+         |dse AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |pr AS (SELECT c.cid, d.doc_id AS hid, count(*) AS inter
+         |       FROM cse c JOIN dse d ON c.g = d.g GROUP BY 1, 2),
+         |sz AS (SELECT cid, len(s) AS sz FROM csh2)
+         |SELECT cid AS id_needle, hid AS id_hay, inter,
+         |       sz.sz AS size_needle,
+         |       round(inter::DOUBLE / sz.sz, 6) AS containment
+         |FROM pr JOIN sz USING (cid)
+         |WHERE round(inter::DOUBLE / sz.sz, 6) >= 0.9""".stripMargin,
 
     // cross-side pairs: brute-force semantics (the Spark side's
     // corpus-ordered prefix filter is lossless, so results are equal)

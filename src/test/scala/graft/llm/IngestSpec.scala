@@ -40,6 +40,38 @@ class IngestSpec extends SparkSpec {
     assert(against.exists(p => p._1 == 101L && p._3 == 1.0))
   }
 
+  test("containment finds every chunk inside its parent at 1.0") {
+    val d = graft.Tables.read(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(d, "doc_id", "text", 16)
+      .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+        col("chunk_text").as("text"))
+    val pairs = Dedup.containmentPairs(chunks, d, "doc_id", "text",
+      n = 3, c = 0.9)
+      .select("id_needle", "id_hay", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // recall guarantee: a chunk IS a contiguous slice of its parent, so
+    // every ≥3-word chunk must be reported against the parent with
+    // containment exactly 1.0
+    val expected = chunks
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(expected.nonEmpty)
+    expected.foreach { cid =>
+      val parent = cid / 1000
+      assert(pairs.get((cid, parent)).contains(1.0),
+        s"chunk $cid not found in parent $parent")
+    }
+    // and Jaccard at tau=0.5 misses the asymmetric case: a 16-token
+    // chunk vs its much larger parent — the reason containment exists
+    val j = Dedup.jaccardShinglePairs(chunks.union(d), "doc_id", "text",
+      n = 3, tau = 0.5)
+      .filter(col("id_b") < 1000 && col("id_a") >= 1000)
+      .count()
+    assert(j < expected.length,
+      "Jaccard should miss most chunk-in-parent pairs")
+  }
+
   test("dropDuplicatesAgainst keeps exactly the novel incoming docs") {
     val kept = Dedup.dropDuplicatesAgainst(incoming, corpus,
       "doc_id", "text", n = 3, tau = 0.5)
