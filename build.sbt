@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// bare JSON. Two sbt behaviors broke that for two rounds (BENCH_r04/r05
+// record "parsed": null): the forked process's stdout is re-logged with an
+// `[info] ` prefix, and sbt appends a `[success] Total time…` footer after
+// the run. StdoutOutput passes the forked JVM's stdout through verbatim
+// (no logger, no prefix); showSuccess drops the footer — so the compact
+// metric line Bench prints after spark.stop() is genuinely last and bare.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -595,8 +595,20 @@ object Dedup {
   def decontaminate(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
+      tau: Double = 0.8): DataFrame =
+    decontaminateFromScores(
+      contaminationScores(corpus, benchmark, idCol, textCol, n),
+      corpus, idCol, tau)
+
+  /** [[decontaminate]] over precomputed [[contaminationScores]] — the
+    * scoring join is the expensive half, so callers that also inspect the
+    * scores (the audit-then-drop workflow) should compute them once and
+    * feed both consumers (same share-the-expensive-relation lifecycle as
+    * [[dropNearDuplicatesFromPairs]]). */
+  def decontaminateFromScores(
+      scores: DataFrame, corpus: DataFrame, idCol: String,
       tau: Double = 0.8): DataFrame = {
-    val flagged = contaminationScores(corpus, benchmark, idCol, textCol, n)
+    val flagged = scores
       .filter(col("contamination") >= tau)
       .select(col("doc_id").as("__graft_contam"))
     corpus.join(broadcast(flagged),

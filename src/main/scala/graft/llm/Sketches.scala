@@ -73,7 +73,12 @@ object Sketches {
     * `df`. State is 256 rows × |groups|. */
   def hllRegistersBy(
       df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame =
-    df.select(groupCols.map(col) :+ hllBucket(col(keyCol)).as("bucket") :+
+    // NULL keys carry no identity: countDistinct ignores them, so the
+    // sketch must too. Without this filter a NULL key hashed to a
+    // (bucket=NULL, m=NULL) row that hllEstimate counted in n_present but
+    // not present_sum — one bucket short in the denominator (ADVICE r5).
+    df.filter(col(keyCol).isNotNull)
+      .select(groupCols.map(col) :+ hllBucket(col(keyCol)).as("bucket") :+
         hllRank(col(keyCol)).as("rank"): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max("rank").as("m"))

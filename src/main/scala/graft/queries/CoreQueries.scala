@@ -1086,7 +1086,7 @@ object CoreQueries {
       val raw = s"$alpha / denom::DOUBLE"
       val isLinear = s"($raw <= $HllLinearThreshold AND v > 0)"
       s"""WITH h AS (SELECT ${graft.llm.TextOps.hash32Sql("l_orderkey::VARCHAR")} AS h
-         |           FROM lineitem),
+         |           FROM lineitem WHERE l_orderkey IS NOT NULL),
          |r AS (SELECT h >> $rb AS bucket, $rank AS rank FROM h),
          |regs AS (SELECT bucket, max(rank) AS m FROM r GROUP BY bucket),
          |agg AS (SELECT sum((1::BIGINT << (${rb + 1} - m)))::BIGINT AS present_sum,
@@ -1186,7 +1186,7 @@ object CoreQueries {
       val isLinear = s"($raw <= $HllLinearThreshold AND v > 0)"
       s"""WITH h AS (SELECT date_trunc('hour', ts) AS hour,
          |                  ${graft.llm.TextOps.hash32Sql("user_id::VARCHAR")} AS h
-         |           FROM events),
+         |           FROM events WHERE user_id IS NOT NULL),
          |r AS (SELECT hour, h >> $rb AS bucket, $rank AS rank FROM h),
          |regs AS (SELECT hour, bucket, max(rank) AS m FROM r GROUP BY 1, 2),
          |agg AS (SELECT hour,

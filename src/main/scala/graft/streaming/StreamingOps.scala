@@ -89,7 +89,10 @@ object StreamingOps {
       windowLength: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
     val sk = graft.llm.Sketches
+    // NULL keys filtered for the same reason as the batch build
+    // (Sketches.hllRegistersBy): countDistinct semantics ignore NULLs.
     events
+      .filter(col(keyCol).isNotNull)
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLength),
         sk.hllBucket(col(keyCol)).as("bucket"))

@@ -1,10 +1,11 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec, UnaryExecNode}
+import org.apache.spark.sql.execution.{ColumnarToRowExec, CoalesceExec, FilterExec, GlobalLimitExec, InputAdapter, LocalLimitExec, ProjectExec, RowToColumnarExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, UnaryExecNode, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -48,14 +49,32 @@ class PlanAuditSpec extends SparkSpec {
     * stats rows, BM25 corpus stats) — constant cost per probe row, the
     * opposite of a scale-killer — so it is licensed STRUCTURALLY
     * instead of by name. */
+  /** Unary nodes that can never INCREASE row count. An explicit whitelist,
+    * not a blanket UnaryExecNode case (ADVICE r5): GenerateExec (explode)
+    * and ExpandExec multiply rows, and blanket-passing them would let an
+    * expanding build side slip through the structural BNLJ license. */
+  private def rowPreserving(u: UnaryExecNode): Boolean = u match {
+    case _: ProjectExec | _: FilterExec | _: SortExec | _: CoalesceExec |
+         _: WholeStageCodegenExec | _: InputAdapter | _: ColumnarToRowExec |
+         _: RowToColumnarExec | _: ShuffleExchangeExec |
+         _: BroadcastExchangeExec | _: LocalLimitExec |
+         _: GlobalLimitExec => true
+    case _ => false
+  }
+
   private def maxOneRow(p: SparkPlan): Boolean = p match {
-    case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    case a: BaseAggregateExec =>
+      // partial grouping-less aggregates emit one row PER PARTITION —
+      // only the Final/Complete stage is provably single-row (ADVICE r5)
+      a.groupingExpressions.isEmpty &&
+        a.aggregateExpressions.forall(e =>
+          e.mode == Final || e.mode == Complete)
     case q: QueryStageExec => maxOneRow(q.plan)
     case r: ReusedExchangeExec => maxOneRow(r.child)
     case a: AdaptiveSparkPlanExec => maxOneRow(a.executedPlan)
     case j: BroadcastNestedLoopJoinExec => // 1-row × 1-row stats chains
       maxOneRow(j.left) && maxOneRow(j.right)
-    case u: UnaryExecNode => maxOneRow(u.child) // project/exchange/filter/…
+    case u: UnaryExecNode if rowPreserving(u) => maxOneRow(u.child)
     case _ => false
   }
 
@@ -64,13 +83,19 @@ class PlanAuditSpec extends SparkSpec {
 
   /** A partition-less window whose input is already limit-bounded (a
     * global top-k sits below it) runs on ≤k rows by construction — the
-    * display-rank-after-limit pattern, not the round-2 scale-killer. */
-  private def limitBounded(p: SparkPlan): Boolean =
-    nodes(p).exists {
-      case _: TakeOrderedAndProjectExec => true
-      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-      case _ => false
-    }
+    * display-rank-after-limit pattern, not the round-2 scale-killer.
+    * The limit must sit on the DIRECT input chain, reached only through
+    * row-preserving nodes (ADVICE r5): a limit buried elsewhere in the
+    * subtree — e.g. on one side of a join below the window — bounds
+    * nothing about the window's input cardinality. */
+  private def limitBounded(p: SparkPlan): Boolean = p match {
+    case _: TakeOrderedAndProjectExec | _: GlobalLimitExec => true
+    case q: QueryStageExec => limitBounded(q.plan)
+    case r: ReusedExchangeExec => limitBounded(r.child)
+    case a: AdaptiveSparkPlanExec => limitBounded(a.executedPlan)
+    case u: UnaryExecNode if rowPreserving(u) => limitBounded(u.child)
+    case _ => false
+  }
 
   test("no cartesian / stray nested-loop joins / partition-less windows") {
     val dir = sf("sf0.001")

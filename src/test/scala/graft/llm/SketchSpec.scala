@@ -27,6 +27,18 @@ class SketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("HLL ignores NULL keys, matching countDistinct semantics") {
+    import spark.implicits._
+    val data = (1 to 200).map(i => s"k$i").toDF("k")
+    val withNulls = data.union(
+      Seq.fill(25)(null.asInstanceOf[String]).toDF("k"))
+    // identical register tables → identical estimate; before the NULL
+    // filter a (bucket=NULL, m=NULL) row skewed the denominator by one
+    // empty bucket (ADVICE r5)
+    assert(Sketches.hllDistinct(withNulls, "k").head() ==
+      Sketches.hllDistinct(data, "k").head())
+  }
+
   test("HLL switches to linear counting on tiny cardinalities") {
     import spark.implicits._
     val tiny = (1 to 40).map(i => s"k$i").toDF("k")
