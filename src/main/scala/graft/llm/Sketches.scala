@@ -352,4 +352,52 @@ object Sketches {
       .select(col("n_probe"), col("n_exact"), col("n_bloom_pass"),
         (col("n_bloom_pass") - col("n_exact")).as("n_false_pos"))
   }
+
+  // ── Mergeable quantile sketch ──────────────────────────────────────────
+
+  /** MERGEABLE QUANTILE SKETCH — rank-error-bounded per-group quantiles
+    * in ONE map-side-combinable pass with bounded state, the principled
+    * 100 TB quantile path (the exact formulation's state grows with
+    * distinct values; the histogram needs a known value range).
+    *
+    * Sketch = the k rows with the smallest portable hash of `rowId`
+    * ([[graft.functions.BottomKByHashAgg]] — a deterministic uniform
+    * sample; see there for why bottom-k-by-hash beats KLL/GK under
+    * Spark's nondeterministic merge order). Finish = exact positional
+    * quantiles (percentile_disc: position ceil(q·s) of the ascending
+    * sample) over the ≤k sample values. Rank error vs the full group is
+    * ≤ sqrt(ln(2/δ)/(2k)) with prob 1-δ (DKW); groups with ≤ k rows are
+    * sampled COMPLETELY, so their quantiles are exact.
+    *
+    * Output: (groupCols…, q, est_value, sample_n, n_rows) — one row per
+    * (group, q). Deterministic: same data ⇒ same rows on any
+    * partitioning, any engine (QuantileSketchSpec), so the estimates
+    * themselves pass the driver's hash gate like the other sketches.
+    *
+    * `rowId` must identify rows (a key, or any expression unique per
+    * row): it seeds the hash. Shuffle: O(groups·k) pairs, input-size
+    * independent. */
+  def quantileSketchBy(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      rowId: Column, qs: Seq[Double], k: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val samp = udaf(new graft.functions.BottomKByHashAgg(k))
+    val base = df.select(groupCols.map(col) :+
+      hash32(rowId.cast("string")).as("__h") :+
+      col(valueCol).cast("double").as("__v"): _*)
+    val sk = base.groupBy(groupCols.map(col): _*)
+      .agg(samp(col("__h"), col("__v")).as("sample"),
+        count(lit(1)).as("n_rows"))
+      // ascending sample VALUES; the hash ordering only decides membership
+      .select(groupCols.map(col) ++ Seq(col("n_rows"),
+        array_sort(expr("transform(sample, s -> s.v)")).as("sv")): _*)
+    sk.withColumn("qq", explode(array(qs.map(lit): _*)))
+      .select(groupCols.map(col) ++ Seq(
+        col("qq").as("q"),
+        element_at(col("sv"),
+          ceil(col("qq") * size(col("sv"))).cast("int")).as("est_value"),
+        size(col("sv")).cast("long").as("sample_n"),
+        col("n_rows")): _*)
+  }
 }

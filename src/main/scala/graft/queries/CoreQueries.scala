@@ -717,6 +717,22 @@ object CoreQueries {
           col("cnt").as("n_in_bin"))
     }),
 
+    // The MERGEABLE quantile sketch (Sketches.quantileSketchBy): bounded
+    // bottom-k-by-hash row sample + positional quantiles — one
+    // map-side-combinable pass, O(groups·k) shuffle at any input size,
+    // no value-range assumption (vs x_quantiles_approx) and no
+    // distinct-value state growth (vs x_quantiles). Deterministic by
+    // merge-order invariance, so the ESTIMATES hash-match the oracle's
+    // replay. QuantileSketchSpec proves the DKW rank-error bound.
+    "x_quantiles_sketch" -> ((s, dir) => {
+      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      graft.llm.Sketches.quantileSketchBy(
+        lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
+        concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string")),
+        qs, k = 1024)
+    }),
+
     // Z-order (Morton) clustering key — the data-layout lever
     // (graft.Layout): pure integer bit interleaving, oracle-checked
     // per row; LayoutSpec proves the FILE-SKIPPING effect of writing
@@ -1296,6 +1312,30 @@ object CoreQueries {
         |FROM c CROSS JOIN q
         |WHERE cum - cnt < CAST(ceil(q * n) AS BIGINT)
         |  AND CAST(ceil(q * n) AS BIGINT) <= cum""".stripMargin,
+
+    // replay of the bottom-k-by-hash sample: same portable hash, same
+    // (h, v) membership order, same positional pick over the sample
+    "x_quantiles_sketch" -> {
+      val h = graft.llm.TextOps.hash32Sql(
+        "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR")
+      s"""WITH b AS (SELECT l_returnflag, l_extendedprice AS v, $h AS h
+         |           FROM lineitem),
+         |n AS (SELECT l_returnflag, count(*) AS n_rows FROM b GROUP BY 1),
+         |s AS (SELECT l_returnflag, v, row_number() OVER (
+         |        PARTITION BY l_returnflag ORDER BY h, v) AS rn FROM b),
+         |samp AS (SELECT l_returnflag, v FROM s WHERE rn <= 1024),
+         |sz AS (SELECT l_returnflag, count(*) AS sample_n
+         |       FROM samp GROUP BY 1),
+         |r AS (SELECT l_returnflag, v, row_number() OVER (
+         |        PARTITION BY l_returnflag ORDER BY v) AS rv FROM samp),
+         |q AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
+         |                     0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+         |SELECT r.l_returnflag, q.q, r.v AS est_value, sz.sample_n, n.n_rows
+         |FROM r CROSS JOIN q
+         |JOIN sz USING (l_returnflag)
+         |JOIN n USING (l_returnflag)
+         |WHERE rv = CAST(ceil(q.q * sample_n) AS BIGINT)""".stripMargin
+    },
 
     "x_zorder" ->
       s"""SELECT l_orderkey, l_linenumber,
