@@ -632,11 +632,22 @@ object LlmQueries {
         Multimodal.synthesizeAudio(docs(s, dir), "doc_id"))
         .toDF()),
 
-    // REAL MP4 box-structure round-trip (container parse; frame decode
-    // has no JDK codec and stays stubbed)
+    // REAL MP4 box-structure round-trip (container parse only — MP4
+    // pixel decode needs non-JDK codecs; MJPEG below decodes for real)
     "mm_parse_video" -> ((s, dir) =>
       Multimodal.parseVideoContainers(
         Multimodal.synthesizeVideo(docs(s, dir), "doc_id"))
+        .toDF()),
+
+    // REAL video frame PIXEL decode: AVI-MJPEG payloads synthesized
+    // through the real JPEG encoder + RIFF writer, demuxed and decoded
+    // frame-by-frame with javax.imageio — the oracle states every
+    // frame's true dimensions and exact raster sample sum. A demux bug
+    // (chunk walk, padding), a frame-order bug, or any pixel-math error
+    // breaks the hash match.
+    "mm_frame_decode" -> ((s, dir) =>
+      Multimodal.decodeFrames(
+        Multimodal.synthesizeMjpegVideos(docs(s, dir), "doc_id"))
         .toDF())
   )
 
@@ -1336,6 +1347,20 @@ object LlmQueries {
       """SELECT doc_id, 2::INTEGER AS n_boxes,
         |       'ftyp,mdat' AS box_types,
         |       (32 + doc_id % 991)::BIGINT AS mdat_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // every decoded MJPEG frame: dims from the synthesis arithmetic,
+    // px_sum = w·h·3·gray exactly (solid-color JPEG at quality 1.0
+    // round-trips byte-exact — probed for all 256 grays)
+    "mm_frame_decode" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS i
+        |           FROM documents)
+        |SELECT doc_id, i::INTEGER AS frame_idx,
+        |       (8 + doc_id % 5)::INTEGER AS width,
+        |       (8 + doc_id % 7)::INTEGER AS height,
+        |       3::INTEGER AS channels,
+        |       ((8 + doc_id % 5) * (8 + doc_id % 7) * 3
+        |        * ((doc_id * 7 + i * 31) % 256))::BIGINT AS px_sum
+        |FROM f""".stripMargin
   )
 }
