@@ -152,7 +152,7 @@ object ScaleProbe {
     // with distinct values), and the per-row text family at 10× docs
     "sketch_hll_distinct", "sketch_cms_topk", "sketch_bloom_semijoin",
     "sketch_hll_windowed", "sketch_kmv_setops", "graph_pagerank",
-    "x_quantiles", "x_quantiles_approx", "x_zorder",
+    "x_quantiles", "x_quantiles_approx", "x_quantiles_sketch", "x_zorder",
     "text_bm25", "text_quality_filter", "text_pii_redact",
     "text_lm_score", "dedup_pairs_against", "dedup_ingest",
     "dedup_containment_pairs", "x_rolling_window")
