@@ -168,12 +168,37 @@ object AsOf {
   /** `entity LEFT-ASOF features`: every entity row, plus the newest
     * feature row per (keys, ts <= entity ts[, within ttl]) or nulls.
     * Installs [[AsOfJoinStrategy]] into the session's experimental
-    * strategies (public API) on first use. */
+    * strategies (public API) on first use.
+    *
+    * KEYLESS (entity-less view) routing: with a bounded TTL the join is
+    * given a synthetic TIME-BUCKET key (width = ttl) instead of running
+    * single-partition — every feature row is duplicated into its own
+    * bucket and the next (a ×2 on the feature side), each entity row
+    * keyed by its own bucket, so every candidate in
+    * `[entity_ts − ttl, entity_ts]` is guaranteed to share the entity's
+    * bucket key and the operator runs as a normal hash-clustered
+    * distributed merge; the operator's own TTL check drops the
+    * out-of-range remainder. One operator, one merge code path, flat
+    * scaling — subsuming the θ-join branch the compositional plan
+    * needed. TTL 0 (unbounded lookback) has no bucketing possible and
+    * keeps the documented single-partition merge. */
   def join(
       entity: DataFrame, features: DataFrame,
       keys: Seq[String], entityTsCol: String, featureTsCol: String,
       createdCol: Option[String] = None,
       ttlSeconds: Long = 0L): DataFrame = {
+    if (keys.isEmpty && ttlSeconds > 0) {
+      import org.apache.spark.sql.functions._
+      val w = ttlSeconds * 1000000L
+      val bkt = "__asof_bkt"
+      val ent2 = entity.withColumn(
+        bkt, floor(unix_micros(col(entityTsCol)) / w))
+      val feat2 = features.withColumn(bkt, explode(array(
+        floor(unix_micros(col(featureTsCol)) / w),
+        floor(unix_micros(col(featureTsCol)) / w) + 1)))
+      return join(ent2, feat2, Seq(bkt), entityTsCol, featureTsCol,
+        createdCol, ttlSeconds).drop(bkt)
+    }
     val spark = entity.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =

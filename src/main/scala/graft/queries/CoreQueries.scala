@@ -407,6 +407,24 @@ object CoreQueries {
           tieBreakColumns = Seq("event_id"))))
     }),
 
+    // The same entity-less view through the NATIVE operator: keyless +
+    // bounded TTL routes through AsOf.join's synthetic time-bucket key,
+    // so the merge runs distributed (hash on bucket), not single
+    // partition — same oracle as pit_dummy_entity proves equivalence.
+    "pit_native_dummy" -> ((s, dir) => {
+      val ent = spine(s, dir).select("row_tag", "event_timestamp")
+      PointInTime.getHistoricalFeaturesNative(
+        ent,
+        Seq(FeatureView(
+          name = "global",
+          entities = Nil,
+          source = FeatureSource(
+            path = Some(s"$dir/events.parquet"), eventTimestampColumn = "ts"),
+          features = Seq("value", "event_id"),
+          ttlSeconds = 600,
+          tieBreakColumns = Seq("event_id"))))
+    }),
+
     // ── Classic OLAP extras (bench headliners; not in §2 but part of a
     //    complete analytics engine) ──────────────────────────────────────
     // FP-exactness note for both aggregates: double sums depend on
@@ -758,7 +776,8 @@ object CoreQueries {
   // ───────────────────────────── oracles ─────────────────────────────
 
   lazy val oracleSql: Map[String, String] = baseOracleSql +
-    ("pit_native_two_views" -> baseOracleSql("pit_two_views_full_names"))
+    ("pit_native_two_views" -> baseOracleSql("pit_two_views_full_names")) +
+    ("pit_native_dummy" -> baseOracleSql("pit_dummy_entity"))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "s1_scan_table" ->

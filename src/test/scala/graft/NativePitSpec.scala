@@ -60,4 +60,36 @@ class NativePitSpec extends SparkSpec {
         s"rows differ ttl=$ttl full=$full")
     }
   }
+
+  test("keyless + bounded TTL runs DISTRIBUTED via the time-bucket key") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val ent = Tables.read(spark, dir, "events")
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("row_tag"),
+        col("ts").as("event_timestamp"))
+    val feats = Tables.read(spark, dir, "events")
+      .select(col("ts").as("fts"), col("value"), col("event_id").as("fid"))
+    val joined = graft.plans.AsOf.join(
+      ent, feats, keys = Nil,
+      entityTsCol = "event_timestamp", featureTsCol = "fts",
+      createdCol = Some("fid"), ttlSeconds = 600)
+    val plan = joined.queryExecution.executedPlan.toString
+    // the synthetic bucket key must make this a hash-clustered merge —
+    // a SinglePartition exchange would be the old AllTuples bottleneck
+    assert(plan.contains("hashpartitioning(__asof_bkt"),
+      s"expected bucket-keyed hash distribution, got:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"keyless+TTL as-of must not serialize to one partition:\n$plan")
+    // and it must agree with the compositional formulation exactly
+    val fv = graft.model.FeatureView(
+      name = "global", entities = Nil,
+      source = graft.sources.FeatureSource(
+        path = Some(s"$dir/events.parquet"), eventTimestampColumn = "ts"),
+      features = Seq("value", "event_id"),
+      ttlSeconds = 600, tieBreakColumns = Seq("event_id"))
+    val classic = PointInTime.getHistoricalFeatures(ent, Seq(fv))
+    val native = PointInTime.getHistoricalFeaturesNative(ent, Seq(fv))
+    assert(normalize(classic) == normalize(native))
+  }
 }
