@@ -254,16 +254,37 @@ object Sketches {
     * counts are computed only as the evaluation yardstick; `n_est ≥
     * n_true` always (Count-Min never undercounts), and the spec asserts
     * it. */
-  def cmsTopK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+  /** The Count-Min register table `(r, bucket, c)` — ≤ depth×width = 2048
+    * counter rows at any input size, one map-side-combinable groupBy.
+    * Shared by [[cmsTopK]] and the streaming twin
+    * ([[graft.streaming.StreamingOps.cmsRegistersStream]]). NULL keys are
+    * filtered (`count(col)` semantics; their NULL hash would pool into
+    * unprobeable NULL-bucket rows anyway).
+    *
+    * DELIVERY CONTRACT (unlike the HLL max / KMV bottom-k registers):
+    * counters are sums, NOT idempotent under replay — re-delivered rows
+    * add their increments again. Batch recomputation and Structured
+    * Streaming state (checkpointed source offsets process each record's
+    * state update exactly once) both satisfy the contract; an ingestion
+    * layer that re-EMITS rows as new records inflates the affected
+    * counters by exactly the re-emitted increments (estimates stay
+    * overestimates — CMS never undercounts — but the e-bound degrades;
+    * CmsStreamSpec proves both the exactly-once equality and this exact
+    * divergence). */
+  def cmsRegisters(df: DataFrame, keyCol: String): DataFrame = {
     val h = hash32(col(keyCol).cast("string"))
     val rowBuckets = array(cmsConstants.map { case (r, a, b) =>
       struct(lit(r).as("r"),
         ((h * a + b) % P % CmsWidth).as("bucket"))
     }: _*)
-    val sketch = df
+    df.filter(col(keyCol).isNotNull)
       .select(explode(rowBuckets).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  def cmsTopK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val sketch = cmsRegisters(df, keyCol)
     val truth = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n_true"))
       .orderBy(col("n_true").desc, col("key"))

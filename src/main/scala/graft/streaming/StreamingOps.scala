@@ -99,6 +99,26 @@ object StreamingOps {
       .agg(max(sk.hllRank(col(keyCol))).as("m"))
   }
 
+  /** STREAMING Count-Min registers: the ≤ 4×512-counter frequency sketch
+    * maintained over an unbounded key stream — heavy-hitter estimation
+    * with 16 KB of state FOREVER, no watermark needed. Snapshots are
+    * probed exactly like the batch sketch (same hash family, same
+    * constants).
+    *
+    * Delivery contract (see [[graft.llm.Sketches.cmsRegisters]]): CMS
+    * counters are sums and NOT replay-idempotent — the HLL/KMV twins
+    * tolerate re-delivered ROWS, this one does not. Structured
+    * Streaming's checkpointed offsets apply each record's state update
+    * exactly once, so stream == batch holds under any batching/ordering
+    * of distinct records (CmsStreamSpec); rows re-emitted BY THE SOURCE
+    * as new records inflate the affected counters by exactly their
+    * increments. Run with `outputMode(Complete)` (≤ 2048 rows) or
+    * `Update` into a keyed sink; downstream consumers needing a
+    * consistent snapshot under sink-level at-least-once should read
+    * versioned foreachBatch output (the [[materializeInto]] pattern). */
+  def cmsRegistersStream(events: DataFrame, keyCol: String): DataFrame =
+    graft.llm.Sketches.cmsRegisters(events, keyCol)
+
   /** STREAMING KMV registers: the bottom-k distinct key hashes per
     * label, maintained incrementally — ≤k longs of state per label
     * FOREVER, no watermark needed. Snapshots feed the
