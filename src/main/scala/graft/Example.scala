@@ -153,6 +153,16 @@ object Example {
     llm.TextAnalysis.lmScore(fresh, corpus, "doc_id", "text")
       .orderBy(col("nll").desc).show(3)
 
+    // 12. Round 6: the mergeable quantile sketch (bounded one-pass
+    //     rank-error-bounded quantiles) and REAL video frame decode
+    //     (AVI-MJPEG demux + javax.imageio pixel sums).
+    println("— quantile sketch + video frame decode —")
+    llm.Sketches.quantileSketchBy(
+      ev, Seq("event_type"), "value", col("event_id"),
+      qs = Seq(0.5, 0.9, 0.99), k = 256).show(9)
+    llm.Multimodal.decodeFrames(
+      llm.Multimodal.synthesizeMjpegVideos(docs.limit(3), "doc_id")).show()
+
     spark.stop()
   }
 }

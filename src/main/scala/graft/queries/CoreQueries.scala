@@ -1341,7 +1341,8 @@ object CoreQueries {
          |           FROM lineitem),
          |n AS (SELECT l_returnflag, count(*) AS n_rows FROM b GROUP BY 1),
          |s AS (SELECT l_returnflag, v, row_number() OVER (
-         |        PARTITION BY l_returnflag ORDER BY h, v) AS rn FROM b),
+         |        PARTITION BY l_returnflag ORDER BY h, v) AS rn
+         |      FROM (SELECT DISTINCT l_returnflag, h, v FROM b) d),
          |samp AS (SELECT l_returnflag, v FROM s WHERE rn <= 1024),
          |sz AS (SELECT l_returnflag, count(*) AS sample_n
          |       FROM samp GROUP BY 1),

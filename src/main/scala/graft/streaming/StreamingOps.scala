@@ -119,6 +119,27 @@ object StreamingOps {
   def cmsRegistersStream(events: DataFrame, keyCol: String): DataFrame =
     graft.llm.Sketches.cmsRegisters(events, keyCol)
 
+  /** STREAMING quantile-sketch registers: the bottom-k-by-row-hash
+    * uniform sample ([[graft.functions.BottomKByHashAgg]]) maintained
+    * over an unbounded value stream — ≤k (hash, value) pairs of state
+    * FOREVER, finishing to DKW rank-error-bounded quantiles exactly as
+    * the batch sketch ([[graft.llm.Sketches.quantileSketchBy]]) does.
+    * The sample is distinct on (hash, value) = row identity, so replays
+    * re-insert as no-ops: stream == batch under out-of-order AND
+    * at-least-once delivery (QuantileStreamSpec) — the KMV argument,
+    * unlike the count-based CMS twin. Run with `outputMode(Complete)`
+    * (one row). `rowId` must identify rows, as in the batch sketch. */
+  def quantileSampleStream(
+      events: DataFrame, valueCol: String, rowId: org.apache.spark.sql.Column,
+      k: Int = 1024): DataFrame = {
+    val samp = udaf(new graft.functions.BottomKByHashAgg(k))
+    events.select(
+        graft.llm.TextOps.hash32(rowId.cast("string")).as("h"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy()
+      .agg(samp(col("h"), col("v")).as("sample"))
+  }
+
   /** STREAMING KMV registers: the bottom-k distinct key hashes per
     * label, maintained incrementally — ≤k longs of state per label
     * FOREVER, no watermark needed. Snapshots feed the
