@@ -559,6 +559,47 @@ object Dedup {
     connectedComponentsContracted(
       pairs, "id_a", "id_b", exactRepMap(df, idCol, textCol))
 
+  /** EXACT DUPLICATED-SPAN detection — the span-level measure between
+    * whole-document exact dedup and containment search (the "dedup the
+    * substring, not the document" idea of Lee et al. 2022, Deduplicating
+    * Training Data Makes Language Models Better): score each document by
+    * the fraction of its n-word windows whose exact content appears in
+    * at least one OTHER document. Boilerplate headers, license blocks
+    * and quoted spans light up here while leaving whole-doc similarity
+    * below any Jaccard threshold. (Windows repeated only WITHIN one doc
+    * are the repetition signal `text_repetition` already measures, and
+    * are deliberately not counted.)
+    *
+    * Plan: per-row positional window hashes (pure array exprs, no
+    * shuffle), checkpointed once and read by all three branches; the
+    * standard inverted-index explode; shared-window vocabulary =
+    * DISTINCT (doc, window) → window-keyed count > 1; one equi-join back.
+    * Everything is window-hash-keyed — linear in corpus token count, no
+    * all-pairs work. Output: (doc_id, n_windows, n_dup_windows,
+    * dup_fraction); docs shorter than n words carry no window evidence
+    * and are skipped, as in [[contaminationScores]]. */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val g32 = df.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"),
+        transform(wordNgrams("w", n), g => hash32(g)).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .localCheckpoint()
+    val ex = g32.select(col("doc_id"), explode(col("gs")).as("g"))
+    val shared = ex.distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("g")
+    val dup = ex.join(shared, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    g32.select(col("doc_id"), size(col("gs")).cast("long").as("n_windows"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+          col("n_windows"), 6).as("dup_fraction"))
+  }
+
   /** TEST-SET DECONTAMINATION — the pipeline stage between dedup and
     * training: score each corpus doc by the fraction of its n-gram
     * shingles that appear ANYWHERE in a benchmark/eval set, so

@@ -759,6 +759,27 @@ object CoreQueries {
       lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
         Layout.zOrder2(col("l_partkey"), col("l_suppkey")).as("zval"))),
 
+    // BUCKETED co-located join (Engine.createTableBucketed — EngineSpec
+    // proves the zero-Exchange plan): both join sides derive from one
+    // bucketBy(user_id) table, so the user_id aggregate AND the
+    // fact⋈dim join run shuffle-free — only the final 5-group rollup
+    // exchanges. The oracle is the plain-parquet formulation: the
+    // layout must be semantically invisible.
+    "x_bucketed_join" -> ((s, dir) => {
+      val eng = new Engine(s)
+      eng.createTableBucketed("graft_events_bkt",
+        Tables.read(s, dir, "events")
+          .select("user_id", "event_type", "value"),
+        Seq("user_id"), nBuckets = 16)
+      val ev = s.table("graft_events_bkt")
+      val dim = ev.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      ev.select("user_id", "event_type").join(dim, "user_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+    }),
+
     // Salted JOIN through the oracle gate (the agg twin is
     // x_skew_salted_agg): the salted (key, salt) equi-join against the
     // salt-replicated broadcast dim must equal the plain join exactly —
@@ -1368,6 +1389,16 @@ object CoreQueries {
         |SELECT e.event_type, d.type_n, count(*) AS n,
         |       sum(round(e.value * 100)::BIGINT)::BIGINT AS value_cents
         |FROM events e JOIN dim d USING (event_type)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the bucketed layout is invisible to semantics — plain join SQL
+    "x_bucketed_join" ->
+      """WITH dim AS (SELECT user_id, count(*) AS n_events,
+        |                    sum(round(value * 100)::BIGINT) AS cents
+        |             FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |       sum(d.cents)::BIGINT AS total_cents
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY 1""".stripMargin
   )
 }

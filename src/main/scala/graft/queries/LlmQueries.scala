@@ -476,6 +476,11 @@ object LlmQueries {
 
     "dedup_contamination" -> ((s, dir) => contamScores(s, dir)),
 
+    // span-level exact duplication (Lee et al.): fraction of each doc's
+    // 8-word windows appearing verbatim in at least one OTHER doc
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", n = 8)),
+
     "dedup_drop_embed" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.dropNearDuplicatesByEmbedding(
@@ -905,6 +910,28 @@ object LlmQueries {
          |       round(COALESCE(ov.n_overlap, 0)::DOUBLE / len(t.s), 6)
          |         AS contamination
          |FROM sh2 t LEFT JOIN ov USING (doc_id)""".stripMargin,
+
+    // positional (non-distinct) window hashes; shared = windows seen in
+    // >1 DISTINCT doc; within-doc repeats deliberately not counted
+    "dedup_spans" -> {
+      val n = 8
+      s"""WITH $DocsCte,
+         |g AS (SELECT doc_id, list_transform(
+         |        list_transform(range(1, greatest(len(w) - ${n - 1}, 0) + 1),
+         |                       i -> array_to_string(w[i:i+${n - 1}], ' ')),
+         |        s -> ${h32("s")}) AS gs FROM docs),
+         |g2 AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
+         |ex AS (SELECT doc_id, unnest(gs) AS g FROM g2),
+         |shared AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM ex) t
+         |           GROUP BY g HAVING count(*) > 1),
+         |dup AS (SELECT doc_id, count(*) AS n_dup_windows
+         |        FROM ex JOIN shared USING (g) GROUP BY 1)
+         |SELECT doc_id, len(gs)::BIGINT AS n_windows,
+         |       COALESCE(n_dup_windows, 0)::BIGINT AS n_dup_windows,
+         |       round(COALESCE(n_dup_windows, 0)::DOUBLE / len(gs), 6)
+         |         AS dup_fraction
+         |FROM g2 LEFT JOIN dup USING (doc_id)""".stripMargin
+    },
 
     // filter on the ROUNDED score — matches the Spark side exactly
     "dedup_decontaminate" ->

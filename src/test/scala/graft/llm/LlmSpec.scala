@@ -500,6 +500,33 @@ class LlmSpec extends SparkSpec {
       "audio decode must not shuffle")
   }
 
+  test("duplicated spans: copies saturate, quotes score partially, " +
+    "unique docs score zero") {
+    import spark.implicits._
+    val a = (1 to 30).map(i => s"alpha$i").mkString(" ") // 30 words
+    val b = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val quote = (1 to 30).map(i => s"alpha$i").take(12).mkString(" ")
+    val df = Seq(
+      (1L, a), (2L, a),                        // exact copies
+      (3L, s"$quote then ${(1 to 20).map(i => s"gamma$i").mkString(" ")}"),
+      (4L, b)                                  // unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // copies: every window shared with the twin
+    assert(got(1L)._3 == 1.0 && got(2L)._3 == 1.0)
+    // doc 3 quotes 12 words of doc 1 → exactly 12-8+1 = 5 shared
+    // windows out of its 33-8+1 = 26
+    assert(got(3L)._1 == 26L && got(3L)._2 == 5L)
+    // unique doc: no window appears elsewhere
+    assert(got(4L) == ((23L, 0L, 0.0)))
+    // within-doc repetition alone is NOT cross-doc duplication
+    val rep = Seq((9L, (("x y z w " * 10).trim))).toDF("doc_id", "text")
+    val r9 = Dedup.duplicatedSpans(rep, "doc_id", "text", n = 8).head()
+    assert(r9.getLong(2) == 0L)
+  }
+
   test("decontamination drops benchmark members, keeps zero-overlap docs") {
     val bench = docs.filter(col("doc_id") % 97 === 0)
     val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
