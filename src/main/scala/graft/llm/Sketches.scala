@@ -413,7 +413,11 @@ object Sketches {
       // ascending sample VALUES; the hash ordering only decides membership
       .select(groupCols.map(col) ++ Seq(col("n_rows"),
         array_sort(expr("transform(sample, s -> s.v)")).as("sv")): _*)
-    sk.withColumn("qq", explode(array(qs.map(lit): _*)))
+    // An empty population has no quantiles: drop empty samples BEFORE the
+    // positional pick (the grouping-less aggregate of an empty input still
+    // emits one row, whose element_at(sv, 0) would throw INVALID_INDEX_OF_ZERO)
+    sk.filter(size(col("sv")) > 0)
+      .withColumn("qq", explode(array(qs.map(lit): _*)))
       .select(groupCols.map(col) ++ Seq(
         col("qq").as("q"),
         element_at(col("sv"),

@@ -54,6 +54,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ex.getMessage.contains("non-empty"))
   }
 
+  test("quantile sketch and span scoring are empty-safe") {
+    // grouped AND global: an empty population has no quantiles — zero
+    // rows, not an INVALID_INDEX_OF_ZERO from the positional pick on the
+    // grouping-less aggregate's one empty-sample row (regression: the
+    // global path threw before the size(sv) > 0 guard)
+    assert(Sketches.quantileSketchBy(
+      emptyDocs.withColumn("g", lit("a")), Seq("g"), "doc_id",
+      col("doc_id").cast("string"), Seq(0.5), 64).count() == 0)
+    assert(Sketches.quantileSketchBy(
+      emptyDocs, Nil, "doc_id",
+      col("doc_id").cast("string"), Seq(0.5), 64).count() == 0)
+    assert(Dedup.duplicatedSpans(
+      emptyDocs, "doc_id", "text").count() == 0)
+  }
+
   test("text operators are empty-safe") {
     assert(TextAnalysis.bm25(emptyDocs, "doc_id", "text",
       Seq("join"), k = 5).count() == 0)
