@@ -439,4 +439,41 @@ object Similarity {
       .filter(col("sim") >= tau)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** FIXED-POINT MEAN POOLING + L2 NORMALIZATION of vector groups — the
+    * chunk-embeddings→document-embedding (or members→centroid) reduction
+    * of an embedding pipeline, made order-free the way
+    * [[graft.llm.Graph.pageRank]] is: each element is quantized to an
+    * integer (`round(v·scale)`), summed element-wise with commutative
+    * LONG sums (bit-identical on any partitioning — a double vector sum
+    * would depend on reduction order), and only the final
+    * normalize/mean step touches floating point, on integers both
+    * engines share exactly. The unit vector is computed from the SUMS
+    * directly (unit(mean) == unit(sum): uniform scaling cancels), so no
+    * intermediate mean division enters the arithmetic.
+    *
+    * Plan: posexplode → one (group, pos)-keyed map-side-combinable sum →
+    * one group-keyed sum of squares → join back. Output one row per
+    * (g, pos): `(g, pos, n_vecs, sum_fixed, mean, unit)` — scalar rows,
+    * engine-hashable. Overflow headroom: |sum_fixed| ≤ scale·n and
+    * Σ sum² must stay < 2^63 — the default scale 10^4 allows ~10^5
+    * unit-ish vectors per group at dim 64. A zero pooled vector has no
+    * direction: `unit` is NULL then (spec-pinned). */
+  def meanPoolFixed(
+      df: DataFrame, groupCol: Column, vecCol: String,
+      scale: Long = 10000L): DataFrame = {
+    val q = df.select(groupCol.as("g"), posexplode(col(vecCol)))
+      .select(col("g"), col("pos"),
+        round(col("col") * scale).cast("long").as("qv"))
+    val s = q.groupBy("g", "pos")
+      .agg(sum("qv").as("sq"), count(lit(1)).as("n"))
+    val ss = s.groupBy("g").agg(sum(col("sq") * col("sq")).as("ssq"))
+    s.join(ss, "g").select(
+      col("g"), col("pos"), col("n").cast("long").as("n_vecs"),
+      col("sq").as("sum_fixed"),
+      round(col("sq").cast("double") / (col("n") * scale), 6).as("mean"),
+      when(col("ssq") > 0,
+        round(col("sq").cast("double") /
+          sqrt(col("ssq").cast("double")), 6)).as("unit"))
+  }
 }

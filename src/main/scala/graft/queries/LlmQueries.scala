@@ -481,6 +481,12 @@ object LlmQueries {
     "dedup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", n = 8)),
 
+    // fixed-point mean pooling of vector groups (vec_id % 50 as the
+    // pooling key): commutative integer sums make the pooled vectors
+    // bit-identical on any partitioning AND oracle-replayable
+    "embed_pool" -> ((s, dir) =>
+      Similarity.meanPoolFixed(emb(s, dir), col("vec_id") % 50, "embedding")),
+
     "dedup_drop_embed" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.dropNearDuplicatesByEmbedding(
@@ -969,6 +975,29 @@ object LlmQueries {
          |           HAVING min(lbl) != id)
          |SELECT e.vec_id, e.label FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    // fixed-point pooling replayed on the same quantized integers; the
+    // unit vector comes from the raw SUMS (uniform scaling cancels), so
+    // the only FP steps are one division and one IEEE sqrt on shared
+    // exact operands
+    "embed_pool" ->
+      """WITH q AS (SELECT vec_id % 50 AS g,
+        |             unnest(list_transform(
+        |               range(1, len(embedding) + 1),
+        |               i -> {'pos': i - 1,
+        |                     'qv': round(embedding[i] * 10000)::BIGINT}))
+        |               AS u
+        |           FROM embeddings),
+        |q2 AS (SELECT g, u.pos::INTEGER AS pos, u.qv AS qv FROM q),
+        |s AS (SELECT g, pos, sum(qv)::BIGINT AS sq, count(*) AS n
+        |      FROM q2 GROUP BY 1, 2),
+        |ss AS (SELECT g, sum(sq * sq) AS ssq FROM s GROUP BY 1)
+        |SELECT s.g, s.pos, s.n::BIGINT AS n_vecs, s.sq AS sum_fixed,
+        |       round(s.sq::DOUBLE / (s.n * 10000), 6) AS mean,
+        |       CASE WHEN ss.ssq > 0
+        |            THEN round(s.sq::DOUBLE / sqrt(ss.ssq::DOUBLE), 6)
+        |            END AS unit
+        |FROM s JOIN ss USING (g)""".stripMargin,
 
     "embed_cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id,

@@ -500,6 +500,31 @@ class LlmSpec extends SparkSpec {
       "audio decode must not shuffle")
   }
 
+  test("fixed-point mean pooling: partition-invariant, unit-norm output") {
+    val emb = graft.Tables.read(spark, sf("sf0.001"), "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.meanPoolFixed(df, col("vec_id") % 7, "embedding")
+        .collect().map(_.toString).sorted.toSeq
+    // integer sums: bit-identical pooled vectors on any partitioning
+    assert(run(emb) == run(emb.repartition(13)))
+    // each group's unit vector has L2 norm 1 (within per-element 6dp
+    // rounding), and group sizes account for every vector
+    val rows = Similarity.meanPoolFixed(emb, col("vec_id") % 7, "embedding")
+      .collect()
+    val byG = rows.groupBy(_.getLong(0))
+    byG.values.foreach { g =>
+      val norm = math.sqrt(g.map(r => math.pow(r.getDouble(5), 2)).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"unit norm $norm")
+    }
+    assert(byG.values.map(_.head.getLong(2)).sum == emb.count())
+    // a zero pooled vector has no direction: unit is NULL, not NaN
+    import spark.implicits._
+    val zeros = Seq((1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.meanPoolFixed(zeros, lit(0L), "embedding").collect()
+    assert(z.forall(_.isNullAt(5)))
+  }
+
   test("duplicated spans: copies saturate, quotes score partially, " +
     "unique docs score zero") {
     import spark.implicits._
