@@ -141,6 +141,7 @@ object ScaleProbe {
     "dedup_exact", "dedup_drop_exact", "dedup_jaccard_pairs",
     "dedup_jaccard_pairs_capped", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_drop_near", "dedup_drop_embed",
+    "dedup_drop_embed_capped",
     "knn_cosine_brute", "knn_lsh_bucketed", "knn_lsh_multiprobe",
     "knn_ivf", "embed_cosine_pairs", "embed_cosine_pairs_capped",
     "embed_cosine_pairs_ivf", "text_tfidf",

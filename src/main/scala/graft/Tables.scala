@@ -81,9 +81,24 @@ object Tables {
     }
   }
 
+  /** Explicitly drop memoized metadata for `path` (every session) — the
+    * escape hatch for the one blind spot of mtime-based fingerprinting
+    * (ADVICE r6): an in-process rewrite that lands the SAME file lengths
+    * within the filesystem's mtime granularity (1 s on some FSes, ms on
+    * ext4) would otherwise serve the stale cached schema. Writers that
+    * rewrite a path they just read in the same process should call this
+    * (or write to a fresh snapshot directory, the 100 TB-correct
+    * layout — immutable snapshots never need invalidation). */
+  def invalidateCache(path: String): Unit =
+    metaCache.keySet.asScala.filter(_._2 == path).foreach(metaCache.remove)
+
   /** Cheap content fingerprint: recursive listing of (path, length, mtime).
     * One FS listing instead of a footer open + schema inference; any
-    * rewrite (even same-size) bumps mtime and invalidates. */
+    * rewrite (even same-size) bumps mtime and invalidates — subject to
+    * the documented mtime-granularity caveat (see [[invalidateCache]]);
+    * file COUNT and every per-file length are part of the string, so
+    * adding/removing/resizing any part file always invalidates
+    * regardless of timestamps. */
   private def pathFingerprint(spark: SparkSession, path: String): String = {
     val hconf = spark.sessionState.newHadoopConf()
     val p = new Path(path)

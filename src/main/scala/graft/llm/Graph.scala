@@ -35,12 +35,18 @@ object Graph {
     require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen,
       "need iters >= 1 and 0 <= dampNum <= dampDen")
     import org.apache.spark.sql.GraftSql.{persistedView, unpersistCheckpoint}
+    require(edges.schema(srcCol).dataType == edges.schema(dstCol).dataType,
+      s"node id columns must share a type; got $srcCol: " +
+        s"${edges.schema(srcCol).dataType}, $dstCol: " +
+        s"${edges.schema(dstCol).dataType}")
     // materialize the iteration-invariant relations ONCE: without this,
     // every round re-runs the edge distinct and degree aggregation from
-    // the source scan (measured 6.8s → 2.6s at sf0.1 on 1.2M edges)
+    // the source scan (measured 6.8s → 2.6s at sf0.1 on 1.2M edges).
+    // Ids keep their NATIVE type (VERDICT r6 #5: the old up-front string
+    // cast made every iteration's join+groupBy shuffle string keys —
+    // long-keyed graphs now move 8-byte keys through all `iters` rounds)
     val e = persistedView(edges
-      .select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst")).distinct())
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     val nodes = persistedView(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
     val outdeg = persistedView(
@@ -106,8 +112,7 @@ object Graph {
          |        FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
     }.mkString(",\n")
     s"""$edgesCte,
-       |e AS (SELECT DISTINCT src::VARCHAR AS src, dst::VARCHAR AS dst
-       |      FROM edges_in),
+       |e AS (SELECT DISTINCT src, dst FROM edges_in),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |o AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
        |nn AS (SELECT count(*) AS n FROM nodes),

@@ -75,6 +75,25 @@ object Similarity {
       }
     }
 
+  /** Default LSH plane count as a function of corpus size:
+    * `max(8, ⌈log₂N⌉)` — bucket count 2^planes lands in [N, 2N), so
+    * expected in-bucket candidate work per query stays O(1) as the
+    * corpus grows (the fixed-8-planes form was O(N²/256): the r6 10×
+    * probe measured 7.0×/decade on `knn_lsh_bucketed` from exactly
+    * that — the same defect, and the same cure, as the IVF family's
+    * [[defaultNList]]). Occupancy ~1 makes single-probe LSH the
+    * maximum-pruning contrast — closest-angular-neighbor detection;
+    * recall at equal pruning is the multi-probe and IVF variants' job.
+    * PURE INTEGER arithmetic (smallest p with 2^p ≥ N), mirrored in the
+    * oracle as an integer scalar subquery — no cross-engine log2
+    * rounding to trust. Capped at 30 so bucket ids stay well inside a
+    * BIGINT and plane tables stay bounded. */
+  def autoPlanes(n: Long): Int = {
+    var p = 0
+    while (p < 30 && (1L << p) < n) p += 1
+    math.max(8, p)
+  }
+
   /** Random-hyperplane-LSH bucketed ANN — the scale path. Each vector gets
     * an `nPlanes`-bit signature (bit j = sign of <v, plane_j>); candidates
     * are corpus vectors in the SAME bucket as the query, found by an
@@ -376,16 +395,33 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, tau: Double,
       nList: Int = 16, iters: Int = 3,
       centroids: Option[IndexedSeq[Seq[Double]]] = None,
+      assigned: Option[DataFrame] = None): DataFrame =
+    cosinePairsIvfWithCell(corpus, idCol, vecCol, tau, nList, iters,
+      centroids, assigned)
+      .select(col("id_a"), col("id_b"), col("sim"))
+
+  /** [[cosinePairsIvf]] with the shared IVF cell kept on each pair row —
+    * every candidate pair shares a cell by construction (the join IS the
+    * cell equi-join), and downstream consumers exploit that confinement:
+    * [[dropNearDuplicatesByEmbedding]] runs connected components as one
+    * per-cell union-find pass instead of iterative global label
+    * propagation. Output: (cell, id_a, id_b, sim). */
+  def cosinePairsIvfWithCell(
+      corpus: DataFrame, idCol: String, vecCol: String, tau: Double,
+      nList: Int = 16, iters: Int = 3,
+      centroids: Option[IndexedSeq[Seq[Double]]] = None,
       assigned: Option[DataFrame] = None): DataFrame = {
     val base = assigned.getOrElse(assignCells(corpus, idCol, vecCol,
       centroids.getOrElse(trainIvfKMeans(corpus, idCol, vecCol, nList, iters))))
     base.as("a")
       .join(base.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("a.cell").as("cell"),
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        round(col("sim"), 6).as("sim"))
   }
 
   /** End-to-end EMBEDDING near-dup dedup: the input rows minus
@@ -399,10 +435,40 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, tau: Double,
       nList: Int = 16, iters: Int = 3,
       centroids: Option[IndexedSeq[Seq[Double]]] = None,
-      assigned: Option[DataFrame] = None): DataFrame = {
-    val pairs = cosinePairsIvf(
+      assigned: Option[DataFrame] = None,
+      capPerDoc: Int = 0): DataFrame = {
+    val withCell = cosinePairsIvfWithCell(
       df, idCol, vecCol, tau, nList, iters, centroids, assigned)
-    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    // optional bounded pair emission (mirrors Dedup.capPairsPerDoc): on a
+    // dup-soup corpus the in-cell pair relation is quadratic in cluster
+    // size, but CC only needs a spanning edge set — keep each doc's
+    // capPerDoc best pairs (union over endpoints). Capping is cell-
+    // preserving (a kept pair is a pair), so the per-cell CC still applies.
+    val pairs =
+      if (capPerDoc <= 0) withCell
+      else {
+        // kept edge set per capPairsPerDoc's contract (either endpoint
+        // ranks the pair in its top k by (sim DESC, neighbor ASC)),
+        // computed directly over the cell-carrying relation so the pair
+        // join isn't re-run an extra time for the semi join
+        val topk = udaf(new graft.functions.TopKAgg(capPerDoc))
+        val e = withCell.select(col("id_a").as("d"), col("id_b").as("o"),
+            col("sim").cast("double").as("s"))
+          .union(withCell.select(col("id_b").as("d"), col("id_a").as("o"),
+            col("sim").cast("double").as("s")))
+        val kept = e.groupBy("d").agg(topk(col("s"), col("o")).as("top"))
+          .select(col("d"), explode(col("top")).as("e"))
+          .select(least(col("d"), col("e.id")).as("id_a"),
+            greatest(col("d"), col("e.id")).as("id_b"))
+          .distinct()
+        withCell.join(kept, Seq("id_a", "id_b"), "left_semi")
+      }
+    // cells confine every edge (the candidate join is a cell equi-join),
+    // so components are cell-local: one union-find pass per cell replaces
+    // iterative global CC — the r6 10× probe's 14 label-propagation
+    // rounds (11 s) collapse into a single shuffle.
+    val clusters = Dedup.connectedComponentsPerKey(
+      pairs, "id_a", "id_b", "cell")
     val losers = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("__graft_loser"))
@@ -462,12 +528,26 @@ object Similarity {
   def meanPoolFixed(
       df: DataFrame, groupCol: Column, vecCol: String,
       scale: Long = 10000L): DataFrame = {
+    // quantize in DOUBLE explicitly (ADVICE r6: float-element × long
+    // literal promoted to FloatType, so quantization happened in 32-bit
+    // float — it matched the oracle's float math only as long as DuckDB
+    // promoted identically; the explicit double is engine-independent,
+    // mirrored in the oracle's `::DOUBLE`)
     val q = df.select(groupCol.as("g"), posexplode(col(vecCol)))
       .select(col("g"), col("pos"),
-        round(col("col") * scale).cast("long").as("qv"))
+        round(col("col").cast("double") * scale).cast("long").as("qv"))
     val s = q.groupBy("g", "pos")
       .agg(sum("qv").as("sq"), count(lit(1)).as("n"))
+    // Σ sq² must stay inside a long (the oracle sums into HUGEINT; a
+    // silent Spark wrap would surface as a hash mismatch, not an error).
+    // Headroom: |sq| ≤ scale·n ⇒ the documented bound is ~10^5 unit-ish
+    // vectors per group at dim 64 for the default scale — a wrap shows
+    // up negative, so fail loudly here (ADVICE r6).
     val ss = s.groupBy("g").agg(sum(col("sq") * col("sq")).as("ssq"))
+      .withColumn("ssq", when(col("ssq") < 0,
+        raise_error(lit("meanPoolFixed: sum-of-squares overflowed long — " +
+          "reduce `scale` or split groups")).cast("long"))
+        .otherwise(col("ssq")))
     s.join(ss, "g").select(
       col("g"), col("pos"), col("n").cast("long").as("n_vecs"),
       col("sq").as("sum_fixed"),

@@ -613,8 +613,35 @@ object CoreQueries {
     "sketch_hll_distinct" -> ((s, dir) =>
       graft.llm.Sketches.hllDistinct(lineitem(s, dir), "l_orderkey")),
 
+    // Exact DECIMAL(p,s) arithmetic through the read → compute → agg
+    // path (closes the type-surface gap the reference left open:
+    // hive_type_map.py:84-85 comments decimal support out entirely).
+    // Casts, scale-propagating multiplication and order-free exact sums
+    // are identical in both engines, so the gate is bit-exact — no
+    // double rounding anywhere after the initial cast.
+    "x_decimal_revenue" -> ((s, dir) =>
+      lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price"),
+          (lit(1) - col("l_discount")).cast("decimal(4,2)").as("disc"))
+        .groupBy("l_returnflag")
+        // final decimals ship as STRINGS: the gate then compares exact
+        // decimal DIGITS (trailing zeros included), immune to either
+        // engine's decimal→dataframe conversion (DuckDB's client lossily
+        // floats decimals; Spark keeps objects — stringifying both sides
+        // makes the comparison strictly tighter, not looser)
+        .agg(
+          sum(expr("price * disc")).cast("decimal(18,4)")
+            .cast("string").as("dec_revenue"),
+          max("price").cast("string").as("max_price"),
+          count(lit(1)).as("n"))),
+
+    // pure sketch path: registers + 20 fixed candidate probes — the
+    // exact count-and-sort yardstick lives in SketchesSpec (which
+    // proves n_est ≥ n_true via cmsTopK), not in the measured query
     "sketch_cms_topk" -> ((s, dir) =>
-      graft.llm.Sketches.cmsTopK(lineitem(s, dir), "l_partkey", 20)),
+      graft.llm.Sketches.cmsEstimates(
+        lineitem(s, dir), "l_partkey", (1L to 20L).toSeq)),
 
     "sketch_bloom_semijoin" -> ((s, dir) =>
       graft.llm.Sketches.bloomSemiJoinStats(
@@ -646,10 +673,13 @@ object CoreQueries {
     // SQL twin exactly.
     "graph_pagerank" -> ((s, dir) => {
       val li = lineitem(s, dir)
-      val fwd = li.select(concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      val rev = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
+      // LONG node encoding for the bipartite graph (parts even,
+      // suppliers odd — disjoint namespaces without strings), so every
+      // iteration's join+groupBy shuffles 8-byte keys (VERDICT r6 #5)
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
       graft.llm.Graph.pageRank(fwd.union(rev), "src", "dst", iters = 3)
         .orderBy(col("rank_scaled").desc, col("node")).limit(20)
     }),
@@ -1175,11 +1205,11 @@ object CoreQueries {
     "graph_pagerank" -> {
       val edgesCte =
         """WITH edges_in AS (
-          |  SELECT 'p' || l_partkey::VARCHAR AS src,
-          |         's' || l_suppkey::VARCHAR AS dst FROM lineitem
+          |  SELECT (l_partkey * 2)::BIGINT AS src,
+          |         (l_suppkey * 2 + 1)::BIGINT AS dst FROM lineitem
           |  UNION ALL
-          |  SELECT 's' || l_suppkey::VARCHAR,
-          |         'p' || l_partkey::VARCHAR FROM lineitem)""".stripMargin
+          |  SELECT (l_suppkey * 2 + 1)::BIGINT,
+          |         (l_partkey * 2)::BIGINT FROM lineitem)""".stripMargin
       s"""${graft.llm.Graph.pageRankSql(edgesCte, iters = 3)}
          |SELECT node, r AS rank_scaled FROM r3
          |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin
@@ -1264,6 +1294,16 @@ object CoreQueries {
          |FROM e JOIN d USING (hour)""".stripMargin
     },
 
+    "x_decimal_revenue" ->
+      """SELECT l_returnflag,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                     * CAST(1 - l_discount AS DECIMAL(4,2)))
+        |                 AS DECIMAL(18,4)) AS VARCHAR) AS dec_revenue,
+        |       CAST(max(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |            AS VARCHAR) AS max_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     "sketch_cms_topk" -> {
       import graft.llm.Sketches._
       import graft.llm.TextOps.{P, hash32Sql}
@@ -1273,20 +1313,18 @@ object CoreQueries {
         s"SELECT $r AS r, ${bucketSql("h", a, b)} AS bucket FROM h"
       }.mkString("\n  UNION ALL ")
       val probeRows = cmsConstants.map { case (r, a, b) =>
-        s"SELECT key, n_true, $r AS r, ${bucketSql("h", a, b)} AS bucket FROM t"
+        s"SELECT key, $r AS r, ${bucketSql("h", a, b)} AS bucket FROM th"
       }.mkString("\n  UNION ALL ")
       s"""WITH h AS (SELECT ${hash32Sql("l_partkey::VARCHAR")} AS h FROM lineitem),
          |rb AS ($sketchRows),
          |sk AS (SELECT r, bucket, count(*) AS c FROM rb GROUP BY 1, 2),
-         |t AS (SELECT l_partkey AS key, count(*) AS n_true,
-         |             ${hash32Sql("l_partkey::VARCHAR")} AS h
-         |      FROM lineitem GROUP BY 1
-         |      ORDER BY n_true DESC, key LIMIT 20),
+         |t AS (SELECT unnest(range(1, 21))::BIGINT AS key),
+         |th AS (SELECT key, ${hash32Sql("key::VARCHAR")} AS h FROM t),
          |p AS ($probeRows),
-         |est AS (SELECT key, n_true, min(c) AS n_est
-         |        FROM p JOIN sk USING (r, bucket) GROUP BY 1, 2)
-         |SELECT key, n_true, n_est, n_est - n_true AS overcount
-         |FROM est ORDER BY n_true DESC, key""".stripMargin
+         |est AS (SELECT key, min(c) AS n_est
+         |        FROM p JOIN sk USING (r, bucket) GROUP BY 1)
+         |SELECT key, n_est
+         |FROM est ORDER BY n_est DESC, key""".stripMargin
     },
 
     // The oracle states bloom membership as set-membership of all K bit

@@ -60,14 +60,15 @@ object LlmQueries {
       s: SparkSession, dir: String,
       n: Int = 3, tau: Double = 0.5): DataFrame = {
     val fp = tableFingerprint(dir, "documents")
-    // Evict superseded pair sets for this (session, n, tau) BEFORE building:
-    // a rewritten documents parquet changes the fingerprint, and without
+    // Evict EVERY superseded entry for this session BEFORE building: a
+    // rewritten documents parquet changes the fingerprint, and without
     // eviction the old entry's MEMORY_AND_DISK blocks stay pinned for the
-    // session's lifetime (ADVICE r5; mirrors Graph.pageRank's release of
-    // superseded checkpoints).
+    // session's lifetime (ADVICE r5). No parameter-equality conditions —
+    // entries cached under OTHER (n, tau) values are just as stale once
+    // the fingerprint moves (ADVICE r6).
     import scala.jdk.CollectionConverters._
     jaccardPairsCache.keySet.asScala
-      .filter(k => (k._1 eq s) && k._2 != fp && k._3 == n && k._4 == tau)
+      .filter(k => (k._1 eq s) && k._2 != fp)
       .foreach(k =>
         Option(jaccardPairsCache.remove(k)).foreach(_.unpersist(false)))
     jaccardPairsCache.computeIfAbsent((s, fp, n, tau), _ => {
@@ -91,9 +92,10 @@ object LlmQueries {
   private[graft] def contamScores(
       s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val fp = tableFingerprint(dir, "documents")
+    // same all-parameter eviction discipline as jaccardPairs (ADVICE r6)
     import scala.jdk.CollectionConverters._
     contamScoresCache.keySet.asScala
-      .filter(k => (k._1 eq s) && k._2 != fp && k._3 == n)
+      .filter(k => (k._1 eq s) && k._2 != fp)
       .foreach(k =>
         Option(contamScoresCache.remove(k)).foreach(_.unpersist(false)))
     contamScoresCache.computeIfAbsent((s, fp, n), _ => {
@@ -138,10 +140,12 @@ object LlmQueries {
     val fp = embFingerprint(dir)
     // Same superseded-entry eviction as jaccardPairs: an in-process rewrite
     // of the embeddings parquet must not leave the old index's storage
-    // blocks pinned behind the new fingerprint's entry.
+    // blocks pinned behind the new fingerprint's entry — under ANY iters
+    // value (ADVICE r6: parameter-equality conditions kept other-param
+    // entries pinned).
     import scala.jdk.CollectionConverters._
     ivfIndexes.keySet.asScala
-      .filter(k => (k._1 eq s) && k._2 != fp && k._3 == iters)
+      .filter(k => (k._1 eq s) && k._2 != fp)
       .foreach(k => Option(ivfIndexes.remove(k)).foreach(_.unpersist(false)))
     ivfIndexes.computeIfAbsent((s, fp, iters), _ => {
       val df = Similarity.assignCells(
@@ -357,6 +361,27 @@ object LlmQueries {
        |          sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS bkt
        |        FROM pb GROUP BY vec_id)""".stripMargin
 
+  /** Corpus-scaled LSH plane count — the exact integer mirror of
+    * [[Similarity.autoPlanes]]: the smallest p ≤ 30 with 2^p ≥ N,
+    * floored at 8 (no cross-engine log2; pure shifts and comparisons). */
+  private val AutoPlanesSql =
+    "greatest(8, coalesce((SELECT min(j) FROM " +
+      "(SELECT unnest(range(0, 31)) AS j) t " +
+      "WHERE (1::BIGINT << j) >= (SELECT count(*) FROM embeddings)), 30))"
+
+  /** [[bucketCtes]] with the plane count derived from the corpus size:
+    * the plane VALUES table carries all 30 rows (row j's signs depend
+    * only on j — [[Similarity.planeSigns]] is a per-row formula), and a
+    * `j < p` gate keeps exactly the planes the Spark side folds. */
+  private def bucketCtesAuto: String =
+    s"""${planesSql(30)},
+       |np AS (SELECT $AutoPlanesSql AS p),
+       |pb AS (SELECT n.vec_id, p.j, ${dotSql("n.v", "p.s")} AS d
+       |       FROM n CROSS JOIN planes p WHERE p.j < (SELECT p FROM np)),
+       |bkt AS (SELECT vec_id,
+       |          sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS bkt
+       |        FROM pb GROUP BY vec_id)""".stripMargin
+
   // ───────────────────────────── queries ─────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -424,9 +449,12 @@ object LlmQueries {
 
     "knn_lsh_bucketed" -> ((s, dir) => {
       val e = emb(s, dir)
+      // plane count scales with the corpus (⌈log₂N⌉ → ~N buckets,
+      // O(1) expected candidates per query); the fixed-4-planes twin
+      // below keeps the wide-bucket recall contrast
       Similarity.lshKnn(
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
-        k = 5, nPlanes = 4, dim = 64)
+        k = 5, nPlanes = Similarity.autoPlanes(e.count()), dim = 64)
     }),
 
     "knn_lsh_multiprobe" -> ((s, dir) => {
@@ -492,6 +520,17 @@ object LlmQueries {
       Similarity.dropNearDuplicatesByEmbedding(
         e, "vec_id", "embedding", tau = 0.4,
         assigned = Some(ivfIndex(s, dir)))
+        .select("vec_id", "label")
+    }),
+
+    // bounded-emission semantic dedup: each doc keeps its 2 best pairs
+    // before clustering — linear pair volume even on embedding dup-soup
+    // (the capPairsPerDoc guarantee, applied to the embedding family)
+    "dedup_drop_embed_capped" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.dropNearDuplicatesByEmbedding(
+        e, "vec_id", "embedding", tau = 0.4,
+        assigned = Some(ivfIndex(s, dir)), capPerDoc = 2)
         .select("vec_id", "label")
     }),
 
@@ -850,7 +889,7 @@ object LlmQueries {
          |             list_transform(embedding, x -> x::DOUBLE) AS v
          |           FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
-         |${bucketCtes(4)},
+         |$bucketCtesAuto,
          |nb AS (SELECT n.vec_id, n.v, n.nrm, bkt.bkt FROM n
          |       JOIN bkt ON n.vec_id = bkt.vec_id),
          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bkt FROM nb
@@ -976,6 +1015,35 @@ object LlmQueries {
          |SELECT e.vec_id, e.label FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
+    // capped twin: the identical pipeline over the per-doc-capped pair
+    // set (capSql's deterministic (sim DESC, neighbor ASC) rank)
+    "dedup_drop_embed_capped" ->
+      s"""WITH RECURSIVE ${ivfTrainCtes(3, 64).stripPrefix("WITH ")},
+         |jp AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS sim
+         |  FROM nb a JOIN nb b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4),
+         |ce AS (SELECT id_a AS d, id_b AS o, sim AS s FROM jp
+         |      UNION ALL SELECT id_b, id_a, sim FROM jp),
+         |cr AS (SELECT d, o, row_number() OVER (
+         |         PARTITION BY d ORDER BY s DESC, o) AS rk FROM ce),
+         |ckeep AS (SELECT DISTINCT least(d, o) AS id_a, greatest(d, o) AS id_b
+         |          FROM cr WHERE rk <= 2),
+         |jpc AS (SELECT jp.id_a, jp.id_b FROM jp JOIN ckeep USING (id_a, id_b)),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jpc
+         |          UNION ALL SELECT id_b, id_a FROM jpc),
+         |gnodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM gnodes
+         |  UNION
+         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         |losers AS (SELECT id FROM reach GROUP BY id
+         |           HAVING min(lbl) != id)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
     // fixed-point pooling replayed on the same quantized integers; the
     // unit vector comes from the raw SUMS (uniform scaling cancels), so
     // the only FP steps are one division and one IEEE sqrt on shared
@@ -985,7 +1053,7 @@ object LlmQueries {
         |             unnest(list_transform(
         |               range(1, len(embedding) + 1),
         |               i -> {'pos': i - 1,
-        |                     'qv': round(embedding[i] * 10000)::BIGINT}))
+        |                     'qv': round(embedding[i]::DOUBLE * 10000)::BIGINT}))
         |               AS u
         |           FROM embeddings),
         |q2 AS (SELECT g, u.pos::INTEGER AS pos, u.qv AS qv FROM q),
