@@ -106,17 +106,26 @@ object Similarity {
     * near-random recall — measured and documented, not a defect. Real
     * embedding corpora cluster, which is what makes LSH work. Output:
     * (qid, nid, rank, sim) — rank within candidates. */
+  /** The nPlanes-bit signature as ONE native loop expression over a
+    * referenced plane matrix ([[graft.functions.PlaneBucket]]): with
+    * [[autoPlanes]] scaling the plane count, the unrolled
+    * sum-of-`when(dot > 0)` form put nPlanes literal arrays + dot nodes
+    * into the plan per side — ~1.7 s of driver-side planning per query
+    * build at 15 planes, 10× the execution cost (the [[ArgmaxCell]]
+    * plan-size lesson, applied to LSH). Bit-identical arithmetic. */
+  private def bucketExpr(v: Column, signs: Seq[Seq[Int]]): Column = {
+    import org.apache.spark.sql.GraftSql
+    GraftSql.column(graft.functions.PlaneBucket(
+      GraftSql.expression(v), signs.map(_.map(_.toDouble))))
+  }
+
   def lshKnn(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, dim: Int = 64,
       multiProbe: Boolean = false): DataFrame = {
     val signs = planeSigns(nPlanes, dim)
-    def bucket(v: Column): Column =
-      (0 until nPlanes).map { j =>
-        val plane = typedlit(signs(j).map(_.toDouble))
-        when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    def bucket(v: Column): Column = bucketExpr(v, signs)
 
     val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -143,6 +152,70 @@ object Similarity {
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
     topK(scored, k)
   }
+
+  /** MULTI-TABLE LSH ANN — `nTables` INDEPENDENT hyperplane tables, the
+    * standard production recall lever (and the reason single-table LSH
+    * is only a contrast): a true neighbor is missed only if it lands in
+    * a different bucket in EVERY table, so miss probability decays
+    * exponentially in `nTables` while per-table pruning stays at the
+    * [[autoPlanes]] O(1)-candidates regime. The corpus index carries L
+    * rows per vector — the textbook L-table space/recall trade, built
+    * here with one `posexplode` over L [[graft.functions.PlaneBucket]]
+    * signatures (plan size constant in L·nPlanes).
+    *
+    * Candidates = pairs sharing (table, bucket) for at least one table;
+    * a pair found by several tables is collapsed by a (qid, nid) groupBy
+    * before ranking (`min` of identical sims — deterministic). Exact
+    * cosine rank within candidates, same output contract as [[lshKnn]]:
+    * (qid, nid, rank, sim). Table t uses plane rows
+    * [t·nPlanes, (t+1)·nPlanes) of the shared [[planeSigns]] matrix, so
+    * the oracle re-derives every table from the same literals. */
+  def lshKnnMultiTable(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64): DataFrame = {
+    val all = planeSigns(nTables * nPlanes, dim)
+    def buckets(v: Column): Column = array((0 until nTables).map { t =>
+      bucketExpr(v, all.slice(t * nPlanes, (t + 1) * nPlanes))
+    }: _*)
+    def explodeTables(df: DataFrame): DataFrame = df
+      .select(col("*"), posexplode(col("bkts")))
+      .drop("bkts")
+      .withColumnRenamed("pos", "t")
+      .withColumnRenamed("col", "bkt")
+    val v = explodeTables(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .withColumn("bkts", buckets(col("v"))))
+    val q = explodeTables(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .withColumn("qn", norm(col("qv")))
+        .withColumn("bkts", buckets(col("qv"))))
+    val cand = v.join(broadcast(q), Seq("t", "bkt"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      .groupBy("qid", "nid").agg(min("sim").as("sim"))
+    topK(cand, k)
+  }
+
+  /** RECALL@k EVALUATION of an approximate knn result against the exact
+    * brute-force baseline — the metric an embedding pipeline watches
+    * when tuning nPlanes/nTables/nProbe. Both inputs use the (qid, nid)
+    * contract every knn operator here emits. Output one row per query:
+    * (qid, n_exact, n_hits, recall). Plan: one (qid, nid) equi-join +
+    * per-query count — trivially distributed; at scale the exact
+    * baseline comes from a SAMPLED query set (running brute force over
+    * all queries would defeat the point). */
+  def knnRecall(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("qid"), col("nid"))
+      .join(approx.select(col("qid"), col("nid"), lit(1).as("__hit")),
+        Seq("qid", "nid"), "left")
+      .groupBy("qid").agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+      .select(col("qid"), col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact"), 6).as("recall"))
 
   /** IVF (inverted-file) ANN — the second scale path, complementing
     * [[lshKnn]]. A coarse quantizer of `nList` centroids partitions the
@@ -486,17 +559,10 @@ object Similarity {
       nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val withB0 =
+    val withB =
       if (bucketless) base.withColumn("bkt", lit(0L))
-      else {
-        val signs = planeSigns(nPlanes, dim)
-        base.withColumn("bkt",
-          (0 until nPlanes).map { j =>
-            val plane = typedlit(signs(j).map(_.toDouble))
-            when(dot(col("v"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
-          }.reduce(_ + _))
-      }
-    val withB = withB0
+      else base.withColumn("bkt",
+        bucketExpr(col("v"), planeSigns(nPlanes, dim)))
     withB.as("a")
       .join(withB.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))

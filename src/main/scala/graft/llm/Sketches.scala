@@ -272,12 +272,19 @@ object Sketches {
     * CmsStreamSpec proves both the exactly-once equality and this exact
     * divergence). */
   def cmsRegisters(df: DataFrame, keyCol: String): DataFrame = {
-    val h = hash32(col(keyCol).cast("string"))
+    // hash ONCE per row in its own projection, then derive the 4 register
+    // coordinates from the hashed column: inlining the md5-derived hash
+    // into each of the `CmsDepth` struct terms re-evaluates it per
+    // register row unless codegen's subexpression elimination happens to
+    // fire — at sf0.1 the 4× md5 was the query's whole wall-clock
+    // (structural guarantee beats an optimizer maybe)
+    val hashed = df.filter(col(keyCol).isNotNull)
+      .select(hash32(col(keyCol).cast("string")).as("__h"))
     val rowBuckets = array(cmsConstants.map { case (r, a, b) =>
       struct(lit(r).as("r"),
-        ((h * a + b) % P % CmsWidth).as("bucket"))
+        ((col("__h") * a + b) % P % CmsWidth).as("bucket"))
     }: _*)
-    df.filter(col(keyCol).isNotNull)
+    hashed
       .select(explode(rowBuckets).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))

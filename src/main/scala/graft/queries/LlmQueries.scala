@@ -382,6 +382,42 @@ object LlmQueries {
        |          sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS bkt
        |        FROM pb GROUP BY vec_id)""".stripMargin
 
+  /** Multi-table LSH CTEs: `nTables` independent tables over the shared
+    * plane matrix (table t = plane rows [t·p, (t+1)·p), bit = local row
+    * index — exactly [[Similarity.lshKnnMultiTable]]'s slicing), ending
+    * in `rmt(qid, nid, sim, rank)` — candidates deduped across tables by
+    * the same (qid, nid) group-min the Spark side applies. Needs nothing
+    * in scope; emits its own `v`/`n`. */
+  private def multiTableCtes(nTables: Int): String =
+    s"""v AS (SELECT vec_id,
+       |        list_transform(embedding, x -> x::DOUBLE) AS v
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
+       |${planesSql(nTables * 30)},
+       |np AS (SELECT $AutoPlanesSql AS p),
+       |pb AS (SELECT n.vec_id,
+       |         p.j // (SELECT p FROM np) AS t,
+       |         p.j % (SELECT p FROM np) AS l,
+       |         ${dotSql("n.v", "p.s")} AS d
+       |       FROM n CROSS JOIN planes p
+       |       WHERE p.j < $nTables * (SELECT p FROM np)),
+       |bkt AS (SELECT vec_id, t,
+       |          sum(CASE WHEN d > 0 THEN (1::BIGINT << l)
+       |              ELSE 0::BIGINT END)::BIGINT AS bkt
+       |        FROM pb GROUP BY vec_id, t),
+       |nbt AS (SELECT n.vec_id, n.v, n.nrm, bkt.t, bkt.bkt FROM n
+       |        JOIN bkt ON n.vec_id = bkt.vec_id),
+       |qtt AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, t, bkt FROM nbt
+       |        WHERE vec_id % 100 = 0),
+       |sct AS (SELECT qtt.qid, nbt.vec_id AS nid,
+       |          min(${dotSql("qtt.qv", "nbt.v")} / (qtt.qn * nbt.nrm)) AS sim
+       |        FROM qtt JOIN nbt ON nbt.t = qtt.t AND nbt.bkt = qtt.bkt
+       |                         AND nbt.vec_id != qtt.qid
+       |        GROUP BY 1, 2),
+       |rmt AS (SELECT qid, nid, sim, row_number() OVER (
+       |          PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |        FROM sct)""".stripMargin
+
   // ───────────────────────────── queries ─────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -462,6 +498,28 @@ object LlmQueries {
       Similarity.lshKnn(
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 5, nPlanes = 4, dim = 64, multiProbe = true)
+    }),
+
+    // L independent tables — the recall lever: a neighbor is missed only
+    // if every table separates it from the query
+    "knn_lsh_multitable" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshKnnMultiTable(
+        e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nPlanes = Similarity.autoPlanes(e.count()), nTables = 4,
+        dim = 64)
+    }),
+
+    // recall@5 of the 4-table LSH index vs the exact brute-force
+    // baseline — the tuning metric for any approximate index
+    "knn_recall_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      Similarity.knnRecall(
+        Similarity.lshKnnMultiTable(e, q, "vec_id", "embedding",
+          k = 5, nPlanes = Similarity.autoPlanes(e.count()), nTables = 4,
+          dim = 64),
+        Similarity.bruteForceKnn(e, q, "vec_id", "embedding", k = 5))
     }),
 
     "knn_ivf" -> ((s, dir) => {
@@ -929,6 +987,32 @@ object LlmQueries {
          |      FROM scored)
          |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
          |WHERE rank <= 5""".stripMargin,
+
+    "knn_lsh_multitable" ->
+      s"""WITH ${multiTableCtes(4)}
+         |SELECT qid, nid, rank, round(sim, 6) AS sim FROM rmt
+         |WHERE rank <= 5""".stripMargin,
+
+    // recall@5 of the 4-table LSH index against exact brute force
+    "knn_recall_lsh" ->
+      s"""WITH ${multiTableCtes(4)},
+         |qb AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+         |       WHERE vec_id % 100 = 0),
+         |sb AS (SELECT qb.qid, n.vec_id AS nid,
+         |         ${dotSql("qb.qv", "n.v")} / (qb.qn * n.nrm) AS sim
+         |       FROM qb JOIN n ON n.vec_id != qb.qid),
+         |rb AS (SELECT qid, nid, row_number() OVER (
+         |         PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |       FROM sb),
+         |ex AS (SELECT qid, nid FROM rb WHERE rank <= 5),
+         |ap AS (SELECT qid, nid FROM rmt WHERE rank <= 5)
+         |SELECT ex.qid, count(*)::BIGINT AS n_exact,
+         |       sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_hits,
+         |       round(sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)
+         |             ::DOUBLE / count(*), 6) AS recall
+         |FROM ex LEFT JOIN ap USING (qid, nid)
+         |GROUP BY 1""".stripMargin,
 
     // IVF with the TRAINED deterministic-k-means quantizer: the oracle
     // re-runs the whole training loop (unrolled) in SQL — exact-integer
