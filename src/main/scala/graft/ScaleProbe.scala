@@ -157,7 +157,8 @@ object ScaleProbe {
     "x_quantiles", "x_quantiles_approx", "x_quantiles_sketch", "x_zorder",
     "text_bm25", "text_quality_filter", "text_pii_redact",
     "text_lm_score", "dedup_pairs_against", "dedup_ingest",
-    "dedup_containment_pairs", "x_rolling_window", "dedup_spans")
+    "dedup_containment_pairs", "x_rolling_window", "dedup_spans",
+    "pipe_curate")
 
   /** Time one declared query against one SF dir: (seconds, rows). Same
     * `toRdd.count()` materialization as Bench (see Bench.scala on why

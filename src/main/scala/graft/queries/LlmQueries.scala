@@ -592,6 +592,23 @@ object LlmQueries {
         .select("vec_id", "label")
     }),
 
+    // END-TO-END CURATION PIPELINE — the flagship composition: quality
+    // rules → exact dedup → near-dup dedup → decontamination, all ONE
+    // lazy Spark plan (each stage consumes the previous stage's frame;
+    // Catalyst sees the whole pipeline, so filters/projections flow
+    // across stage boundaries instead of materializing intermediates)
+    "pipe_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = TextAnalysis.qualityFilter(d, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+      val d1 = d.join(kept, Seq("doc_id"), "left_semi")
+      val d2 = Dedup.dropExactDuplicates(d1, "doc_id", "text")
+      val d3 = Dedup.dropNearDuplicates(d2, "doc_id", "text")
+      Dedup.decontaminate(d3, d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text")
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     "sample_bernoulli" -> ((s, dir) =>
       Sampling.bernoulliSample(docs(s, dir), "doc_id", 0.2, "graft")
         .select("doc_id", "lang", "n_chars")),
@@ -1164,6 +1181,73 @@ object LlmQueries {
          |FROM nb a JOIN nb b
          |  ON a.bkt = b.bkt AND a.vec_id < b.vec_id
          |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
+    // the pipeline stage by stage: quality keep-set, min-id-per-md5
+    // exact survivors, recursive min-label components over jaccard≥0.5
+    // pairs among them, then the ≥0.8-contamination drop vs the %97
+    // benchmark slice of the FULL corpus
+    "pipe_curate" -> {
+      val stopSet = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH RECURSIVE $DocsCte, ${shCte32(3)},
+         |qm AS (SELECT d.doc_id, d.w,
+         |        lower(trim(regexp_replace(d2.text,
+         |          '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS norm
+         |      FROM docs d JOIN documents d2 ON d.doc_id = d2.doc_id),
+         |qk AS (SELECT doc_id FROM (
+         |        SELECT doc_id, len(w) AS n_words,
+         |          list_sum(list_transform(w, x -> length(x)))::DOUBLE
+         |            / len(w)::DOUBLE AS mwl,
+         |          len(list_filter(w, x -> x IN ($stopSet))) AS stop_hits,
+         |          contains(norm, 'lorem ipsum') AS has_lorem,
+         |          contains(norm, '{') AS has_brace
+         |        FROM qm) t
+         |       WHERE n_words BETWEEN 50 AND 100000
+         |         AND mwl BETWEEN 3.0 AND 10.0 AND stop_hits >= 2
+         |         AND NOT has_lorem AND NOT has_brace),
+         |eh AS (SELECT d.doc_id, md5($NormSql) AS h FROM documents d
+         |       JOIN qk ON d.doc_id = qk.doc_id),
+         |e2 AS (SELECT eh.doc_id FROM eh
+         |       JOIN (SELECT h, min(doc_id) AS mn FROM eh GROUP BY h) m
+         |         ON eh.h = m.h AND eh.doc_id = m.mn),
+         |ex3 AS (SELECT sh.doc_id, unnest(s) AS g FROM sh
+         |        JOIN e2 USING (doc_id)),
+         |sz3 AS (SELECT sh.doc_id, len(s) AS sz FROM sh
+         |        JOIN e2 USING (doc_id)),
+         |pr3 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |        FROM ex3 a JOIN ex3 b
+         |          ON a.g = b.g AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |jp3 AS (SELECT id_a, id_b FROM pr3
+         |        JOIN sz3 sa ON id_a = sa.doc_id
+         |        JOIN sz3 sb ON id_b = sb.doc_id
+         |        WHERE round(inter::DOUBLE
+         |                    / (sa.sz + sb.sz - inter), 6) >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp3
+         |          UNION ALL SELECT id_b, id_a FROM jp3),
+         |gnodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM gnodes
+         |  UNION
+         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         |losers AS (SELECT id FROM reach GROUP BY id
+         |           HAVING min(lbl) != id),
+         |d3 AS (SELECT doc_id FROM e2
+         |       WHERE doc_id NOT IN (SELECT id FROM losers)),
+         |sh4 AS (SELECT sh.doc_id, s FROM sh JOIN d3 USING (doc_id)
+         |        WHERE len(s) > 0),
+         |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh
+         |       WHERE doc_id % 97 = 0),
+         |ex4 AS (SELECT doc_id, unnest(s) AS g FROM sh4),
+         |ov AS (SELECT ex4.doc_id, count(*) AS n_overlap
+         |       FROM ex4 JOIN bg USING (g) GROUP BY 1),
+         |flagged AS (
+         |  SELECT t.doc_id FROM sh4 t LEFT JOIN ov USING (doc_id)
+         |  WHERE round(COALESCE(ov.n_overlap, 0)::DOUBLE / len(t.s), 6)
+         |        >= 0.8)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |JOIN d3 ON d.doc_id = d3.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin
+    },
 
     "sample_bernoulli" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

@@ -39,8 +39,13 @@ class PlanAuditSpec extends SparkSpec {
     *  - brute-force kNN, which is BY DEFINITION all-pairs scoring against
     *    a small broadcast query side — it exists as the exact baseline;
     *    the scale paths are knn_lsh_bucketed / knn_ivf (equi-joins,
-    *    audited here with no exemption). */
-  private val nlJoinAllowed = Set("pit_dummy_entity", "knn_cosine_brute")
+    *    audited here with no exemption);
+    *  - the recall evaluation, whose ground-truth side IS that brute
+    *    baseline (recall is measured against exact top-k over a SAMPLED
+    *    query set — Similarity.knnRecall's documented contract); the
+    *    approximate side under evaluation stays equi-join-audited. */
+  private val nlJoinAllowed =
+    Set("pit_dummy_entity", "knn_cosine_brute", "knn_recall_lsh")
 
   /** True iff `p` provably produces at most one row: a grouping-less
     * global aggregate, or any row-count-preserving/reducing chain above
