@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed POINT-IN-INTERVAL join — `point.ts ∈ [start, end)` with NO
+  * equi key — via coarse time-bucketing.
+  *
+  * The naive plan for a keyless range join is a broadcast nested loop
+  * (every point × every interval — quadratic, and the audit forbids it).
+  * The scale shape instead makes the range condition EQUI-JOINABLE:
+  * replicate each interval into every `bucketSeconds`-wide coarse bucket
+  * it overlaps (`explode(sequence(⌊start/w⌋, ⌊end/w⌋))`), tag each point
+  * with its single bucket, hash-join on the bucket id, and decide
+  * containment with the exact residual predicate on the raw timestamps.
+  * Every true (point, interval) pair shares the point's bucket, so the
+  * candidate set is a superset of the answer (lossless); each pair is
+  * produced at most once (a point lives in exactly one bucket).
+  *
+  * Scale tuning: interval-side replication is `len/w + 1` rows per
+  * interval and per-bucket work is (points in bucket) × (intervals
+  * overlapping it), so pick `w` near the TYPICAL interval length —
+  * shorter buckets cut in-bucket interval density at linear replication
+  * cost. Bucket hot spots (many concurrent intervals — an outage window
+  * over a traffic spike) are ordinary shuffle-key skew: AQE's skew-join
+  * splitting applies as-is, [[Skew]]-style salting if it doesn't.
+  *
+  * Column contract: `points` and `intervals` must not share column
+  * names (select/alias first); all columns of both sides pass through.
+  * Empty or inverted intervals (`end <= start`) match nothing and are
+  * dropped before replication (`sequence` would otherwise step
+  * backwards). Reference scope: extension surface — the reference
+  * delegates all join physical planning to its engine (hive.py:38-40);
+  * this is the Spark-first shape of the one range-join form the PIT
+  * family (equi-keyed, as-of) doesn't cover. */
+object IntervalJoin {
+
+  def pointInInterval(
+      points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketSeconds: Long = 3600): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0, got $bucketSeconds")
+    // timestamp→long casts are epoch SECONDS (truncated); buckets only
+    // gate candidacy, the residual predicate runs on raw timestamps, so
+    // second-granularity bucketing is exact for sub-second data too
+    val w = lit(bucketSeconds)
+    val p = points.withColumn("__graft_pb",
+      floor(col(tsCol).cast("long") / w))
+    val iv = intervals
+      .filter(col(startCol) < col(endCol))
+      .withColumn("__graft_ib", explode(sequence(
+        floor(col(startCol).cast("long") / w),
+        floor(col(endCol).cast("long") / w))))
+    p.join(iv,
+        col("__graft_pb") === col("__graft_ib") &&
+          col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__graft_pb", "__graft_ib")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import TextOps._
@@ -334,6 +334,30 @@ object TextAnalysis {
       keepGopher.as("keep_gopher"),
       keepC4.as("keep_c4"),
       (keepGopher && keepC4).as("keep"))
+  }
+
+  /** The combined Gopher+C4 keep decision of [[qualityFilter]] as ONE
+    * per-row predicate Column — for pipelines that need to FILTER a
+    * corpus without carrying the signal columns (the staged curation
+    * pipeline re-applies this predicate on its single final corpus pass
+    * instead of materializing a corpus-sized keep-id set). Equivalence
+    * with `qualityFilter(...).filter(col("keep"))` is spec-proved
+    * (`CurationSpec`). */
+  def qualityKeepExpr(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopwords: Int = 2): Column = {
+    val w = words(text)
+    val nWords = size(w)
+    val sumWlen = aggregate(transform(w, x => length(x)), lit(0),
+      (acc, x) => acc + x)
+    val meanWlen = sumWlen.cast("double") / nWords.cast("double")
+    val nStop = size(filter(w, x => x.isInCollection(Stopwords)))
+    val norm = normText(text)
+    nWords.between(minWords, maxWords) &&
+      meanWlen.between(minMeanWordLen, maxMeanWordLen) &&
+      nStop >= minStopwords &&
+      !norm.contains("lorem ipsum") && !norm.contains("{")
   }
 
   /** Bigram language-model scoring — the CCNet-style "perplexity

@@ -467,6 +467,20 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // Keyless point-in-interval join (events × activity windows) via
+    // coarse time-bucketing — the equi-joinable form of the one range
+    // join the PIT family doesn't cover; the oracle is the plain SQL
+    // range join, so the bucketing must be exactly lossless
+    "x_interval_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val windows = e.filter(col("event_id") % 997 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("ws"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("we"))
+      graft.IntervalJoin.pointInInterval(
+        e.select("event_id", "ts"), "ts", windows, "ws", "we")
+        .select("event_id", "window_id")
+    }),
+
     // Skew mitigation through the oracle gate: the salted two-phase
     // aggregate must equal the plain GROUP BY formulation exactly (the
     // oracle IS the unsalted query — same rows, same hashes).
@@ -1031,6 +1045,13 @@ object CoreQueries {
         |  GROUP BY o_custkey) o
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY n_orders DESC, c_custkey LIMIT 10""".stripMargin,
+    "x_interval_join" ->
+      """SELECT e.event_id, w.window_id
+        |FROM events e
+        |JOIN (SELECT event_id AS window_id, ts AS ws,
+        |             ts + INTERVAL 1 HOUR AS we
+        |      FROM events WHERE event_id % 997 = 0) w
+        |  ON e.ts >= w.ws AND e.ts < w.we""".stripMargin,
     "x_skew_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents

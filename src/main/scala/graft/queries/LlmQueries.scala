@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextOps}
+import graft.llm.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextOps}
 
 /** Driver-contract queries for the LLM-data-pipeline operators (dedup,
   * similarity search, text analysis, multimodal), each with an exact
@@ -106,6 +106,32 @@ object LlmQueries {
       p.count() // materialize eagerly so consumers never race the build
       p
     })
+  }
+
+  /** The staged curation pipeline's drop-set for `dir`'s documents
+    * (exact losers ∪ near-dup losers ∪ contaminated — see
+    * [[graft.llm.Curation.dropSet]]), built from the SAME cached pair
+    * index and contamination scores the standalone queries share, and
+    * persisted once per (session, content fingerprint, tau). The
+    * curation decisions are deterministic in the corpus snapshot, so
+    * caching can only save work, never change results. Same eviction
+    * discipline as [[jaccardPairs]] — but the drop-set is a
+    * [[org.apache.spark.sql.GraftSql.persistedView]] frame, so eviction
+    * releases it through `unpersistCheckpoint`, not `unpersist`. */
+  private val curationDropsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double), DataFrame]()
+
+  private[graft] def curationDrops(
+      s: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
+    val fp = tableFingerprint(dir, "documents")
+    import scala.jdk.CollectionConverters._
+    curationDropsCache.keySet.asScala
+      .filter(k => (k._1 eq s) && k._2 != fp)
+      .foreach(k => Option(curationDropsCache.remove(k))
+        .foreach(org.apache.spark.sql.GraftSql.unpersistCheckpoint))
+    curationDropsCache.computeIfAbsent((s, fp, tau), _ =>
+      Curation.dropSet(docs(s, dir), "doc_id", "text",
+        jaccardPairs(s, dir), contamScores(s, dir), tau))
   }
 
   /** The trained coarse quantizer for `dir`'s embeddings table, with
@@ -592,22 +618,19 @@ object LlmQueries {
         .select("vec_id", "label")
     }),
 
-    // END-TO-END CURATION PIPELINE — the flagship composition: quality
-    // rules → exact dedup → near-dup dedup → decontamination, all ONE
-    // lazy Spark plan (each stage consumes the previous stage's frame;
-    // Catalyst sees the whole pipeline, so filters/projections flow
-    // across stage boundaries instead of materializing intermediates)
-    "pipe_curate" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val kept = TextAnalysis.qualityFilter(d, "doc_id", "text")
-        .filter(col("keep")).select("doc_id")
-      val d1 = d.join(kept, Seq("doc_id"), "left_semi")
-      val d2 = Dedup.dropExactDuplicates(d1, "doc_id", "text")
-      val d3 = Dedup.dropNearDuplicates(d2, "doc_id", "text")
-      Dedup.decontaminate(d3, d.filter(col("doc_id") % 97 === 0),
-        "doc_id", "text")
-        .select("doc_id", "lang", "n_chars")
-    }),
+    // END-TO-END CURATION PIPELINE — quality rules → exact dedup →
+    // near-dup dedup → decontamination, STAGED (Curation.scala): the
+    // pipeline's decisions collapse to one small cached drop-set built
+    // from the same pair index and contamination scores the standalone
+    // queries share, and the query itself is ONE corpus pass — per-row
+    // quality predicate + broadcast anti join. (The one-lazy-plan
+    // composition this replaced re-evaluated its upstream once per
+    // consumer — ~5 corpus passes, 2 shingle builds, 7.3 s at sf0.1;
+    // CurationSpec proves the staged output row-identical to it.)
+    "pipe_curate" -> ((s, dir) =>
+      Curation.curate(docs(s, dir), "doc_id", "text",
+        curationDrops(s, dir))
+        .select("doc_id", "lang", "n_chars")),
 
     "sample_bernoulli" -> ((s, dir) =>
       Sampling.bernoulliSample(docs(s, dir), "doc_id", 0.2, "graft")

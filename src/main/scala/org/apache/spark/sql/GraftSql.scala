@@ -51,6 +51,20 @@ object GraftSql {
       case _ => ()
     }
 
+  /** [[unpersistCheckpoint]] over EVERY persisted-RDD leaf in the frame's
+    * plan — for frames a producer returned with a projection (or other
+    * operators) already stacked on top of its materialized result, where
+    * the top-level match sees a Project and silently no-ops (e.g.
+    * `connectedComponents`' final labels). Only call this on frames whose
+    * LogicalRDD leaves the caller OWNS — a frame built over someone
+    * else's shared persisted relation would release their storage. */
+  def unpersistCheckpointTree(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Drain the Spark listener bus (private[spark]) — lets tests assert
     * "this code path launched zero jobs" without racing the async
     * listener delivery. */
