@@ -371,45 +371,56 @@ object TextAnalysis {
     * FP determinism: every probability is a ratio of INTEGER counts
     * (identical across engines), `ln` is engine-local (the tf-idf
     * 6dp-round treatment), and — the actual hazard — the per-document
-    * SUM of log-probs is computed as a POSITION-SORTED left fold
-    * (`sort_array(collect_list(struct(pos, lnp)))` then `aggregate`),
-    * never an order-free SUM: FP addition does not commute, so a
-    * grouped SUM would not be hash-stable under repartitioning, let
-    * alone across engines.
+    * SUM of log-probs is a QUANTIZED INTEGER sum (the PageRank/pooling
+    * trick): each term's `ln p` is rounded to a fixed-point long at
+    * 1e-9 resolution and the longs are summed — commutative and exact,
+    * so the aggregate is bit-stable under ANY partitioning and
+    * identical across engines, with O(1) state per document and
+    * map-side partials. (The previous shape — `collect_list` +
+    * `sort_array` + position-ordered fold — was order-deterministic too
+    * but buffered every term of a document in the aggregation state and
+    * shuffled the full term relation unsorted; measured 1.6 s at sf0.1
+    * / 7.5 s at 10×, dominated by the list-encoder serde. A 1-ulp
+    * engine difference in `ln` can flip one quantum, shifting the mean
+    * by ≤ 1e-9/n — absorbed by the final 6-dp round, the same
+    * acceptance class as the tf-idf treatment.)
     *
     * Scale: model training is two map-side-combinable groupBys over the
     * corpus; scoring is an equi-join of exploded bigrams to the model
     * (broadcastable when the vocabulary is; shuffle otherwise) and one
-    * per-doc fold. */
+    * bounded-state per-doc aggregate. (Keys stay STRINGS deliberately:
+    * the md5-derived long-key treatment was measured and rejected —
+    * ~5M md5+hex-conv evaluations doubled the sf0.1 constant, more
+    * than the narrower shuffle saved at 10×.) */
   def lmScore(
       scored: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val cw = corpus.select(words(col(textCol)).as("w"))
+    // |vocab| rows, read twice (scalar V below + the scoring join):
+    // localCheckpoint so the corpus explode+count runs once per call
     val uni = cw.select(explode(col("w")).as("u"))
       .groupBy("u").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
     val vocab = uni.count() // driver scalar → literal in the formula
     val bi = cw.select(col("w"))
       .select(explode(wordNgrams("w", 2)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c2"))
     val pos = scored
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
-      .select(col("doc_id"),
-        posexplode(wordNgrams("w", 2)).as(Seq("pos", "g")))
+      .select(col("doc_id"), explode(wordNgrams("w", 2)).as("g"))
+      .withColumn("u", split(col("g"), " ").getItem(0))
     val lnp = log(
       (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
         (coalesce(col("c1"), lit(0L)) + lit(vocab)).cast("double"))
     pos
       .join(bi, Seq("g"), "left")
-      .withColumn("u", split(col("g"), " ").getItem(0))
       .join(uni, Seq("u"), "left")
-      .select(col("doc_id"), col("pos"), lnp.as("lnp"))
+      .select(col("doc_id"), round(lnp * lit(1e9)).cast("long").as("q"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("lnp"))))
-        .as("terms"))
-      .select(col("doc_id"), size(col("terms")).as("n_bigrams"),
-        round(-aggregate(col("terms"), lit(0.0d),
-          (acc, t) => acc + t.getField("lnp")) /
-          size(col("terms")).cast("double"), 6).as("nll"))
+      .agg(count(lit(1)).as("n_bigrams"), sum("q").as("qs"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-(col("qs").cast("double") / lit(1e9)) /
+          col("n_bigrams").cast("double"), 6).as("nll"))
   }
 
   /** Conservative PII patterns shared with the oracle. Spelled to mean

@@ -1445,36 +1445,32 @@ object LlmQueries {
          |       CAST(c.nt AS INT) AS n_tokens
          |FROM ch""".stripMargin,
 
-    // the per-doc log-prob sum is a LEFT FOLD over position-ordered
-    // terms in BOTH engines (list_reduce ⇔ Spark aggregate) — an
-    // order-free SUM of doubles would not be hash-stable
+    // the per-doc log-prob sum is a QUANTIZED INTEGER sum in BOTH
+    // engines (round(lnp * 1e9)::BIGINT then sum) — commutative and
+    // exact, so it is hash-stable without any ordering; an order-free
+    // SUM of raw doubles would not be
     "text_lm_score" ->
       s"""WITH $DocsCte,
          |unic AS (SELECT u, count(*) AS c1 FROM (
          |           SELECT unnest(w) AS u FROM docs) GROUP BY 1),
          |vv AS (SELECT count(*) AS v FROM unic),
-         |bg AS (SELECT doc_id, pos,
+         |bg AS (SELECT doc_id,
          |         w[pos + 1] || ' ' || w[pos + 2] AS g, w[pos + 1] AS u
          |       FROM (SELECT doc_id, w,
          |               unnest(range(0, greatest(len(w) - 1, 0))) AS pos
          |             FROM docs)),
          |bic AS (SELECT g, count(*) AS c2 FROM bg GROUP BY 1),
-         |terms AS (SELECT b.doc_id, b.pos,
-         |            ln((coalesce(c.c2, 0) + 1)::DOUBLE
-         |               / (coalesce(un.c1, 0) + (SELECT v FROM vv))::DOUBLE)
-         |              AS lnp
+         |terms AS (SELECT b.doc_id,
+         |            round(ln((coalesce(c.c2, 0) + 1)::DOUBLE
+         |                     / (coalesce(un.c1, 0)
+         |                        + (SELECT v FROM vv))::DOUBLE)
+         |                  * 1e9)::BIGINT AS q
          |          FROM bg b
          |          LEFT JOIN bic c ON b.g = c.g
-         |          LEFT JOIN unic un ON b.u = un.u),
-         |folds AS (SELECT doc_id,
-         |            list(struct_pack(pos := pos, lnp := lnp)
-         |                 ORDER BY pos) AS l
-         |          FROM terms GROUP BY 1)
-         |SELECT doc_id, len(l) AS n_bigrams,
-         |       round(-(list_reduce(list_transform(l, t -> t.lnp),
-         |                           (a, b) -> a + b)) / len(l)::DOUBLE, 6)
-         |         AS nll
-         |FROM folds""".stripMargin,
+         |          LEFT JOIN unic un ON b.u = un.u)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       round(-(sum(q)::DOUBLE / 1e9) / count(*)::DOUBLE, 6) AS nll
+         |FROM terms GROUP BY doc_id""".stripMargin,
 
     // The FP constants ((k1+1), k1, 1-b, b) are interpolated from the
     // SAME Scala doubles the Spark expression uses (Double.toString
