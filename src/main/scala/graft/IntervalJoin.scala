@@ -35,6 +35,35 @@ import org.apache.spark.sql.functions._
   * family (equi-keyed, as-of) doesn't cover. */
 object IntervalJoin {
 
+  /** INTERVAL-OVERLAP join — `[aStart, aEnd) ∩ [bStart, bEnd) ≠ ∅` —
+    * by the same coarse-bucket replication, with the standard
+    * CANONICAL-BUCKET dedup: two overlapping intervals co-occur in
+    * every bucket their overlap touches, so the join additionally
+    * requires the bucket to be the one containing the overlap's START
+    * (`⌊max(aStart, bStart)/w⌋`) — each qualifying pair is emitted
+    * EXACTLY once, no distinct pass over the pair relation. Same
+    * column-name, replication-cost and skew story as
+    * [[pointInInterval]]. */
+  def intervalOverlap(
+      a: DataFrame, aStartCol: String, aEndCol: String,
+      b: DataFrame, bStartCol: String, bEndCol: String,
+      bucketSeconds: Long = 3600): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0, got $bucketSeconds")
+    val w = lit(bucketSeconds)
+    def expand(df: DataFrame, s: String, e: String, out: String) = df
+      .filter(col(s) < col(e))
+      .withColumn(out, explode(sequence(
+        floor(col(s).cast("long") / w), floor(col(e).cast("long") / w))))
+    val ea = expand(a, aStartCol, aEndCol, "__graft_ab")
+    val eb = expand(b, bStartCol, bEndCol, "__graft_bb")
+    val overlapStart = greatest(col(aStartCol), col(bStartCol))
+    ea.join(eb,
+        col("__graft_ab") === col("__graft_bb") &&
+          col(aStartCol) < col(bEndCol) && col(bStartCol) < col(aEndCol) &&
+          col("__graft_ab") === floor(overlapStart.cast("long") / w))
+      .drop("__graft_ab", "__graft_bb")
+  }
+
   def pointInInterval(
       points: DataFrame, tsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,

@@ -481,6 +481,21 @@ object CoreQueries {
         .select("event_id", "window_id")
     }),
 
+    // Interval-OVERLAP join (the other keyless range-join form): 1h
+    // activity windows × 2h maintenance windows, each overlapping pair
+    // emitted exactly once via the canonical-bucket dedup
+    "x_interval_overlap" -> ((s, dir) => {
+      val e = events(s, dir)
+      val wa = e.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("window_a"), col("ts").as("was"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("wae"))
+      val wb = e.filter(col("event_id") % 89 === 0)
+        .select(col("event_id").as("window_b"), col("ts").as("wbs"),
+          (col("ts") + expr("INTERVAL 2 HOUR")).as("wbe"))
+      graft.IntervalJoin.intervalOverlap(wa, "was", "wae", wb, "wbs", "wbe")
+        .select("window_a", "window_b")
+    }),
+
     // Skew mitigation through the oracle gate: the salted two-phase
     // aggregate must equal the plain GROUP BY formulation exactly (the
     // oracle IS the unsalted query — same rows, same hashes).
@@ -1045,6 +1060,15 @@ object CoreQueries {
         |  GROUP BY o_custkey) o
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY n_orders DESC, c_custkey LIMIT 10""".stripMargin,
+    "x_interval_overlap" ->
+      """SELECT a.window_a, b.window_b
+        |FROM (SELECT event_id AS window_a, ts AS was,
+        |             ts + INTERVAL 1 HOUR AS wae
+        |      FROM events WHERE event_id % 97 = 0) a
+        |JOIN (SELECT event_id AS window_b, ts AS wbs,
+        |             ts + INTERVAL 2 HOUR AS wbe
+        |      FROM events WHERE event_id % 89 = 0) b
+        |  ON a.was < b.wbe AND b.wbs < a.wae""".stripMargin,
     "x_interval_join" ->
       """SELECT e.event_id, w.window_id
         |FROM events e

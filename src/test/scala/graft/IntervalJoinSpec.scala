@@ -53,6 +53,46 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Set((1L, 100L), (3L, 100L), (6L, 100L), (4L, 200L)))
   }
 
+  test("intervalOverlap == naive overlap join, each pair exactly once") {
+    val e = Tables.read(spark, sf(), "events")
+    val wa = e.filter(col("event_id") % 7 === 0)
+      .select(col("event_id").as("window_a"), col("ts").as("was"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("wae"))
+    val wb = e.filter(col("event_id") % 11 === 0)
+      .select(col("event_id").as("window_b"), col("ts").as("wbs"),
+        (col("ts") + expr("INTERVAL 2 HOUR")).as("wbe"))
+    // MULTISET compare (not a set): a canonical-bucket bug that emits a
+    // pair once per shared bucket must fail this, so count duplicates
+    val got = IntervalJoin.intervalOverlap(wa, "was", "wae", wb, "wbs", "wbe")
+      .select("window_a", "window_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val naive = wa.join(wb, col("was") < col("wbe") && col("wbs") < col("wae"))
+      .select("window_a", "window_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == naive && got.nonEmpty && got.values.forall(_ == 1))
+  }
+
+  test("overlap corners: touching endpoints, containment, multi-bucket") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")), // 24h
+      (3L, ts("2024-01-03 10:00:00"), ts("2024-01-03 10:00:00"))  // empty
+    ).toDF("ida", "was", "wae")
+    val b = Seq(
+      (10L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")), // abuts 1: NO overlap (half-open)
+      (11L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:45:00")), // inside 1 and 2
+      (12L, ts("2024-01-01 23:59:59"), ts("2024-01-02 06:00:00")), // tail of 2
+      (13L, ts("2024-01-03 09:00:00"), ts("2024-01-03 11:00:00"))  // would hit 3 were it non-empty
+    ).toDF("idb", "wbs", "wbe")
+    val got = IntervalJoin.intervalOverlap(a, "was", "wae", b, "wbs", "wbe")
+      .select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 11L), (2L, 11L), (2L, 10L), (2L, 12L)))
+  }
+
   test("the bucket condition is extracted as an equi join (no BNLJ)") {
     val e = Tables.read(spark, sf(), "events")
     val windows = e.filter(col("event_id") % 97 === 0)
