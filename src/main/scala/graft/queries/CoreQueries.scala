@@ -718,8 +718,11 @@ object CoreQueries {
     // composite key lifts cardinality past k at sf0.01 (estimator
     // branch) while sf0.001 stays under it (exact-sketch branch) — both
     // regimes go through the oracle gate across the driver's SFs.
+    // PURE sketch path (bounded bottom-k registers + arithmetic on ≤2k
+    // rows); the exact-count yardstick lives in SketchSpec — the
+    // cms_topk treatment (VERDICT r6 #7) applied to KMV
     "sketch_kmv_setops" -> ((s, dir) =>
-      graft.llm.Sketches.kmvSetOps(
+      graft.llm.Sketches.kmvSetEstimates(
         events(s, dir).withColumn("ukey",
           col("user_id") * 1000 + dayofyear(col("ts"))),
         "ukey", "event_type", "click", "view")),
@@ -1286,24 +1289,15 @@ object CoreQueries {
          |      FROM a FULL OUTER JOIN b ON a.h = b.h
          |      ORDER BY coalesce(a.h, b.h) LIMIT $k),
          |u AS (SELECT max(h) AS ukth, count(*) AS usz,
-         |             sum(ina * inb) AS nboth FROM m),
-         |ex AS (SELECT
-         |    count(DISTINCT CASE WHEN lab = 'click' THEN ukey END) AS n_exact_a,
-         |    count(DISTINCT CASE WHEN lab = 'view' THEN ukey END) AS n_exact_b,
-         |    count(DISTINCT ukey) AS n_exact_union
-         |  FROM e)
-         |SELECT n_exact_a,
-         |       (SELECT round(${est("kth", "sz")}, 4) FROM per
+         |             sum(ina * inb) AS nboth FROM m)
+         |SELECT (SELECT round(${est("kth", "sz")}, 4) FROM per
          |        WHERE lab = 'click') AS est_a,
-         |       n_exact_b,
          |       (SELECT round(${est("kth", "sz")}, 4) FROM per
          |        WHERE lab = 'view') AS est_b,
-         |       n_exact_union,
          |       (SELECT round(${est("ukth", "usz")}, 4) FROM u) AS est_union,
-         |       n_exact_a + n_exact_b - n_exact_union AS n_exact_inter,
          |       (SELECT round((nboth::DOUBLE / usz::DOUBLE)
          |                     * ${est("ukth", "usz")}, 4) FROM u) AS est_inter
-         |FROM ex""".stripMargin
+         |FROM (SELECT 1)""".stripMargin
     },
 
     "sketch_hll_windowed" -> {
