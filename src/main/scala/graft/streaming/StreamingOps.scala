@@ -174,6 +174,23 @@ object StreamingOps {
       .drop("__graft_h")
   }
 
+  /** STREAMING point-in-interval tagging — each streaming point joined
+    * to the STATIC interval(s) containing it (session windows against a
+    * maintenance calendar, events against promo periods). Delegates to
+    * the batch operator verbatim: [[graft.IntervalJoin.pointInInterval]]
+    * is a stateless per-row expansion + stream-static INNER equi-join on
+    * the coarse bucket, which Structured Streaming executes per
+    * micro-batch with no state and no watermark requirement (the static
+    * side is bounded; the residual containment predicate rides on the
+    * joined rows). Stream == batch per micro-batch by construction —
+    * spec-proved on out-of-order delivery in `StreamingSpec`. */
+  def pointsInIntervalsStream(
+      points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketSeconds: Long = 3600): DataFrame =
+    graft.IntervalJoin.pointInInterval(
+      points, tsCol, intervals, startCol, endCol, bucketSeconds)
+
   /** Streaming exact dedup: first occurrence PER ID wins within the
     * watermark horizon (the streaming analogue of
     * [[graft.llm.Dedup.dropExactDuplicates]]).

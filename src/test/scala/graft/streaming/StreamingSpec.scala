@@ -13,6 +13,42 @@ class StreamingSpec extends SparkSpec {
   private def ts(m: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
 
+  test("pointsInIntervalsStream == batch interval join on out-of-order delivery") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val intervals = Seq(
+      (100L, Timestamp.valueOf("2024-01-01 10:00:00"),
+        Timestamp.valueOf("2024-01-01 10:30:00")),
+      (200L, Timestamp.valueOf("2024-01-01 10:20:00"),
+        Timestamp.valueOf("2024-01-01 12:00:00"))
+    ).toDF("window_id", "ws", "we")
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = StreamingOps.pointsInIntervalsStream(
+        in.toDF().toDF("pid", "pts"), "pts", intervals, "ws", "we",
+        bucketSeconds = 600)
+      .select("pid", "window_id")
+      .writeStream.format("memory").queryName("iv_t")
+      .outputMode("append").start()
+    try {
+      // out of order across micro-batches — stateless join must not care
+      in.addData((1L, ts(25)), (2L, ts(45)))
+      q.processAllAvailable()
+      in.addData((3L, ts(5)), (4L, ts(30)), (5L, Timestamp.valueOf("2024-01-01 09:59:00")))
+      q.processAllAvailable()
+      val got = spark.table("iv_t")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch reference over the same points
+      val pts = Seq((1L, ts(25)), (2L, ts(45)), (3L, ts(5)), (4L, ts(30)),
+        (5L, Timestamp.valueOf("2024-01-01 09:59:00"))).toDF("pid", "pts")
+      val want = graft.IntervalJoin.pointInInterval(
+          pts, "pts", intervals, "ws", "we", bucketSeconds = 600)
+        .select("pid", "window_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want &&
+        got == Set((1L, 100L), (1L, 200L), (2L, 200L), (3L, 100L), (4L, 200L)))
+    } finally q.stop()
+  }
+
   test("latestPerKey state holds the newest event across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
