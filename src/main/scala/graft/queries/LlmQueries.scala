@@ -548,6 +548,16 @@ object LlmQueries {
         Similarity.bruteForceKnn(e, q, "vec_id", "embedding", k = 5))
     }),
 
+    // scalar-quantized (SQ8) flat index: one-byte-per-component corpus
+    // codes, asymmetric full-precision-query scoring — the index-size
+    // lever (4x vs float); quantizer + decode + search oracle-replayed
+    "knn_sq8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.sq8Knn(
+        e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, dim = 64)
+    }),
+
     "knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       // quantizer AND assigned corpus are an INDEX: built once offline,
@@ -1057,6 +1067,40 @@ object LlmQueries {
     // IVF with the TRAINED deterministic-k-means quantizer: the oracle
     // re-runs the whole training loop (unrolled) in SQL — exact-integer
     // sums make the centroids bit-identical to Spark's.
+    // the SQ8 index build (per-dim min/max quantizer, affine decode) and
+    // asymmetric search replayed bit-for-bit: min/max are exact, decode
+    // is identical double arithmetic (round on a non-negative operand
+    // agrees across engines), scoring is the shared left-fold dot
+    "knn_sq8" ->
+      s"""WITH v AS (SELECT vec_id,
+         |            list_transform(embedding, x -> x::DOUBLE) AS v
+         |          FROM embeddings),
+         |mm AS (SELECT list(mn ORDER BY d) AS mins,
+         |              list(sc ORDER BY d) AS scales FROM (
+         |    SELECT d.d AS d, min(v.v[d.d]) AS mn,
+         |           (max(v.v[d.d]) - min(v.v[d.d])) / 255.0 AS sc
+         |    FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
+         |    GROUP BY d.d) t),
+         |enc AS (SELECT v.vec_id,
+         |          list_transform(range(1, 65), i ->
+         |            CASE WHEN mm.scales[i] > 0
+         |              THEN mm.mins[i] + mm.scales[i]
+         |                   * round((v.v[i] - mm.mins[i]) / mm.scales[i])
+         |              ELSE mm.mins[i] END) AS vh
+         |        FROM v CROSS JOIN mm),
+         |nb AS (SELECT vec_id, vh, sqrt(${dotSql("vh", "vh")}) AS nrm
+         |       FROM enc),
+         |q AS (SELECT vec_id AS qid, v AS qv, sqrt(${dotSql("v", "v")}) AS qn
+         |      FROM v WHERE vec_id % 100 = 0),
+         |scored AS (SELECT q.qid, nb.vec_id AS nid,
+         |             ${dotSql("q.qv", "nb.vh")} / (q.qn * nb.nrm) AS sim
+         |           FROM q CROSS JOIN nb WHERE nb.vec_id != q.qid),
+         |r AS (SELECT qid, nid, sim, row_number() OVER (
+         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM scored)
+         |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+         |WHERE rank <= 5""".stripMargin,
+
     "knn_ivf" -> ivfKmeansOracleSql(
       nProbe = 4, k = 5, iters = 3, dim = 64),
 
