@@ -43,9 +43,14 @@ class PlanAuditSpec extends SparkSpec {
     *  - the recall evaluation, whose ground-truth side IS that brute
     *    baseline (recall is measured against exact top-k over a SAMPLED
     *    query set — Similarity.knnRecall's documented contract); the
-    *    approximate side under evaluation stays equi-join-audited. */
+    *    approximate side under evaluation stays equi-join-audited;
+    *  - the SQ8 FLAT index, which is the brute scan over one-byte codes
+    *    (the memory-compression contrast: same all-pairs-by-definition
+    *    shape, 4× smaller scanned index); its pruned siblings remain
+    *    the equi-join-audited LSH/IVF paths. */
   private val nlJoinAllowed =
-    Set("pit_dummy_entity", "knn_cosine_brute", "knn_recall_lsh")
+    Set("pit_dummy_entity", "knn_cosine_brute", "knn_recall_lsh",
+      "knn_sq8")
 
   /** True iff `p` provably produces at most one row: a grouping-less
     * global aggregate, or any row-count-preserving/reducing chain above
