@@ -143,7 +143,7 @@ object ScaleProbe {
     "dedup_clusters", "dedup_drop_near", "dedup_drop_embed",
     "dedup_drop_embed_capped",
     "knn_cosine_brute", "knn_lsh_bucketed", "knn_lsh_multiprobe",
-    "knn_lsh_multitable", "knn_recall_lsh", "knn_sq8",
+    "knn_lsh_multitable", "knn_recall_lsh", "knn_sq8", "knn_pq",
     "knn_ivf", "embed_cosine_pairs", "embed_cosine_pairs_capped",
     "embed_cosine_pairs_ivf", "text_tfidf",
     // the FLAGSHIP family at 10× event density (same key cardinality)

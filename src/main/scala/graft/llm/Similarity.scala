@@ -510,6 +510,201 @@ object Similarity {
     topK(scored, k)
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  private def pqEncode(vqd: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    import org.apache.spark.sql.GraftSql
+    GraftSql.column(graft.functions.PqEncode(GraftSql.expression(vqd), books))
+  }
+  private def pqLut(vqd: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    import org.apache.spark.sql.GraftSql
+    GraftSql.column(graft.functions.PqLut(GraftSql.expression(vqd), books))
+  }
+
+  /** Deterministic PRODUCT-QUANTIZATION codebooks (Jégou et al. 2011;
+    * the 4-bit `ksub=16` default is the FAISS "fast-scan" PQ shape):
+    * the vector splits into `m` contiguous `dim/m`-dim subspaces, each
+    * with its own `ksub`-centroid L2 k-means codebook, trained jointly
+    * as ONE Lloyd's chain keyed by `(subspace, centroid)` — one shuffle
+    * per round for ALL subspaces, not `m` separate trainings.
+    *
+    * Same determinism frame as [[trainIvfKMeans]]: fixed-point training
+    * space (`floor(x·2^20)` — component sums are exact longs, so
+    * distributed aggregation and the single-threaded oracle derive
+    * bit-identical centroids), `(hash32("pq:"+id), id)`-seeded init
+    * (first `ksub` rows' subvectors), training on the
+    * [[trainSampleSize]]-prefix of that same total order, empty cells
+    * keeping their centroid. Assignment is squared-L2 argmin per
+    * subspace (PQ minimizes RECONSTRUCTION error, unlike the cosine
+    * coarse quantizer), ties → smaller centroid id.
+    *
+    * Returns `m × ksub × dsub` centroids in the QUANTIZED space. */
+  def trainPqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      dim: Int = 64): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val base = corpus.select(col(idCol).as("id"),
+        quantLong(col(vecCol)).as("vq"),
+        quantDouble(col(vecCol)).as("vqd"))
+      .withColumn("h", TextOps.hash32(
+        concat(lit("pq:"), col("id").cast("string"))))
+    val sample = trainSampleSize(corpus.count(), ksub)
+    val tr = base.orderBy(col("h"), col("id")).limit(sample.toInt)
+      .repartition(col("id")).persist()
+
+    val seedRows = tr.orderBy(col("h"), col("id")).limit(ksub)
+      .select("vq").collect()
+    var books: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until m).map { s =>
+        seedRows.toIndexedSeq.map { r =>
+          r.getSeq[Long](0).slice(s * dsub, (s + 1) * dsub)
+            .map(_.toDouble): Seq[Double]
+        }
+      }
+
+    for (_ <- 0 until iters) {
+      // one pass: every (row, subspace) assignment + exact-long
+      // component sums per (subspace, cell, dim) — nList·dim-scale
+      // result rows to the driver, same budget as the IVF trainer
+      val sums = tr
+        .select(col("vq"), posexplode(pqEncode(col("vqd"), books))
+          .as(Seq("sub", "cell")))
+        .select(col("sub"), col("cell"),
+          posexplode(slice(col("vq"), col("sub") * dsub + 1, lit(dsub))))
+        .groupBy("sub", "cell", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val byKey = sums.groupBy(r =>
+        (r.getAs[Int]("sub"), r.getAs[Int]("cell")))
+      books = books.zipWithIndex.map { case (cb, s) =>
+        cb.zipWithIndex.map { case (old, c) =>
+          byKey.get((s, c)).fold(old) { rows =>
+            rows.sortBy(_.getAs[Int]("pos"))
+              .map(r => r.getAs[Long]("s").toDouble / r.getAs[Long]("cnt"))
+              .toSeq
+          }
+        }
+      }
+    }
+    tr.unpersist()
+    books
+  }
+
+  /** The PQ-ENCODED corpus — `(id, codes, rnrm)`: `m` small-int codes
+    * per vector (m bytes on disk after parquet dictionary/bit-packing —
+    * the 100 TB index artifact; 64 floats → 8 codes is 32×) plus the
+    * reconstruction norm `‖decode(codes)‖`, a pure codebook lookup
+    * (subspaces are orthogonal coordinate blocks, so the squared norm is
+    * the SUM of per-subspace centroid squared norms — no decode pass).
+    * Built once per corpus snapshot, amortized across queries (the
+    * [[assignCells]] lifecycle). */
+  def pqEncodeCorpus(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    // ‖centroid‖² per (sub, cid), same left fold as the oracle's dot
+    val cnsq: Seq[Array[Double]] = books.map(
+      _.map(cv => cv.foldLeft(0.0)((a, x) => a + x * x)).toArray)
+    val rnsq = books.indices.map(s =>
+        element_at(lit(cnsq(s)), element_at(col("codes"), s + 1) + 1))
+      .foldLeft(lit(0.0))(_ + _)
+    corpus.select(col(idCol).as("id"), quantDouble(col(vecCol)).as("vqd"))
+      .withColumn("codes", pqEncode(col("vqd"), books))
+      .withColumn("rnrm", sqrt(rnsq))
+      .select("id", "codes", "rnrm")
+  }
+
+  /** PQ ANN with ASYMMETRIC distance computation (ADC): each query
+    * builds its `m × ksub` lookup table of partial dots ONCE
+    * ([[graft.functions.PqLut]]), after which scoring a corpus row is
+    * `m` array lookups + adds — never touching the original vectors.
+    * This is the third memory/compute point on the index-compression
+    * curve (flat 256 B/vec → SQ8 64 B → PQ 8 B at dim 64), and the
+    * candidate-scoring kernel an IVF-PQ composition would run inside
+    * each probed cell. The similarity is the QUANTIZED cosine
+    * `<q, decode(n)> / (‖q‖·‖decode(n)‖)` in the fixed-point space
+    * (scale cancels); recall vs the exact baseline is spec-measured.
+    * Output: (qid, nid, rank, sim). */
+  def pqKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3, dim: Int = 64,
+      books: Option[IndexedSeq[IndexedSeq[Seq[Double]]]] = None,
+      encoded: Option[DataFrame] = None): DataFrame = {
+    val bks = books.getOrElse(
+      trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters, dim))
+    val nb = encoded.getOrElse(pqEncodeCorpus(corpus, idCol, vecCol, bks))
+      .withColumnRenamed("id", "nid")
+    val q = queries.select(col(idCol).as("qid"),
+        quantDouble(col(vecCol)).as("qvd"))
+      .withColumn("qn", norm(col("qvd")))
+      .withColumn("lut", pqLut(col("qvd"), bks))
+      .select("qid", "qn", "lut")
+    val adc = bks.indices.map(s =>
+        element_at(element_at(col("lut"), s + 1),
+          element_at(col("codes"), s + 1) + 1))
+      .foldLeft(lit(0.0))(_ + _)
+    val scored = nb.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (adc / (col("qn") * col("rnrm"))).as("sim"))
+    topK(scored, k)
+  }
+
+  /** IVF-PQ — the composition both halves exist for, and the canonical
+    * billion-scale ANN memory layout (FAISS IVFx,PQy): the COARSE
+    * quantizer prunes the corpus to `nProbe` cells per query
+    * (candidate-count lever), and candidates inside a cell are scored
+    * from their PQ CODES via the query's ADC lookup table (bytes-per-
+    * vector lever) — the original vectors are never touched at search
+    * time. At 100 TB this is the difference between scanning 25 TB of
+    * floats and 0.8 TB of codes, with per-cell candidate lists that fit
+    * executor memory. Both indexes are built once per corpus snapshot
+    * and amortized ([[assignCells]] / [[pqEncodeCorpus]] lifecycle);
+    * `assigned`/`encoded`/`centroids`/`books` accept the cached
+    * artifacts. Output: (qid, nid, rank, sim) — sim is the ADC
+    * quantized cosine. */
+  def ivfPqKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nList: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      centroids: Option[IndexedSeq[Seq[Double]]] = None,
+      books: Option[IndexedSeq[IndexedSeq[Seq[Double]]]] = None,
+      assigned: Option[DataFrame] = None,
+      encoded: Option[DataFrame] = None): DataFrame = {
+    val centsRaw = centroids
+      .getOrElse(trainIvfKMeans(corpus, idCol, vecCol, nList, iters))
+    val cents = centsRaw.map(withNormPair)
+    val bks = books.getOrElse(
+      trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters, dim))
+    // candidate body: (nid, cell, codes, rnrm) — cell from the coarse
+    // index, codes+norm from the PQ index; the join is id-to-id on two
+    // deterministic builds of the same snapshot
+    val cells = assigned.getOrElse(assignCells(corpus, idCol, vecCol, centsRaw))
+      .select(col("id").as("nid"), col("cell"))
+    val codes = encoded.getOrElse(pqEncodeCorpus(corpus, idCol, vecCol, bks))
+      .select(col("id").as("nid"), col("codes"), col("rnrm"))
+    val nb = cells.join(codes, "nid")
+    val q = queries.select(col(idCol).as("qid"),
+        quantDouble(col(vecCol)).as("qvd"))
+      .withColumn("qn", norm(col("qvd")))
+      .withColumn("qqn", col("qn"))
+      .withColumn("probes", topCells(col("qvd"), col("qqn"), cents, nProbe))
+      .withColumn("lut", pqLut(col("qvd"), bks))
+      .select(col("qid"), col("qn"), col("lut"),
+        explode(col("probes")).as("cell"))
+    val adc = bks.indices.map(s =>
+        element_at(element_at(col("lut"), s + 1),
+          element_at(col("codes"), s + 1) + 1))
+      .foldLeft(lit(0.0))(_ + _)
+    val scored = nb.join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (adc / (col("qn") * col("rnrm"))).as("sim"))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-dup pairs above `tau` with the TRAINED
     * k-means cells as buckets: candidates must share an IVF cell, ranked
     * by exact cosine. On clustered corpora (what real embeddings look

@@ -264,7 +264,6 @@ object TextAnalysis {
       terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("doc_id"),
       words(col(textCol)).as("__w"))
       .withColumn("dl", size(col("__w")))
@@ -285,13 +284,19 @@ object TextAnalysis {
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
     }
     val score = contributions.reduce(_ + _)
-    val top = withTf.crossJoin(broadcast(stats))
+    // distributed bounded top-k (map-side partial top-k per partition,
+    // k-sized merge) — replaces a global orderBy().limit() + keyless
+    // ranking window, whose single-partition WindowExec was the one
+    // all-rows-to-one-task shape left in the engine. Same (score DESC,
+    // doc_id ASC) total order on the ROUNDED score.
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    withTf.crossJoin(broadcast(stats))
       .select(col("doc_id"), round(score, 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
-    top.withColumn("rank",
-      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-      .select("doc_id", "rank", "score")
+      .groupBy()
+      .agg(topk(col("score"), col("doc_id")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id").as("doc_id"), (col("pos") + 1).as("rank"),
+        col("col.score").as("score"))
   }
 
   /** C4/Gopher-style document quality rules (Raffel et al. 2020 §2.2,

@@ -32,6 +32,10 @@ object LlmQueries {
   private val ivfCentroids = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), IndexedSeq[Seq[Double]]]()
 
+  /** PQ codebooks, same lifecycle/keying as [[ivfCentroids]]. */
+  private val pqBookCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), IndexedSeq[IndexedSeq[Seq[Double]]]]()
+
   private def tableFingerprint(dir: String, table: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
@@ -140,6 +144,13 @@ object LlmQueries {
     * deterministic, so caching can only save work, never change results.
     * Exposed to the IVF queries AND their oracle builders so both sides
     * share one definition. */
+  private[graft] def trainedPqBooks(
+      s: SparkSession, dir: String,
+      iters: Int = 3): IndexedSeq[IndexedSeq[Seq[Double]]] =
+    pqBookCache.computeIfAbsent((embFingerprint(dir), iters), _ =>
+      Similarity.trainPqCodebooks(emb(s, dir), "vec_id", "embedding",
+        m = 8, ksub = 16, iters = iters, dim = 64))
+
   private[graft] def trainedCentroids(
       s: SparkSession, dir: String,
       iters: Int = 3): IndexedSeq[Seq[Double]] =
@@ -314,6 +325,160 @@ object LlmQueries {
        |FROM nb a JOIN nb b
        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $tau""".stripMargin
+
+  /** Squared-L2 of subvector `sub` of `v` against codebook row `cv` —
+    * the exact IEEE sequence of `PqEncode`'s inner loop (diff computed
+    * once, then `acc += diff·diff`, 0.0 init). */
+  private def pqDistSql(v: String, sub: String, cv: String, dsub: Int) =
+    foldSql(s"list_transform(range(1, ${dsub + 1}), i -> " +
+      s"($v[$sub * $dsub + i] - $cv[i]) * ($v[$sub * $dsub + i] - $cv[i]))")
+
+  /** Partial dot of subvector `sub` of `v` with codebook row `cv` —
+    * `PqLut`'s fold. */
+  private def pqDotSql(v: String, sub: String, cv: String, dsub: Int) =
+    foldSql(s"list_transform(range(1, ${dsub + 1}), i -> " +
+      s"$v[$sub * $dsub + i] * $cv[i])")
+
+  /** PQ training CTE chain, every CTE name prefixed `$p` so it composes
+    * with the IVF chain in one WITH — mirrors
+    * `Similarity.trainPqCodebooks` / `pqEncodeCorpus` exactly: ONE
+    * k-means chain keyed (sub, cid) over the fixed-point space,
+    * h32("pq:"+id)-seeded, empty cells keeping their centroid; encode =
+    * per-(row, sub) squared-L2 argmin (ties → smaller cid);
+    * reconstruction norms are ordered-list left folds over the per-
+    * subspace centroid norms. Expects `v(vec_id, …, vq)` and
+    * `n(vec_id, …, vq)` in scope; ends with `${p}a$iters` (the code
+    * table: vec_id, sub, cell), `${p}c$iters` (the codebooks) and
+    * `${p}nbn` (vec_id, rnrm) defined, NO trailing comma. */
+  private def pqTrainCtes(
+      p: String, m: Int, ksub: Int, iters: Int, dim: Int): String = {
+    val dsub = dim / m
+    val samp = math.max(4096, 64 * ksub)
+    val sb = new StringBuilder
+    sb ++= s"""${p}rk AS (SELECT vec_id, vq,
+       |         row_number() OVER (ORDER BY h, vec_id) AS rn
+       |       FROM (SELECT vec_id, vq,
+       |               ${h32("'pq:' || CAST(vec_id AS VARCHAR)")} AS h
+       |             FROM v) ${p}t0),
+       |${p}c0 AS (SELECT s.sub, ${p}rk.rn - 1 AS cid,
+       |         list_transform(range(1, ${dsub + 1}),
+       |           i -> ${p}rk.vq[s.sub * $dsub + i]) AS cv
+       |       FROM ${p}rk CROSS JOIN
+       |         (SELECT unnest(range(0, $m)) AS sub) s
+       |       WHERE ${p}rk.rn <= $ksub),
+       |${p}tr AS (SELECT vec_id, vq FROM ${p}rk
+       |       WHERE rn <= (SELECT least(count(*), $samp) FROM v)),
+       |""".stripMargin
+    for (i <- 0 to iters) {
+      val src = if (i < iters) s"${p}tr" else "n"
+      sb ++= s"""${p}a$i AS (SELECT vec_id, vq, sub, cell FROM (
+         |    SELECT t.vec_id, t.vq, c.sub, c.cid AS cell, row_number() OVER (
+         |      PARTITION BY t.vec_id, c.sub
+         |      ORDER BY ${pqDistSql("t.vq", "c.sub", "c.cv", dsub)} ASC,
+         |        c.cid ASC) AS rk2
+         |    FROM $src t CROSS JOIN ${p}c$i c) z WHERE rk2 = 1),
+         |""".stripMargin
+      if (i < iters) {
+        sb ++= s"""${p}s$i AS (SELECT a.sub, a.cell, d.d,
+           |          sum(CAST(a.vq[a.sub * $dsub + d.d] AS BIGINT)) AS sm,
+           |          count(*) AS cnt
+           |        FROM ${p}a$i a CROSS JOIN
+           |          (SELECT unnest(range(1, ${dsub + 1})) AS d) d
+           |        GROUP BY a.sub, a.cell, d.d),
+           |${p}m$i AS (SELECT sub, cell AS cid,
+           |          list(sm::DOUBLE / cnt ORDER BY d) AS cv
+           |        FROM ${p}s$i GROUP BY sub, cell),
+           |${p}c${i + 1} AS (SELECT c.sub, c.cid, COALESCE(mm.cv, c.cv) AS cv
+           |        FROM ${p}c$i c LEFT JOIN ${p}m$i mm
+           |          ON c.sub = mm.sub AND c.cid = mm.cid),
+           |""".stripMargin
+      }
+    }
+    sb ++= s"""${p}cn AS (SELECT sub, cid, ${dotSql("cv", "cv")} AS nsq
+       |       FROM ${p}c$iters),
+       |${p}nbn AS (SELECT e.vec_id,
+       |          sqrt(${foldSql(s"list(cn.nsq ORDER BY cn.sub)")}) AS rnrm
+       |        FROM ${p}a$iters e JOIN ${p}cn cn
+       |          ON cn.sub = e.sub AND cn.cid = e.cell
+       |        GROUP BY e.vec_id)""".stripMargin
+    sb.toString
+  }
+
+  /** Flat-PQ ADC search oracle (see [[pqTrainCtes]]; ADC sums are
+    * ordered-list left folds in the shared sub order). */
+  private def pqOracleSql(
+      m: Int, ksub: Int, iters: Int, dim: Int, k: Int): String = {
+    val dsub = dim / m
+    s"""WITH v AS (SELECT vec_id,
+       |            list_transform(embedding,
+       |              x -> floor(x::DOUBLE * 1048576.0)) AS vq
+       |          FROM embeddings),
+       |n AS (SELECT vec_id, vq, sqrt(${dotSql("vq", "vq")}) AS qn FROM v),
+       |${pqTrainCtes("pq", m, ksub, iters, dim)},
+       |q AS (SELECT vec_id AS qid, vq AS qv, qn FROM n
+       |      WHERE vec_id % 100 = 0),
+       |lut AS (SELECT q.qid, c.sub, c.cid,
+       |          ${pqDotSql("q.qv", "c.sub", "c.cv", dsub)} AS p
+       |        FROM q CROSS JOIN pqc$iters c),
+       |pr AS (SELECT l.qid, e.vec_id AS nid, l.sub, l.p
+       |       FROM pqa$iters e JOIN lut l
+       |         ON l.sub = e.sub AND l.cid = e.cell
+       |       WHERE e.vec_id != l.qid),
+       |ps AS (SELECT qid, nid,
+       |         ${foldSql("list(p ORDER BY sub)")} AS adc
+       |       FROM pr GROUP BY qid, nid),
+       |scored AS (SELECT ps.qid, ps.nid,
+       |             ps.adc / (q.qn * pqnbn.rnrm) AS sim
+       |           FROM ps JOIN q ON q.qid = ps.qid
+       |           JOIN pqnbn ON pqnbn.vec_id = ps.nid),
+       |r AS (SELECT qid, nid, sim, row_number() OVER (
+       |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |      FROM scored)
+       |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** IVF-PQ search oracle: the IVF chain prunes candidates to the
+    * query's `nProbe` max-cosine cells (mirror of `ivfKnnTrained`'s
+    * probing), the PQ chain scores them from codes via the query's ADC
+    * table (mirror of `ivfPqKnn`) — both training chains share one WITH,
+    * composed verbatim from [[ivfTrainCtes]] and [[pqTrainCtes]]. */
+  private def ivfPqOracleSql(
+      nProbe: Int, k: Int, iters: Int, dim: Int,
+      m: Int, ksub: Int): String = {
+    val dsub = dim / m
+    s"""${ivfTrainCtes(iters, dim)},
+       |${pqTrainCtes("pq", m, ksub, iters, dim)},
+       |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+       |    SELECT n.vec_id, c.cid, row_number() OVER (
+       |      PARTITION BY n.vec_id
+       |      ORDER BY ${cSim("c")} DESC, c.cid DESC) AS rnk
+       |    FROM n CROSS JOIN c$iters c WHERE n.vec_id % 100 = 0) t
+       |  WHERE rnk <= $nProbe),
+       |q AS (SELECT vec_id AS qid, vq AS qv, qnrm AS qn FROM n
+       |      WHERE vec_id % 100 = 0),
+       |lut AS (SELECT q.qid, c.sub, c.cid,
+       |          ${pqDotSql("q.qv", "c.sub", "c.cv", dsub)} AS p
+       |        FROM q CROSS JOIN pqc$iters c),
+       |cand AS (SELECT p.qid, nb.vec_id AS nid FROM probes p
+       |         JOIN nb ON nb.cell = p.cell AND nb.vec_id != p.qid),
+       |pr AS (SELECT cand.qid, cand.nid, l.sub, l.p
+       |       FROM cand JOIN pqa$iters e ON e.vec_id = cand.nid
+       |       JOIN lut l ON l.qid = cand.qid
+       |         AND l.sub = e.sub AND l.cid = e.cell),
+       |ps AS (SELECT qid, nid,
+       |         ${foldSql("list(p ORDER BY sub)")} AS adc
+       |       FROM pr GROUP BY qid, nid),
+       |scored AS (SELECT ps.qid, ps.nid,
+       |             ps.adc / (q.qn * pqnbn.rnrm) AS sim
+       |           FROM ps JOIN q ON q.qid = ps.qid
+       |           JOIN pqnbn ON pqnbn.vec_id = ps.nid),
+       |r AS (SELECT qid, nid, sim, row_number() OVER (
+       |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |      FROM scored)
+       |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+       |WHERE rank <= $k""".stripMargin
+  }
 
   /** Per-doc pair-emission cap (mirror of `Dedup.capPairsPerDoc`): keep a
     * pair when either endpoint ranks it in its top `k` by
@@ -556,6 +721,28 @@ object LlmQueries {
       Similarity.sq8Knn(
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 5, dim = 64)
+    }),
+
+    // product-quantization flat index: m=8 4-bit codes per vector (32×
+    // smaller than float), per-query ADC lookup tables — training,
+    // encode, and search all oracle-replayed
+    "knn_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqKnn(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5,
+        books = Some(trainedPqBooks(s, dir)))
+    }),
+
+    // IVF-PQ — the canonical billion-scale composition: coarse cells
+    // prune candidates, PQ codes + per-query ADC tables score them; the
+    // original vectors are never read at search time
+    "knn_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqKnn(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nProbe = 4,
+        centroids = Some(trainedCentroids(s, dir)),
+        books = Some(trainedPqBooks(s, dir)),
+        assigned = Some(ivfIndex(s, dir)))
     }),
 
     "knn_ivf" -> ((s, dir) => {
@@ -1103,6 +1290,11 @@ object LlmQueries {
 
     "knn_ivf" -> ivfKmeansOracleSql(
       nProbe = 4, k = 5, iters = 3, dim = 64),
+
+    "knn_pq" -> pqOracleSql(m = 8, ksub = 16, iters = 3, dim = 64, k = 5),
+
+    "knn_ivfpq" -> ivfPqOracleSql(
+      nProbe = 4, k = 5, iters = 3, dim = 64, m = 8, ksub = 16),
 
     // near-dup pairs bucketed by the same trained cells
     "embed_cosine_pairs_ivf" -> ivfPairsOracleSql(

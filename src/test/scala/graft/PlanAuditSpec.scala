@@ -46,11 +46,14 @@ class PlanAuditSpec extends SparkSpec {
     *    approximate side under evaluation stays equi-join-audited;
     *  - the SQ8 FLAT index, which is the brute scan over one-byte codes
     *    (the memory-compression contrast: same all-pairs-by-definition
-    *    shape, 4× smaller scanned index); its pruned siblings remain
-    *    the equi-join-audited LSH/IVF paths. */
+    *    shape, 4× smaller scanned index);
+    *  - the flat-PQ index, the same deliberate flat scan over m-byte
+    *    codes (ADC: m lookups per candidate). The pruned siblings remain
+    *    the equi-join-audited LSH/IVF paths — including knn_ivfpq, whose
+    *    cell equi-join is audited here with no exemption. */
   private val nlJoinAllowed =
     Set("pit_dummy_entity", "knn_cosine_brute", "knn_recall_lsh",
-      "knn_sq8")
+      "knn_sq8", "knn_pq")
 
   /** True iff `p` provably produces at most one row: a grouping-less
     * global aggregate, or any row-count-preserving/reducing chain above
