@@ -87,4 +87,41 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** SMALL-FILE COMPACTION — the maintenance operator every long-lived
+    * 100 TB table needs: streaming/CDC ingestion leaves thousands of
+    * KB-scale files per partition, and both scan planning (one listing +
+    * footer read per file) and downstream task scheduling degrade
+    * linearly in file count. Rewrites `inDir`'s parquet as
+    * `ceil(totalBytes / targetFileBytes)` files (floor 1), sized from
+    * the ACTUAL on-disk listing so the target tracks compressed bytes,
+    * not row counts. `sortCols` optionally re-clusters while rewriting
+    * (compaction is the natural moment to restore clustering —
+    * `repartitionByRange` both bounds file count and keeps ranges
+    * disjoint for min/max pruning); otherwise a round-robin
+    * `repartition(n)` spreads rows evenly with no shuffle key at all.
+    * Returns (filesBefore, filesAfter). */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetFileBytes: Long,
+      sortCols: Seq[String] = Nil): (Int, Int) = {
+    def parquetFiles(d: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f).filter(_.getName.endsWith(".parquet"))
+      walk(new java.io.File(d))
+    }
+    val before = parquetFiles(inDir)
+    val n = math.max(1L,
+      (before.map(_.length).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(n)
+    shaped.write.mode("overwrite").parquet(outDir)
+    (before.size, parquetFiles(outDir).size)
+  }
 }

@@ -648,6 +648,26 @@ object CoreQueries {
     // Casts, scale-propagating multiplication and order-free exact sums
     // are identical in both engines, so the gate is bit-exact — no
     // double rounding anywhere after the initial cast.
+    // CDC / MERGE-apply: fold a deterministic change batch (a stale
+    // lower-version image that must LOSE, a winning update, and
+    // deletes) into the orders snapshot. No FP arithmetic anywhere —
+    // payload values pass through both engines untouched.
+    "x_cdc_apply" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val upd = o.filter(col("o_orderkey") % 10 === 0)
+      val ch = upd.select(col("o_orderkey"), lit(1).as("version"),
+          lit("U").as("op"), lit("STALE").as("o_orderstatus"),
+          col("o_totalprice"))
+        .unionByName(upd.select(col("o_orderkey"), lit(2).as("version"),
+          lit("U").as("op"), lit("X").as("o_orderstatus"),
+          col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 100 === 7)
+          .select(col("o_orderkey"), lit(2).as("version"),
+            lit("D").as("op"), col("o_orderstatus"), col("o_totalprice")))
+      Cdc.applyChanges(o, ch, Seq("o_orderkey"), "version", "op")
+    }),
+
     "x_decimal_revenue" -> ((s, dir) =>
       lineitem(s, dir)
         .select(col("l_returnflag"),
@@ -1332,6 +1352,33 @@ object CoreQueries {
          |       registers_nonzero, denom
          |FROM e JOIN d USING (hour)""".stripMargin
     },
+
+    // mirror of Cdc.applyChanges: max(struct(version, op, status,
+    // price)) ≡ rank-1 under ORDER BY all four DESC (no NULLs in any)
+    "x_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, 1 AS version, 'U' AS op,
+        |         'STALE' AS o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', 'X', o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 7),
+        |latest AS (SELECT * FROM (
+        |    SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY version DESC, op DESC, o_orderstatus DESC,
+        |        o_totalprice DESC) AS rk
+        |    FROM ch) t WHERE rk = 1),
+        |kept AS (SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        |         FROM orders o
+        |         WHERE NOT EXISTS (SELECT 1 FROM latest l
+        |                           WHERE l.o_orderkey = o.o_orderkey))
+        |SELECT * FROM kept
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM latest WHERE op != 'D'""".stripMargin,
 
     "x_decimal_revenue" ->
       """SELECT l_returnflag,

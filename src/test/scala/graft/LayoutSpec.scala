@@ -61,14 +61,59 @@ class LayoutSpec extends SparkSpec {
       val b = grid.orderBy("payload").collect().toSeq
       assert(a == b)
     } finally {
-      def rm(d: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(d))
-      }
       rm(zDir); rm(linDir)
     }
+  }
+
+  private def rm(d: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(go)
+      f.delete(); ()
+    }
+    go(new java.io.File(d))
+  }
+
+  test("compaction bin-packs to the byte target, preserves rows, restores pruning") {
+    val fragDir = "tmp_layoutspec_frag"
+    val outDir = "tmp_layoutspec_compact"
+    val outSorted = "tmp_layoutspec_compact_sorted"
+    try {
+      // a CDC-fragmented table: 64 tiny files
+      val t = spark.range(20000).select(col("id").as("k"),
+        (col("id") % 997).as("v"))
+      t.repartition(64).write.mode("overwrite").parquet(fragDir)
+
+      def files(d: String) = {
+        def go(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(go)
+          else Seq(f).filter(_.getName.endsWith(".parquet"))
+        go(new java.io.File(d))
+      }
+      val total = files(fragDir).map(_.length).sum
+      val target = total / 4 + 1 // expect ceil(total/target) = 4 files
+
+      val (nb, na) = Layout.compactParquet(spark, fragDir, outDir, target)
+      assert(nb == 64 && na == ((total + target - 1) / target).toInt &&
+        na <= 4)
+      // row multiset survives the rewrite
+      assert(spark.read.parquet(outDir).orderBy("k").collect().toSeq ==
+        t.orderBy("k").collect().toSeq)
+
+      // sorted compaction leaves key ranges DISJOINT across files — the
+      // min/max pruning property the fragmented layout lost
+      Layout.compactParquet(spark, fragDir, outSorted, target,
+        sortCols = Seq("k"))
+      val ranges = files(outSorted).map { f =>
+        val d = spark.read.parquet(f.getPath)
+        val r = d.agg(min("k"), max("k")).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      assert(ranges.size > 1 &&
+        ranges.sliding(2).forall {
+          case Seq((_, hi), (lo, _)) => hi < lo
+          case _ => true
+        })
+    } finally { rm(fragDir); rm(outDir); rm(outSorted) }
   }
 }
