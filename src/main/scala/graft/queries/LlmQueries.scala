@@ -796,6 +796,13 @@ object LlmQueries {
     "embed_pool" -> ((s, dir) =>
       Similarity.meanPoolFixed(emb(s, dir), col("vec_id") % 50, "embedding")),
 
+    // Johnson–Lindenstrauss 64→16 projection over the shared ±1 plane
+    // literals — per-row, no shuffle; the ANN/cluster pipeline's
+    // dimensionality-reduction pre-step
+    "embed_project" -> ((s, dir) =>
+      Similarity.randomProject(emb(s, dir), "vec_id", "embedding",
+        dOut = 16)),
+
     "dedup_drop_embed" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.dropNearDuplicatesByEmbedding(
@@ -1403,6 +1410,20 @@ object LlmQueries {
          |           HAVING min(lbl) != id)
          |SELECT e.vec_id, e.label FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    // same plane literals, same left-fold dot, same 1/sqrt scale —
+    // both engines compute sqrt(16.0) as the identical IEEE double
+    "embed_project" -> {
+      s"""WITH v AS (SELECT vec_id,
+         |            list_transform(embedding, x -> x::DOUBLE) AS v
+         |          FROM embeddings),
+         |n AS (SELECT vec_id, v FROM v),
+         |${planesSql(16)}
+         |SELECT n.vec_id, p.j,
+         |       round(${dotSql("n.v", "p.s")} * (1.0 / sqrt(16.0)), 6)
+         |         AS value
+         |FROM n CROSS JOIN planes p""".stripMargin
+    },
 
     // fixed-point pooling replayed on the same quantized integers; the
     // unit vector comes from the raw SUMS (uniform scaling cancels), so
