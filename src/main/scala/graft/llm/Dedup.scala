@@ -761,6 +761,33 @@ object Dedup {
     df.join(broadcast(losers), col(idCol) === col("__graft_loser"), "left_anti")
   }
 
+  /** Near-dup dedup that keeps the highest-QUALITY member of each
+    * cluster instead of the smallest id — the curation semantics a real
+    * training pipeline wants (when a page and its mirror near-duplicate,
+    * keep the cleaner extraction, not the lower URL hash). `scores` is
+    * any (doc_id, quality) relation — typically
+    * [[graft.llm.TextAnalysis.qualityScore]] — whose quality values are
+    * deterministic across engines (rounded); ties break on doc_id ASC
+    * via a lexicographic (quality, -doc_id) argmax, so the winner is
+    * unique even under equal scores. Same plan skeleton as
+    * [[dropNearDuplicatesFromPairs]]: pairs → components → per-cluster
+    * argmax (map-side combinable `max_by`) → broadcast LEFT ANTI; the
+    * loser set is bounded by the duplicate count. */
+  def keepBestPerCluster(
+      pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      scores: DataFrame): DataFrame = {
+    val clusters = nearDupClustersFromPairs(pairs, df, idCol, textCol)
+    val winners = clusters
+      .join(scores.select(col("doc_id"), col("quality")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("quality"), -col("doc_id"))).as("keep"))
+    val losers = clusters.join(broadcast(winners), "cluster_id")
+      .filter(col("doc_id") =!= col("keep"))
+      .select(col("doc_id").as("__graft_loser"))
+    df.join(broadcast(losers), col(idCol) === col("__graft_loser"), "left_anti")
+  }
+
   /** The (doc_id, lo, hi) 64-bit fingerprint relation behind
     * [[simHashPairs]], exposed for exactness testing. */
   private[llm] def simHashFingerprints(

@@ -100,16 +100,64 @@ object Similarity {
     * rounded 6dp. */
   def randomProject(
       df: DataFrame, idCol: String, vecCol: String,
-      dOut: Int, dim: Int = 64): DataFrame = {
+      dOut: Int, dim: Int = 64): DataFrame =
+    projectedVecs(df, idCol, vecCol, dOut, dim)
+      .select(col("vec_id"), posexplode(col("pv")))
+      .select(col("vec_id"), col("pos").as("j"), col("col").as("value"))
+
+  /** The projected vectors as ARRAYS of 6dp-rounded components — the
+    * internal form [[randomProject]] explodes and [[projectRerankKnn]]
+    * scores on. Rounding BEFORE any downstream arithmetic makes the
+    * projected space's values literal-identical across engines, so
+    * candidate selection in that space can never tie-break differently. */
+  private def projectedVecs(
+      df: DataFrame, idCol: String, vecCol: String,
+      dOut: Int, dim: Int): DataFrame = {
     val signs = planeSigns(dOut, dim)
     val scale = 1.0 / math.sqrt(dOut.toDouble)
     val comps = array(signs.map(row =>
-      dot(col("v"), lit(row.map(_.toDouble).toArray)) * lit(scale)): _*)
+      round(dot(col("v"), lit(row.map(_.toDouble).toArray)) * lit(scale),
+        6)): _*)
     df.select(col(idCol).as("vec_id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
-      .select(col("vec_id"), posexplode(comps))
-      .select(col("vec_id"), col("pos").as("j"),
-        round(col("col"), 6).as("value"))
+      .select(col("vec_id"), comps.as("pv"))
+  }
+
+  /** TWO-STAGE ANN: candidate generation in the JL-projected space,
+    * exact re-rank in the original space — the classic
+    * reduce-then-refine layout (dimensionality reduction is lossy, so
+    * the projected score only SELECTS `m` candidates per query; the
+    * returned top-k and its similarities are exact cosine on the full
+    * vectors). At scale the win is stage 1 touching `dOut/dim` of the
+    * bytes per comparison (64→16 = 4×) with the same broadcast-queries
+    * / local-scoring shape as [[bruteForceKnn]]; stage 2 then scores
+    * only `m·|queries|` full-width pairs — a broadcastable candidate
+    * list joined back to the corpus by id, never an all-pairs pass.
+    * Projected scores are dots of 6dp-rounded components (see
+    * [[projectedVecs]]) so both engines select identical candidates.
+    * Output: (qid, nid, rank, sim) — same contract as the other knn
+    * operators. */
+  def projectRerankKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int,
+      dOut: Int = 16, dim: Int = 64): DataFrame = {
+    val cp = projectedVecs(corpus, idCol, vecCol, dOut, dim)
+    val qp = projectedVecs(queries, idCol, vecCol, dOut, dim)
+      .select(col("vec_id").as("qid"), col("pv").as("qpv"))
+    // stage 1: approximate score in dOut dims, bounded top-m per query
+    val cand = cp.join(broadcast(qp), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        dot(col("qpv"), col("pv")).as("sim"))
+    val topm = topK(cand, m).select("qid", "nid")
+    // stage 2: exact cosine on the full vectors for the survivors only
+    val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val exact = v.join(broadcast(topm), "nid").join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    topK(exact, k)
   }
 
   /** Default LSH plane count as a function of corpus size:

@@ -715,6 +715,27 @@ object CoreQueries {
           sum("cents").over(w).as("cents_7d"))
     }),
 
+    // Per-entity forward fill (last-observation-carried-forward): the
+    // most recent purchase amount AS OF each event — the gap-fill shape
+    // every feature pipeline needs for sparse signals. Total order =
+    // (floored epoch second, event_id): the same engine-portable time
+    // key as x_rolling_window, with event_id making ties deterministic;
+    // the carried measure is integer cents. ROWS frame + ignoreNulls
+    // last() is a single pass per partition — no self-join, no shuffle
+    // beyond the one window partitioning.
+    "x_forward_fill" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("event_id"), col("user_id"),
+          last(col("cents"), ignoreNulls = true).over(w)
+            .as("last_purchase_cents"))
+    }),
+
     // Deterministic fixed-point PageRank over the part↔supplier graph —
     // the graph-centrality quality signal corpus pipelines use for
     // source weighting. Integer arithmetic end to end (graft.llm.Graph),
@@ -1269,6 +1290,18 @@ object CoreQueries {
         |WINDOW w AS (PARTITION BY user_id
         |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |             RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // same floored-epoch + event_id total order as x_rolling_window —
+    // the fill can never pick a different donor row across engines
+    "x_forward_fill" ->
+      """SELECT event_id, user_id,
+        |       last_value(CASE WHEN event_type = 'purchase'
+        |                  THEN round(value * 100)::BIGINT END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id
+        |               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS last_purchase_cents
+        |FROM events""".stripMargin,
 
     "graph_pagerank" -> {
       val edgesCte =

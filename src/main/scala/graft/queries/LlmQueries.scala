@@ -668,6 +668,14 @@ object LlmQueries {
       Dedup.dropNearDuplicatesFromPairs(
         jaccardPairs(s, dir), docs(s, dir), "doc_id", "text")),
 
+    // near-dup dedup keeping each cluster's highest-QUALITY member
+    // (ties → lowest id) instead of the lowest id — real curation
+    // semantics: keep the cleaner extraction, drop its mirrors
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBestPerCluster(
+        jaccardPairs(s, dir), docs(s, dir), "doc_id", "text",
+        TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text"))),
+
     "knn_cosine_brute" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceKnn(
@@ -802,6 +810,23 @@ object LlmQueries {
     "embed_project" -> ((s, dir) =>
       Similarity.randomProject(emb(s, dir), "vec_id", "embedding",
         dOut = 16)),
+
+    // two-stage ANN: candidate generation in the JL-projected 16-dim
+    // space (4× fewer bytes per comparison), exact cosine re-rank of
+    // the m=20 survivors — selection is approximate, the returned
+    // sims are exact
+    "knn_project_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.projectRerankKnn(
+        e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, m = 20)
+    }),
+
+    // the k-means cluster ASSIGNMENT surface (topic bucketing for
+    // mixture sampling and per-cluster curation): the cached IVF
+    // index's (vec_id, cell) relation, exposed first-class
+    "embed_kmeans_assign" -> ((s, dir) =>
+      ivfIndex(s, dir).select(col("id").as("vec_id"), col("cell"))),
 
     "dedup_drop_embed" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1110,6 +1135,39 @@ object LlmQueries {
          |           HAVING min(lbl) != id)
          |SELECT d.* FROM documents d
          |WHERE d.doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    // winner per cluster = row_number 1 under (quality DESC, doc_id) —
+    // the exact order of the Spark side's (quality, -doc_id) argmax;
+    // quality replays text_quality's formula on the same 6dp round
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $DocsCte, ${shCte32(3)}, $JaccardCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         |clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+         |             FROM reach GROUP BY id),
+         |m AS (SELECT d.doc_id,
+         |        length(d2.text)::DOUBLE AS nc,
+         |        length(regexp_replace(d2.text, '[^A-Za-z]', '', 'g'))::DOUBLE AS na,
+         |        len(d.w)::DOUBLE AS nw,
+         |        len(list_filter(d.w, x -> x IN
+         |          ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE AS ns
+         |      FROM docs d JOIN documents d2 ON d.doc_id = d2.doc_id),
+         |qual AS (SELECT doc_id,
+         |           round(0.4 * (na / nc) + 0.4 * (ns / nw) +
+         |                 0.2 * least(nw / 100.0, 1.0), 6) AS quality
+         |         FROM m),
+         |w AS (SELECT c.doc_id, row_number() OVER (
+         |        PARTITION BY c.cluster_id
+         |        ORDER BY q.quality DESC, c.doc_id) AS r
+         |      FROM clusters c JOIN qual q USING (doc_id)),
+         |losers AS (SELECT doc_id FROM w WHERE r > 1)
+         |SELECT d.* FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $DocsCte, ${shCte32(3)},
@@ -1424,6 +1482,48 @@ object LlmQueries {
          |         AS value
          |FROM n CROSS JOIN planes p""".stripMargin
     },
+
+    // stage 1 selects on dots of the 6dp-ROUNDED projected components
+    // (literal-identical across engines, ties on nid), stage 2 re-ranks
+    // the survivors with the exact full-width cosine
+    "knn_project_rerank" ->
+      s"""WITH v AS (SELECT vec_id,
+         |            list_transform(embedding, x -> x::DOUBLE) AS v
+         |          FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+         |      WHERE vec_id % 100 = 0),
+         |${planesSql(16)},
+         |pc AS (SELECT n.vec_id, p.j,
+         |         round(${dotSql("n.v", "p.s")} * (1.0 / sqrt(16.0)), 6)
+         |           AS c
+         |       FROM n CROSS JOIN planes p),
+         |pv AS (SELECT vec_id, list(c ORDER BY j) AS pv FROM pc
+         |       GROUP BY vec_id),
+         |cand AS (SELECT qp.vec_id AS qid, cp.vec_id AS nid,
+         |           ${dotSql("qp.pv", "cp.pv")} AS ps
+         |         FROM pv qp JOIN pv cp ON cp.vec_id != qp.vec_id
+         |         WHERE qp.vec_id % 100 = 0),
+         |topm AS (SELECT qid, nid FROM (
+         |           SELECT qid, nid, row_number() OVER (
+         |             PARTITION BY qid ORDER BY ps DESC, nid) AS r
+         |           FROM cand) t
+         |         WHERE r <= 20),
+         |scored AS (SELECT t.qid, t.nid,
+         |             ${dotSql("q.qv", "n.v")} / (q.qn * n.nrm) AS sim
+         |           FROM topm t JOIN q ON q.qid = t.qid
+         |           JOIN n ON n.vec_id = t.nid),
+         |r AS (SELECT qid, nid, sim, row_number() OVER (
+         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM scored)
+         |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+         |WHERE rank <= 5""".stripMargin,
+
+    // the training chain's terminal nb(vec_id, v, nrm, cell) relation
+    // IS the assignment — the same CTEs every ivf consumer replays
+    "embed_kmeans_assign" ->
+      s"""${ivfTrainCtes(3, 64)}
+         |SELECT vec_id, cell FROM nb""".stripMargin,
 
     // fixed-point pooling replayed on the same quantized integers; the
     // unit vector comes from the raw SUMS (uniform scaling cancels), so

@@ -50,10 +50,14 @@ class PlanAuditSpec extends SparkSpec {
     *  - the flat-PQ index, the same deliberate flat scan over m-byte
     *    codes (ADC: m lookups per candidate). The pruned siblings remain
     *    the equi-join-audited LSH/IVF paths — including knn_ivfpq, whose
-    *    cell equi-join is audited here with no exemption. */
+    *    cell equi-join is audited here with no exemption;
+    *  - project+rerank's stage 1, the same flat-scan-over-compressed
+    *    family (JL-projected 16-of-64 dims against the broadcast query
+    *    side — linear in corpus, 4× fewer bytes per comparison); its
+    *    stage 2 re-rank joins back by id and stays equi-join-audited. */
   private val nlJoinAllowed =
     Set("pit_dummy_entity", "knn_cosine_brute", "knn_recall_lsh",
-      "knn_sq8", "knn_pq")
+      "knn_sq8", "knn_pq", "knn_project_rerank")
 
   /** True iff `p` provably produces at most one row: a grouping-less
     * global aggregate, or any row-count-preserving/reducing chain above
