@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   *   3. union the surviving after-images.
   *
   * Semantics: any change beats the snapshot (the batch is by definition
-  * newer); among changes for one key the largest `(versionCol, other
-  * change columns)` struct wins — a deterministic total order even if a
-  * version collides, mirrored by the oracle's `ORDER BY … DESC` chain.
+  * newer); among changes for one key the largest `(versionCol, opCol,
+  * data columns in NAME order)` struct wins — a deterministic total
+  * order even if a version collides, and one PINNED to column names
+  * (ADVICE r7: deriving the tie-break from `changes`' incidental column
+  * order made the winner depend on how the caller assembled the batch),
+  * mirrored by the oracle's fixed `ORDER BY … DESC` chain.
   * A winning delete (`opCol == deleteOp`) removes the key; a winning
   * upsert replaces the row. Applying the same batch twice is a no-op
   * (idempotent — spec-proved), which is what makes retry-safe ingestion
@@ -37,8 +40,9 @@ object Cdc {
     val dataCols = base.columns.filterNot(keys.contains)
     require(dataCols.forall(changes.columns.contains),
       s"changes must carry full after-images of ${dataCols.mkString(",")}")
-    val others = changes.columns
-      .filterNot(c => keys.contains(c) || c == versionCol)
+    val others = opCol +: changes.columns
+      .filterNot(c => keys.contains(c) || c == versionCol || c == opCol)
+      .sorted.toSeq
     val latest = changes
       .groupBy(keys.map(col): _*)
       .agg(max(struct((versionCol +: others.toSeq).map(col): _*)).as("__w"))

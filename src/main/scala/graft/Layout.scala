@@ -100,21 +100,35 @@ object Layout {
     * `repartitionByRange` both bounds file count and keeps ranges
     * disjoint for min/max pruning); otherwise a round-robin
     * `repartition(n)` spreads rows evenly with no shuffle key at all.
-    * Returns (filesBefore, filesAfter). */
+    * Listing goes through the Hadoop `FileSystem` of the path (works on
+    * HDFS/S3/local alike — a `java.io.File` walk silently lists nothing
+    * on a remote FS and would collapse sizing to one file). `outDir`
+    * must differ from `inDir`: overwrite-while-reading would destroy
+    * the input. Returns (filesBefore, filesAfter). */
   def compactParquet(
       spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetFileBytes: Long,
       sortCols: Seq[String] = Nil): (Int, Int) = {
-    def parquetFiles(d: String): Seq[java.io.File] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-        else Seq(f).filter(_.getName.endsWith(".parquet"))
-      walk(new java.io.File(d))
+    import org.apache.hadoop.fs.Path
+    def parquetFiles(d: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new Path(d)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      def walk(st: org.apache.hadoop.fs.FileStatus)
+          : Seq[org.apache.hadoop.fs.FileStatus] =
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+        else Seq(st).filter(_.getPath.getName.endsWith(".parquet"))
+      if (fs.exists(p)) walk(fs.getFileStatus(p)) else Nil
     }
+    val inPath = new Path(inDir)
+    val outPath = new Path(outDir)
+    val conf = spark.sessionState.newHadoopConf()
+    require(
+      inPath.getFileSystem(conf).makeQualified(inPath) !=
+        outPath.getFileSystem(conf).makeQualified(outPath),
+      s"compactParquet: outDir must differ from inDir ($inDir)")
     val before = parquetFiles(inDir)
     val n = math.max(1L,
-      (before.map(_.length).sum + targetFileBytes - 1) / targetFileBytes).toInt
+      (before.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(inDir)
     val shaped =
       if (sortCols.nonEmpty)
@@ -122,6 +136,9 @@ object Layout {
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(n)
     shaped.write.mode("overwrite").parquet(outDir)
+    // A pre-existing cached relation for outDir would keep serving the
+    // overwritten listing — drop it.
+    spark.catalog.refreshByPath(outDir)
     (before.size, parquetFiles(outDir).size)
   }
 }

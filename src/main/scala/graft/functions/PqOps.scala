@@ -15,7 +15,11 @@ import org.apache.spark.sql.types._
   *
   * Both expressions assume a FIXED-WIDTH vector (`numElements ≥ m·dsub`)
   * — the same contract the SQ8/IVF family places on the embedding
-  * column.
+  * column. The contract is ENFORCED: a shorter vector throws (loud
+  * schema violation, never an out-of-bounds UnsafeArrayData read), and a
+  * null ELEMENT poisons the result to null — the same propagation as
+  * [[PlaneBucket]]/[[DotProduct]] and the oracle's NULL-propagating
+  * fold.
   *
   * Determinism contract: per (subspace, centroid) the squared-L2
   * distance / partial dot is the LEFT-TO-RIGHT element fold starting at
@@ -52,11 +56,19 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() < mSub * dSub)
+      throw new IllegalArgumentException(
+        s"graft_pq_encode: vector has ${x.numElements()} elements, codebook needs ${mSub * dSub}")
     val codes = new Array[Int](mSub)
     var s = 0
     while (s < mSub) {
       val sub = booksArr(s)
       val off = s * dSub
+      var d0 = 0
+      while (d0 < dSub) {
+        if (x.isNullAt(off + d0)) return null
+        d0 += 1
+      }
       var best = -1
       var bd = 0.0
       var c = 0
@@ -82,30 +94,42 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
       ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bm = ctx.addReferenceObj("books", booksArr, "double[][][]")
     nullSafeCodeGen(ctx, ev, a => {
-      val (s, c, d, off, sub, cv, acc, diff, best, bd, codes) = (
+      val (s, c, d, off, sub, cv, acc, diff, best, bd, codes, need, i) = (
         ctx.freshName("s"), ctx.freshName("c"), ctx.freshName("d"),
         ctx.freshName("off"), ctx.freshName("sub"), ctx.freshName("cv"),
         ctx.freshName("acc"), ctx.freshName("diff"), ctx.freshName("best"),
-        ctx.freshName("bd"), ctx.freshName("codes"))
+        ctx.freshName("bd"), ctx.freshName("codes"), ctx.freshName("need"),
+        ctx.freshName("i"))
       s"""
-         |int[] $codes = new int[$bm.length];
-         |for (int $s = 0; $s < $bm.length; $s++) {
-         |  double[][] $sub = $bm[$s];
-         |  int $off = $s * $sub[0].length;
-         |  int $best = -1;
-         |  double $bd = 0.0;
-         |  for (int $c = 0; $c < $sub.length; $c++) {
-         |    double[] $cv = $sub[$c];
-         |    double $acc = 0.0;
-         |    for (int $d = 0; $d < $cv.length; $d++) {
-         |      double $diff = $a.getDouble($off + $d) - $cv[$d];
-         |      $acc += $diff * $diff;
-         |    }
-         |    if ($best < 0 || $acc < $bd) { $bd = $acc; $best = $c; }
-         |  }
-         |  $codes[$s] = $best;
+         |int $need = $bm.length * $bm[0][0].length;
+         |if ($a.numElements() < $need) {
+         |  throw new IllegalArgumentException(
+         |    "graft_pq_encode: vector has " + $a.numElements() +
+         |    " elements, codebook needs " + $need);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |for (int $i = 0; $i < $need; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  int[] $codes = new int[$bm.length];
+         |  for (int $s = 0; $s < $bm.length; $s++) {
+         |    double[][] $sub = $bm[$s];
+         |    int $off = $s * $sub[0].length;
+         |    int $best = -1;
+         |    double $bd = 0.0;
+         |    for (int $c = 0; $c < $sub.length; $c++) {
+         |      double[] $cv = $sub[$c];
+         |      double $acc = 0.0;
+         |      for (int $d = 0; $d < $cv.length; $d++) {
+         |        double $diff = $a.getDouble($off + $d) - $cv[$d];
+         |        $acc += $diff * $diff;
+         |      }
+         |      if ($best < 0 || $acc < $bd) { $bd = $acc; $best = $c; }
+         |    }
+         |    $codes[$s] = $best;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
        """.stripMargin
     })
   }
@@ -133,6 +157,14 @@ case class PqLut(child: Expression, books: Seq[Seq[Seq[Double]]])
     val a = child.eval(input)
     if (a == null) return null
     val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() < mSub * dSub)
+      throw new IllegalArgumentException(
+        s"graft_pq_lut: vector has ${x.numElements()} elements, codebook needs ${mSub * dSub}")
+    var i = 0
+    while (i < mSub * dSub) {
+      if (x.isNullAt(i)) return null
+      i += 1
+    }
     val out = new Array[ArrayData](mSub)
     var s = 0
     while (s < mSub) {

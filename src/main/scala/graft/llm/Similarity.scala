@@ -940,14 +940,20 @@ object Similarity {
       .agg(sum("qv").as("sq"), count(lit(1)).as("n"))
     // Σ sq² must stay inside a long (the oracle sums into HUGEINT; a
     // silent Spark wrap would surface as a hash mismatch, not an error).
-    // Headroom: |sq| ≤ scale·n ⇒ the documented bound is ~10^5 unit-ish
-    // vectors per group at dim 64 for the default scale — a wrap shows
-    // up negative, so fail loudly here (ADVICE r6).
-    val ss = s.groupBy("g").agg(sum(col("sq") * col("sq")).as("ssq"))
-      .withColumn("ssq", when(col("ssq") < 0,
-        raise_error(lit("meanPoolFixed: sum-of-squares overflowed long — " +
-          "reduce `scale` or split groups")).cast("long"))
-        .otherwise(col("ssq")))
+    // ADVICE r7: a sign check alone misses wraps past 2^64 that land
+    // positive — so accumulate in decimal(38,0), where sq² always fits
+    // (sq is a long ⇒ sq² < 2^126 < 10^38), and fail loudly if the SUM
+    // leaves decimal range (null under non-ANSI) or exceeds Long range
+    // before the cast back.
+    val sqDec = col("sq").cast("decimal(19,0)")
+    val ss = s.groupBy("g").agg(sum(sqDec * sqDec).as("ssqDec"))
+      .withColumn("ssq",
+        when(col("ssqDec").isNull ||
+            col("ssqDec") > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(lit("meanPoolFixed: sum-of-squares overflowed long — " +
+            "reduce `scale` or split groups")).cast("long"))
+        .otherwise(col("ssqDec").cast("long")))
+      .drop("ssqDec")
     s.join(ss, "g").select(
       col("g"), col("pos"), col("n").cast("long").as("n_vecs"),
       col("sq").as("sum_fixed"),

@@ -55,6 +55,23 @@ class CdcSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("version-tie winner is invariant to the batch's column order") {
+    import spark.implicits._
+    // Two changes for key 1 with the SAME version: the pinned
+    // (op, data-cols-by-name) tie-break must pick the same winner no
+    // matter how the caller ordered the batch's columns (ADVICE r7).
+    val ch = Seq(
+      (1L, 2, "U", "aaa", 99.0),
+      (1L, 2, "U", "zzz", 11.0)
+    ).toDF("k", "version", "op", "status", "amt")
+    val reordered = ch.select("amt", "status", "op", "version", "k")
+    val a = rows(applyChanges(base(), ch, Seq("k"), "version", "op"))
+    val b = rows(applyChanges(base(), reordered, Seq("k"), "version", "op"))
+    assert(a == b)
+    // name order: amt sorts before status, so amt=99.0 wins the tie
+    assert(a.contains((1L, "aaa", 99.0)))
+  }
+
   test("changes missing an after-image column are rejected") {
     import spark.implicits._
     val ch = Seq((1L, 2, "U", "new")).toDF("k", "version", "op", "status")

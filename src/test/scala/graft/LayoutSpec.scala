@@ -116,4 +116,15 @@ class LayoutSpec extends SparkSpec {
         })
     } finally { rm(fragDir); rm(outDir); rm(outSorted) }
   }
+
+  test("compaction refuses outDir == inDir (overwrite-while-reading)") {
+    val d = "tmp_layoutspec_selfcompact"
+    try {
+      spark.range(10).write.mode("overwrite").parquet(d)
+      val e = intercept[IllegalArgumentException] {
+        Layout.compactParquet(spark, d, d, 1L << 20)
+      }
+      assert(e.getMessage.contains("must differ"))
+    } finally { rm(d) }
+  }
 }

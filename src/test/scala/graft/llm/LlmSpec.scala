@@ -523,6 +523,16 @@ class LlmSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val z = Similarity.meanPoolFixed(zeros, lit(0L), "embedding").collect()
     assert(z.forall(_.isNullAt(5)))
+    // sum-of-squares past Long range fails LOUDLY even when a raw long
+    // wrap would land positive (ADVICE r7: decimal accumulation, not a
+    // sign check): qv = 3e18 ⇒ sq² ≈ 9e36 ≫ 2^63
+    val huge = Seq((1L, Seq(3e14f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.meanPoolFixed(huge, lit(0L), "embedding").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("overflowed long")))
   }
 
   test("duplicated spans: copies saturate, quotes score partially, " +

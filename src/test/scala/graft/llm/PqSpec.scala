@@ -44,6 +44,34 @@ class PqSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("null elements poison to null; short vectors fail loudly") {
+    import org.apache.spark.sql.GraftSql
+    import spark.implicits._
+    // 2 subspaces × 2 centroids × 2 dims
+    val books: Seq[Seq[Seq[Double]]] =
+      Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)), Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    def enc(c: org.apache.spark.sql.Column) =
+      GraftSql.column(graft.functions.PqEncode(GraftSql.expression(c), books))
+    def lut(c: org.apache.spark.sql.Column) =
+      GraftSql.column(graft.functions.PqLut(GraftSql.expression(c), books))
+    val ok = Seq(Seq[java.lang.Double](1.0, 1.0, 0.1, 0.1)).toDF("v")
+    assert(ok.select(enc(col("v"))).head.getSeq[Int](0) == Seq(1, 0))
+    assert(!ok.select(lut(col("v"))).head.isNullAt(0))
+    // a null ELEMENT → whole result null (same contract as PlaneBucket)
+    val hasNull = Seq(Seq[java.lang.Double](1.0, null, 0.1, 0.1)).toDF("v")
+    assert(hasNull.select(enc(col("v"))).head.isNullAt(0))
+    assert(hasNull.select(lut(col("v"))).head.isNullAt(0))
+    // a SHORT vector violates the fixed-width contract → loud error,
+    // never an out-of-bounds UnsafeArrayData read
+    val short = Seq(Seq[java.lang.Double](1.0, 1.0)).toDF("v")
+    val e1 = intercept[Exception] { short.select(enc(col("v"))).collect() }
+    assert(e1.getMessage.contains("codebook needs") ||
+      Option(e1.getCause).exists(_.getMessage.contains("codebook needs")))
+    val e2 = intercept[Exception] { short.select(lut(col("v"))).collect() }
+    assert(e2.getMessage.contains("codebook needs") ||
+      Option(e2.getCause).exists(_.getMessage.contains("codebook needs")))
+  }
+
   test("ADC search == naive reconstruction scoring, bit for bit") {
     val e = graft.Tables.read(spark, sf(), "embeddings")
     val books = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
