@@ -886,24 +886,38 @@ object Similarity {
     * pairs must share an LSH bucket (approximate recall, exact precision
     * after verification). For the exact-oracle variant at test scale use
     * bucketless=true, which compares all pairs through a broadcast —
-    * acceptable only for small corpora (the oracle path), never at 100 TB. */
+    * acceptable only for small corpora (the oracle path), never at 100 TB.
+    *
+    * PAIR-EMISSION BUDGET (default contract since r8): a dup-dense corpus
+    * makes the pair SET quadratic in the duplicate count — the one output
+    * a 100 TB job cannot absorb — so by default each doc keeps only its
+    * `maxPairsPerDoc` strongest pairs (either-endpoint top-k by
+    * (sim DESC, neighbor id), the deterministic [[Dedup.capPairsPerDoc]]
+    * order both engines share). Downstream consumers (CC clustering,
+    * drop-losers) are insensitive to the dropped edges in practice:
+    * within a dup clique the strongest edges already connect it. Pass
+    * `maxPairsPerDoc = 0` for the uncapped yardstick — licensed for
+    * small-corpus oracle work only. */
   def cosinePairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       tau: Double, bucketless: Boolean = false,
-      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 8, dim: Int = 64,
+      maxPairsPerDoc: Int = 64): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val withB =
       if (bucketless) base.withColumn("bkt", lit(0L))
       else base.withColumn("bkt",
         bucketExpr(col("v"), planeSigns(nPlanes, dim)))
-    withB.as("a")
+    val pairs = withB.as("a")
       .join(withB.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= tau)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+    if (maxPairsPerDoc > 0) Dedup.capPairsPerDoc(pairs, "sim", maxPairsPerDoc)
+    else pairs
   }
 
   /** FIXED-POINT MEAN POOLING + L2 NORMALIZATION of vector groups — the

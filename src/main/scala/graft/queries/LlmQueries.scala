@@ -1548,6 +1548,9 @@ object LlmQueries {
         |            END AS unit
         |FROM s JOIN ss USING (g)""".stripMargin,
 
+    // since r8 the operator's DEFAULT contract caps emission at 64
+    // pairs/doc (either-endpoint top-k, the capSql order) — the oracle
+    // carries the identical cap
     "embed_cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id,
          |             list_transform(embedding, x -> x::DOUBLE) AS v
@@ -1555,12 +1558,14 @@ object LlmQueries {
          |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
          |${bucketCtes(4)},
          |nb AS (SELECT n.vec_id, n.v, n.nrm, bkt.bkt FROM n
-         |       JOIN bkt ON n.vec_id = bkt.vec_id)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS sim
-         |FROM nb a JOIN nb b
-         |  ON a.bkt = b.bkt AND a.vec_id < b.vec_id
-         |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+         |       JOIN bkt ON n.vec_id = bkt.vec_id),
+         |jp AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS sim
+         |  FROM nb a JOIN nb b
+         |    ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4),
+         |${capSql("jp", "sim", 64, "id_a, id_b, sim")}""".stripMargin,
 
     // the pipeline stage by stage: quality keep-set, min-id-per-md5
     // exact survivors, recursive min-label components over jaccard≥0.5

@@ -375,12 +375,16 @@ class LlmSpec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxPairsPerDoc = 0: the uncapped YARDSTICK form — the recall
+    // denominator must be the complete pair set
     val exact = pairs(Similarity.cosinePairs(
-      corpus, "vec_id", "embedding", tau = 0.9, bucketless = true))
+      corpus, "vec_id", "embedding", tau = 0.9, bucketless = true,
+      maxPairsPerDoc = 0))
     val ivf = pairs(Similarity.cosinePairsIvf(
       corpus, "vec_id", "embedding", tau = 0.9, nList = 8, iters = 3))
     val hyp = pairs(Similarity.cosinePairs(
-      corpus, "vec_id", "embedding", tau = 0.9, nPlanes = 8, dim = 16))
+      corpus, "vec_id", "embedding", tau = 0.9, nPlanes = 8, dim = 16,
+      maxPairsPerDoc = 0))
     assert(exact.nonEmpty)
     assert(ivf.subsetOf(exact), "bucketing must never invent a pair")
     val (rIvf, rHyp) =
