@@ -34,6 +34,32 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // CONTROL query (constant work, data-independent): a seeded 1e7-row
+    // hash+aggregate over spark.range. Its cost is fixed across rounds and
+    // scale factors, so any drift in its timing measures the BOX (load,
+    // thermal, JIT state), not the engine. r6→r7 saw the whole text family
+    // "regress" 1.5-2.8× with zero code changes — unconfirmable noise
+    // because nothing in the artifact recorded environment state. Timed
+    // median-of-3 BEFORE and AFTER the main loop: a drifting pair means
+    // the box got loaded mid-run and per-query deltas that round are
+    // suspect.
+    def controlOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 10000000L, 1L, 32)
+        .selectExpr(
+          // pmod before the sum: summing 1e7 raw 64-bit hashes overflows
+          // long under ANSI; the hash work (what's being timed) is identical
+          "sum(pmod(xxhash64(id, id * 2654435761), 1000000)) as h",
+          "sum(crc32(cast(id as string))) as c")
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def controlMedian3(): Double = {
+      controlOnce() // warm
+      val ts = (1 to 3).map(_ => controlOnce()).sorted
+      ts(1)
+    }
+    val controlPre = controlMedian3()
     // MEDIAN OF 3 runs per query: single-shot ~1s timings on a shared box
     // swing ±50% with JIT/scheduling noise (r2→r3 saw 2-4× swings on
     // queries whose code never changed) — a median can't be dragged by one
@@ -67,10 +93,12 @@ object Bench {
       case (k, Right(v)) => s"${jstr(k)}:$v"
       case (k, Left(m))  => s"${jstr(k)}:{${jstr("err")}:${jstr(m)}}"
     }.mkString("{", ",", "}")
+    val controlPost = controlMedian3()
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nerr = results.count(_._2.isLeft)
+    val ctl = f""""control_pre_s":$controlPre%.3f,"control_post_s":$controlPost%.3f"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir","reps":$reps,$ctl}"""
     // The metric JSON ALSO goes to a file: the driver captures only the
     // tail of stdout, and r3's line was truncated mid-object by sbt noise
     // ("parsed": null in BENCH_r03.json). A file can't be truncated by a
@@ -142,7 +170,7 @@ object Bench {
     // tail window truncated the full per-query line in r3 AND r4
     // ("parsed": null). This one is ~120 bytes and always fits.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nerr,"sf":"$sfDir","reps":$reps,"n_queries":${results.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nerr,"sf":"$sfDir","reps":$reps,"n_queries":${results.size},$ctl}"""
     println(compact)
     System.out.flush()
   }

@@ -55,6 +55,16 @@ object Tables {
   /** Read a parquet file/directory, transparently repairing any
     * TIMESTAMP(NANOS) columns into microsecond timestamps. */
   def readParquet(spark: SparkSession, path: String): DataFrame = {
+    // Pin tz-naive parquet timestamps (isAdjustedToUTC=false) to LTZ
+    // TIMESTAMP, not TIMESTAMP_NTZ. Spark 4 infers NTZ for such columns by
+    // default, which poisons every downstream unix_micros/cast/interval
+    // expression with a type the rest of the engine (and the DuckDB
+    // oracle, which reads naive micros as plain TIMESTAMP under a UTC
+    // session) doesn't speak. Set BEFORE schema inference so the cached
+    // rawSchema is LTZ and the scan itself carries LTZ — a post-read cast
+    // would block parquet predicate pushdown on the timestamp column.
+    // Sessions here run in UTC, so LTZ and NTZ denote the same instants.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if (metaCache.size > 256) // drop entries owned by stopped sessions
       metaCache.keySet.asScala.filter(_._1.sparkContext.isStopped)
         .foreach(metaCache.remove)

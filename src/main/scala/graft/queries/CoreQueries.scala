@@ -33,6 +33,13 @@ object CoreQueries {
   private def regEvents(s: SparkSession, dir: String): Unit =
     events(s, dir).createOrReplaceTempView("graft_events")
 
+  /** Dir-keyed bucketed-events table name: lets the probe query reuse a
+    * table built earlier in the same session for the SAME data dir while
+    * never colliding across dirs (bench warms at sf0.01, times at sf0.1).
+    * String.hashCode is spec-fixed, so the name is deterministic. */
+  private def bucketedEventsName(dir: String): String =
+    "graft_events_bkt_" + java.lang.Integer.toHexString(dir.hashCode)
+
   /** The entity-df "spine" used by the PIT queries: a deterministic sample
     * of events, looking back from 30 minutes after each sampled event. */
   private[queries] def spine(s: SparkSession, dir: String): DataFrame =
@@ -881,19 +888,43 @@ object CoreQueries {
       lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
         Layout.zOrder2(col("l_partkey"), col("l_suppkey")).as("zval"))),
 
-    // BUCKETED co-located join (Engine.createTableBucketed — EngineSpec
-    // proves the zero-Exchange plan): both join sides derive from one
-    // bucketBy(user_id) table, so the user_id aggregate AND the
-    // fact⋈dim join run shuffle-free — only the final 5-group rollup
-    // exchanges. The oracle is the plain-parquet formulation: the
-    // layout must be semantically invisible.
-    "x_bucketed_join" -> ((s, dir) => {
+    // BUCKETED co-located join, split into BUILD and PROBE rows so the
+    // bench artifact shows each cost on its own line — the 100 TB story
+    // is precisely "pay the shuffle once at write time, then every
+    // bucket-keyed agg/join is exchange-free", and a single fused timing
+    // buried the probe under the write (r7 verdict item 4).
+    //
+    // BUILD: the bucketed CTAS (Engine.createTableBucketed — one shuffle
+    // into 16 user_id buckets, sorted within). Always rebuilds; returns a
+    // read-back verification aggregate so the timed work includes proof
+    // the write landed. Oracle = same aggregate over plain parquet.
+    "x_bucketed_join_build" -> ((s, dir) => {
       val eng = new Engine(s)
-      eng.createTableBucketed("graft_events_bkt",
+      eng.createTableBucketed(bucketedEventsName(dir),
         Tables.read(s, dir, "events")
           .select("user_id", "event_type", "value"),
         Seq("user_id"), nBuckets = 16)
-      val ev = s.table("graft_events_bkt")
+      s.table(bucketedEventsName(dir)).agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    }),
+
+    // PROBE (EngineSpec proves the zero-Exchange plan): both join sides
+    // derive from the one bucketBy(user_id) table, so the user_id
+    // aggregate AND the fact⋈dim join run shuffle-free — only the final
+    // 5-group rollup exchanges. Builds the table only if this session
+    // hasn't yet (dir-keyed name; the testdata dirs are immutable within
+    // a run), so bench reps after the first time the probe alone. The
+    // oracle is the plain-parquet formulation: the layout must be
+    // semantically invisible.
+    "x_bucketed_join" -> ((s, dir) => {
+      val name = bucketedEventsName(dir)
+      if (!s.catalog.tableExists(name))
+        new Engine(s).createTableBucketed(name,
+          Tables.read(s, dir, "events")
+            .select("user_id", "event_type", "value"),
+          Seq("user_id"), nBuckets = 16)
+      val ev = s.table(name)
       val dim = ev.groupBy("user_id").agg(
         count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
@@ -1566,6 +1597,12 @@ object CoreQueries {
         |       sum(round(e.value * 100)::BIGINT)::BIGINT AS value_cents
         |FROM events e JOIN dim d USING (event_type)
         |GROUP BY 1, 2""".stripMargin,
+
+    // the build row verifies the written table against plain parquet
+    "x_bucketed_join_build" ->
+      """SELECT count(*) AS n,
+        |       sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |FROM events""".stripMargin,
 
     // the bucketed layout is invisible to semantics — plain join SQL
     "x_bucketed_join" ->

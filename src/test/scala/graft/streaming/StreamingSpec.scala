@@ -149,6 +149,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static as-of (enrichAsOf) equals the batch flagship") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // Seeded random entities over a STATIC feature table — the canonical
+    // online-serving shape (entity stream × offline feature snapshot).
+    // Feature timestamps are unique per key (minute = index) so the
+    // latest-pick is tie-free and the comparison exact.
+    val rnd = new scala.util.Random(11)
+    val feats = Seq.tabulate(30)(i =>
+      (rnd.nextInt(4).toLong, ts(i), i.toDouble))
+    val ents = Seq.tabulate(20)(i =>
+      KeyedEvent(rnd.nextInt(5).toLong, ts(rnd.nextInt(40)), 100.0 + i))
+    val featsDf = feats.toDF("user_id", "fts", "fval")
+
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamingOps.enrichAsOf(
+      in.toDF(), featsDf, Seq("user_id"), "ts", "fts", Seq("fval"),
+      ttlSeconds = 600, watermark = "1 hour")
+      .writeStream.format("memory").queryName("ssa_vs_batch")
+      .outputMode("append").start()
+    try {
+      // two out-of-order chunks, then a sentinel to flush the watermark
+      in.addData(ents.drop(10): _*)
+      q.processAllAvailable()
+      in.addData(ents.take(10): _*)
+      q.processAllAvailable()
+      in.addData(KeyedEvent(99, ts(600), 0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("ssa_vs_batch")
+        .filter($"user_id" =!= 99L)
+        .select("user_id", "ts", "value", "fval")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+        .sorted.toSeq
+
+      featsDf.createOrReplaceTempView("ssa_feats")
+      val fv = graft.model.FeatureView("f", Seq("user_id"),
+        graft.sources.FeatureSource(table = Some("ssa_feats"),
+          eventTimestampColumn = "fts"),
+        features = Seq("fval"), ttlSeconds = 600)
+      val batch = graft.PointInTime.getHistoricalFeatures(
+        ents.toDF("user_id", "ts", "value")
+          .withColumnRenamed("ts", "event_timestamp"),
+        Seq(fv), entityTsCol = "event_timestamp")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("event_timestamp").getTime,
+          r.getAs[Double]("value"),
+          Option(r.getAs[Any]("fval")).map(_.asInstanceOf[Double])))
+        .sorted.toSeq
+
+      assert(streamed == batch,
+        s"stream-static != batch\nstream: $streamed\nbatch:  $batch")
+    } finally q.stop()
+  }
+
   test("dedupStream drops exact duplicate ids within the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
