@@ -139,6 +139,39 @@ object TextAnalysis {
           .as("top_bigram_ratio"))
   }
 
+  /** Per-document character-level Shannon entropy — the classic
+    * gibberish/boilerplate quality signal (low entropy = repeated
+    * padding, high = line noise; natural prose sits ~3.5-4.5 bits... in
+    * nats here). ZERO-shuffle per-row computation: distinct chars via
+    * `array_distinct`, each char's count via a filtered `size` over the
+    * char array — O(distinct·len) per row (ASCII corpus: ≤ ~70·len),
+    * no explode, no aggregation state, scales as a pure map at 100 TB.
+    *
+    * Determinism across engines (the lm-score recipe): each -p·ln(p)
+    * term is quantized to a 1e-9 fixed-point BIGINT and summed as
+    * integers (commutative, exact); the final value is the quantized
+    * sum scaled back and rounded to 6dp, so sub-quantum libm ln()
+    * differences cannot reorder or change the hash. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // drop the zero-width-split artifacts: depending on the regex-split
+    // limit semantics an empty piece can appear at the boundary — it is
+    // never a character of the document
+    val chars = filter(split(col(textCol), ""), x => x =!= "")
+    val n = size(chars)
+    val uniq = array_distinct(chars)
+    val qterms = transform(uniq, ch => {
+      val p = size(filter(chars, x => x === ch)).cast("double") /
+        n.cast("double")
+      round(p * log(p) * lit(1e9)).cast("long")
+    })
+    val qsum = aggregate(qterms, lit(0L), (acc, x) => acc + x)
+    df.select(
+      col(idCol).as("doc_id"),
+      n.as("n_chars"),
+      size(uniq).as("n_distinct"),
+      round(-(qsum.cast("double") / lit(1e9)), 6).as("entropy"))
+  }
+
   /** Corpus-level top-k tokens by frequency (vocabulary head analysis):
     * explode → map-side-combined count → TakeOrdered top-k (no global
     * sort; the driver receives k rows per partition at most). Ties break

@@ -642,6 +642,91 @@ object CoreQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q6 shape: the pure-pushdown yardstick — every predicate
+    // (timestamp range, double range, numeric <) reaches the parquet
+    // scan as PushedFilters; the whole query is scan → filter → one
+    // map-side-combinable aggregate. At 100 TB this is the query whose
+    // cost is row-group pruning, not compute.
+    "x_q6_revenue" -> ((s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * col("l_discount") * 10000)
+            .cast("long")).as("revenue_x10000"))),
+
+    // TPC-H Q14 shape: promo revenue share — fact filtered by date,
+    // broadcast dim join, conditional aggregation. The ratio is
+    // reported as two exact integer sums (promo, total), not a
+    // division, so the gate stays bit-exact.
+    "x_q14_promo" -> ((s, dir) => {
+      val l = lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1997-09-01 00:00:00")) &&
+          col("l_shipdate") < lit(Timestamp.valueOf("1997-10-01 00:00:00")))
+      val p = Tables.read(s, dir, "part").select("p_partkey", "p_type")
+      val rev = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 10000).cast("long")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L)))
+            .as("promo_x10000"),
+          sum(rev).as("total_x10000"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q19 shape: a disjunction of (brand, size-range,
+    // quantity-range) conjunctions across the fact⋈dim join — the
+    // optimizer must push the common l_partkey equi-key through the OR
+    // and broadcast the dim; the residual OR evaluates post-join.
+    "x_q19_disjunctive" -> ((s, dir) => {
+      val p = Tables.read(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000).cast("long")).as("revenue_x10000"))
+    }),
+
+    // SCD Type-2 history build: each event becomes a validity interval
+    // [valid_from, valid_to) per user, closed by the NEXT event's ts
+    // (lead over a user_id-partitioned window — ~10k keys here, key
+    // cardinality grows with users at scale, never a global sort). The
+    // open (latest) row keeps valid_to NULL. Deterministic tie-break on
+    // event_id.
+    "x_scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir).select("user_id", "event_id", "ts", "value")
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"),
+          col("ts").as("valid_from"), col("valid_to"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+    }),
+
+    // One-pass column profiling (the data-quality precursor every
+    // ingest pipeline runs): row count, per-column distinct counts,
+    // null tally, min/max bounds, checksum — all map-side-combinable
+    // partial aggregates in a single scan.
+    "x_profile_events" -> ((s, dir) =>
+      events(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_values"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))),
+
     // Approximate-query sketches (graft.llm.Sketches): deterministic
     // md5-hashed register builds, so even the ESTIMATES hash-match an
     // independent engine. Each sketch is a ≤2048-group map-side
@@ -931,6 +1016,43 @@ object CoreQueries {
       ev.select("user_id", "event_type").join(dim, "user_id")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+    }),
+
+    // SOURCE-FORMAT coverage: the engine's tables are parquet, but a
+    // feature-store ingest edge speaks CSV/JSON — these rows drive the
+    // full write → schema-pinned read → aggregate path for each format
+    // and gate it against the parquet oracle, proving the text codecs
+    // round-trip timestamps (micros pinned via timestampFormat) and
+    // doubles (shortest-round-trip repr) losslessly.
+    "x_csv_roundtrip" -> ((s, dir) => {
+      val out = "tmp_roundtrip/csv_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val src = events(s, dir)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      src.write.mode("overwrite").option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(out)
+      s.read.schema(src.schema).option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(out)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_types"),
+          max(col("ts")).as("max_ts"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    }),
+
+    "x_json_roundtrip" -> ((s, dir) => {
+      val out = "tmp_roundtrip/json_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val src = events(s, dir)
+        .select("event_id", "user_id", "event_type", "ts", "value", "props")
+      src.write.mode("overwrite")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").json(out)
+      s.read.schema(src.schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").json(out)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_types"),
+          max(col("ts")).as("max_ts"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"),
+          sum(length(col("props")).cast("long")).as("props_chars"))
     }),
 
     // Salted JOIN through the oracle gate (the agg twin is
@@ -1597,6 +1719,72 @@ object CoreQueries {
         |       sum(round(e.value * 100)::BIGINT)::BIGINT AS value_cents
         |FROM events e JOIN dim d USING (event_type)
         |GROUP BY 1, 2""".stripMargin,
+
+    "x_q6_revenue" ->
+      """SELECT count(*) AS n_items,
+        |       sum(round(l_extendedprice * l_discount * 10000)::BIGINT)
+        |         ::BIGINT AS revenue_x10000
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "x_q14_promo" ->
+      """SELECT sum(CASE WHEN p_type = 'PROMO'
+        |             THEN round(l_extendedprice * (1 - l_discount) * 10000)
+        |               ::BIGINT ELSE 0 END)::BIGINT AS promo_x10000,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+        |         ::BIGINT AS total_x10000,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    "x_q19_disjunctive" ->
+      """SELECT count(*) AS n_items,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+        |         ::BIGINT AS revenue_x10000
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "x_scd2_history" ->
+      """SELECT user_id, event_id, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS valid_to,
+        |       round(value * 100)::BIGINT AS value_cents
+        |FROM events""".stripMargin,
+
+    "x_profile_events" ->
+      """SELECT count(*) AS n_rows,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT event_type) AS n_types,
+        |       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |         AS null_values,
+        |       min(ts) AS min_ts, max(ts) AS max_ts,
+        |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+        |FROM events""".stripMargin,
+
+    // the roundtrip rows re-aggregate what the Spark side wrote to
+    // CSV/JSON — the oracle is the parquet original: the text format
+    // must be semantically invisible
+    "x_csv_roundtrip" ->
+      """SELECT count(*) AS n, count(DISTINCT event_type) AS n_types,
+        |       max(ts) AS max_ts,
+        |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+        |FROM events""".stripMargin,
+
+    "x_json_roundtrip" ->
+      """SELECT count(*) AS n, count(DISTINCT event_type) AS n_types,
+        |       max(ts) AS max_ts,
+        |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents,
+        |       sum(length(props))::BIGINT AS props_chars
+        |FROM events""".stripMargin,
 
     // the build row verifies the written table against plain parquet
     "x_bucketed_join_build" ->

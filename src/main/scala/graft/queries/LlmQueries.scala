@@ -926,6 +926,11 @@ object LlmQueries {
     "text_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(docs(s, dir), "text", k = 20)),
 
+    // per-doc character Shannon entropy (gibberish/boilerplate signal):
+    // zero-shuffle per-row fold, quantized-integer determinism
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(docs(s, dir), "doc_id", "text")),
+
     "text_length_hist" -> ((s, dir) =>
       TextAnalysis.lengthHistogram(docs(s, dir), "text")),
 
@@ -1777,6 +1782,28 @@ object LlmQueries {
          |t AS (SELECT unnest(w) AS token FROM docs)
          |SELECT token, count(*) AS n FROM t
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // char frequencies via positional substr (character semantics — the
+    // corpus is ASCII, so code-unit vs codepoint cannot diverge); each
+    // -p·ln(p) term quantized to 1e-9 fixed point and summed as BIGINT,
+    // exactly like the Spark fold
+    "text_entropy" ->
+      """WITH pos AS (SELECT doc_id,
+        |               substr(text, CAST(i AS INTEGER), 1) AS ch
+        |             FROM (SELECT doc_id, text,
+        |                     unnest(range(1, length(text) + 1)) AS i
+        |                   FROM documents)),
+        |cf AS (SELECT doc_id, ch, count(*) AS c FROM pos GROUP BY 1, 2),
+        |nn AS (SELECT doc_id, sum(c) AS n, count(*) AS n_distinct
+        |       FROM cf GROUP BY 1),
+        |terms AS (SELECT cf.doc_id,
+        |            round((c::DOUBLE / n::DOUBLE)
+        |                  * ln(c::DOUBLE / n::DOUBLE) * 1e9)::BIGINT AS q
+        |          FROM cf JOIN nn USING (doc_id))
+        |SELECT t.doc_id, nn.n::BIGINT AS n_chars, nn.n_distinct,
+        |       round(-(sum(t.q)::DOUBLE / 1e9), 6) AS entropy
+        |FROM terms t JOIN nn USING (doc_id)
+        |GROUP BY t.doc_id, nn.n, nn.n_distinct""".stripMargin,
 
     // rank on the ROUNDED score (matches the Spark side) so sub-6dp ln()
     // library differences can't reorder ties; remaining ties break on term

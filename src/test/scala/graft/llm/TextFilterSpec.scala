@@ -10,6 +10,30 @@ import graft.SparkSpec
 class TextFilterSpec extends SparkSpec {
   import spark.implicits._
 
+  test("charEntropy matches hand-computed Shannon entropy") {
+    val rows = Seq(
+      (1L, "aabb"),   // two symbols, uniform: H = ln 2 ≈ 0.693147
+      (2L, "abcd"),   // four symbols, uniform: H = ln 4 ≈ 1.386294
+      (3L, "aaaa"))   // degenerate: H = 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(rows, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_chars"), r.getAs[Int]("n_distinct"),
+          r.getAs[Double]("entropy")))).toMap
+    assert(out(1L) == ((4, 2, 0.693147)))
+    assert(out(2L) == ((4, 4, 1.386294)))
+    assert(out(3L) == ((4, 1, 0.0)))
+    // ordering property on less-crafted text: repeated padding scores
+    // strictly below varied prose of the same length
+    val pair = TextAnalysis.charEntropy(Seq(
+      (10L, "the quick brown fox jumps ov"),
+      (11L, "aaaaaaaaaaaaaaaaaaaaaaaaaaab"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("entropy")).toMap
+    assert(pair(10L) > pair(11L))
+  }
+
   test("bm25 ranks term-bearing docs above term-free docs, zero for no hits") {
     val corpus = Seq(
       (1L, "join join join filter scan"),
