@@ -153,23 +153,20 @@ object TextAnalysis {
     * sum scaled back and rounded to 6dp, so sub-quantum libm ln()
     * differences cannot reorder or change the hash. */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // drop the zero-width-split artifacts: depending on the regex-split
-    // limit semantics an empty piece can appear at the boundary — it is
-    // never a character of the document
-    val chars = filter(split(col(textCol), ""), x => x =!= "")
-    val n = size(chars)
-    val uniq = array_distinct(chars)
-    val qterms = transform(uniq, ch => {
-      val p = size(filter(chars, x => x === ch)).cast("double") /
-        n.cast("double")
-      round(p * log(p) * lit(1e9)).cast("long")
-    })
-    val qsum = aggregate(qterms, lit(0L), (acc, x) => acc + x)
-    df.select(
-      col(idCol).as("doc_id"),
-      n.as("n_chars"),
-      size(uniq).as("n_distinct"),
-      round(-(qsum.cast("double") / lit(1e9)), 6).as("entropy"))
+    // One native pass per row (graft.functions.CharEntropyStats): the
+    // higher-order-function formulations run their per-character
+    // lambdas INTERPRETED — measured 10.8 s (O(distinct·len) filtered
+    // counts) and 5.2 s (sorted-run fold) at sf0.1 vs ~0.3 s for the
+    // native expression doing identical arithmetic.
+    import org.apache.spark.sql.GraftSql
+    val st = GraftSql.column(
+      graft.functions.CharEntropyStats(GraftSql.expression(col(textCol))))
+    df.select(col(idCol).as("doc_id"), st.as("__e"))
+      .select(
+        col("doc_id"),
+        col("__e.n_chars").as("n_chars"),
+        col("__e.n_distinct").as("n_distinct"),
+        round(-(col("__e.qsum").cast("double") / lit(1e9)), 6).as("entropy"))
   }
 
   /** Corpus-level top-k tokens by frequency (vocabulary head analysis):

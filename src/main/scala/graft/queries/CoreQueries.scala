@@ -524,6 +524,14 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum("l_quantity").cast("long").as("sum_qty"))),
 
+    // CUBE twin of x_rollup: all four grouping levels in one Expand —
+    // the multidimensional report shape. Same exact integer sums.
+    "x_cube" -> ((s, dir) =>
+      lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("l_quantity").cast("long").as("sum_qty"))),
+
     "x_pivot" -> ((s, dir) =>
       Tables.read(s, dir, "documents")
         .groupBy("source")
@@ -1301,6 +1309,11 @@ object CoreQueries {
         |       sum(l_quantity)::BIGINT AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "x_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "x_pivot" ->
       """SELECT source,
         |       count(*) FILTER (lang = 'en') AS en,

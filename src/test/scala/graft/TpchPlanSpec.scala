@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-shape proofs for the TPC-H-style queries added in round 8: the
+  * oracle gate proves the VALUES; these prove the 100 TB-relevant plan
+  * properties — predicates at the scan, dimensions broadcast — that
+  * correctness alone cannot see. */
+class TpchPlanSpec extends SparkSpec {
+
+  // executed AQE plans bury subtrees inside QueryStageExec leaves (and
+  // reused exchanges) — unwrap all of them or scans/joins are invisible
+  private def executedNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: executedNodes(a.executedPlan)
+      case q: QueryStageExec => q +: executedNodes(q.plan)
+      case r: ReusedExchangeExec => r +: executedNodes(r.child)
+      case n => Seq(n)
+    }
+
+  test("x_q6_revenue pushes every predicate into the parquet scan") {
+    val df = SparkEntry.queries("x_q6_revenue")(spark, sf())
+    // run THIS QueryExecution so AQE finalizes the inspected plan
+    df.queryExecution.toRdd.count()
+    val scan = executedNodes(df.queryExecution.executedPlan).collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScanExec leaf"))
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    // all three predicate families must reach the scan: the timestamp
+    // range, the discount double range, and the quantity bound
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("LessThan(l_quantity"),
+      s"Q6 predicates must push to the scan, got: $pushed")
+    // column pruning: only the four referenced columns are read
+    val readSchema = scan.metadata.getOrElse("ReadSchema", "")
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .foreach(c => assert(readSchema.contains(c), s"$c missing: $readSchema"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_tax"),
+      s"unreferenced columns must be pruned, got: $readSchema")
+  }
+
+  test("x_q14_promo and x_q19_disjunctive broadcast the part dimension") {
+    // sf0.01, not sf0.001: at the smallest SF Q19's brand/size/quantity
+    // disjunction matches zero build-side rows and AQE rewrites the
+    // whole join to EmptyRelation (correct, but then there is no join
+    // node left to assert on)
+    Seq("x_q14_promo", "x_q19_disjunctive").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf("sf0.01"))
+      df.queryExecution.toRdd.count()
+      val joins = executedNodes(df.queryExecution.executedPlan).collect {
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(joins.nonEmpty, s"$q: the part dim join must be broadcast; plan:\n" +
+        df.queryExecution.executedPlan.toString.take(2500))
+    }
+  }
+}
