@@ -114,6 +114,14 @@ object ScaleProbe {
       Tables.read(spark, baseDir, "customer")
         .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     }
+    // round-8 guard: the TPC-H pushdown/broadcast family reads `part`
+    // (the broadcast dim — copied UNCHANGED: fact side grows, dimension
+    // side doesn't, the shape broadcast joins exist for); corpora built
+    // before this round upgrade in place
+    if (!new java.io.File(s"$outDir/part.parquet").exists()) {
+      Tables.read(spark, baseDir, "part")
+        .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    }
   }
 
   final case class Li(
@@ -158,7 +166,11 @@ object ScaleProbe {
     "text_bm25", "text_quality_filter", "text_pii_redact",
     "text_lm_score", "dedup_pairs_against", "dedup_ingest",
     "dedup_containment_pairs", "x_rolling_window", "dedup_spans",
-    "pipe_curate", "x_interval_join")
+    "pipe_curate", "x_interval_join",
+    // round-8 additions: TPC-H pushdown/broadcast shapes, SCD2 window,
+    // profiling scan, native char entropy, cube — all keyed or per-row
+    "x_q6_revenue", "x_q14_promo", "x_q19_disjunctive", "x_scd2_history",
+    "x_profile_events", "text_entropy", "x_cube")
 
   /** Time one declared query against one SF dir: (seconds, rows). Same
     * `toRdd.count()` materialization as Bench (see Bench.scala on why

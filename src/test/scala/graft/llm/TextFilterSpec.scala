@@ -34,6 +34,30 @@ class TextFilterSpec extends SparkSpec {
     assert(pair(10L) > pair(11L))
   }
 
+  test("charEntropy edges: empty text, non-ASCII fallback path, null") {
+    val rows = Seq[(java.lang.Long, String)](
+      (1L, ""),                 // empty: no chars, entropy 0
+      (2L, "日本語日本語"),       // pure wide chars: HashMap fallback path
+      (3L, "ab日日"),            // mixed ASCII + wide: both paths combine
+      (4L, null))               // null text → null stats row
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(rows, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_chars") == 0 &&
+      out(1L).getAs[Int]("n_distinct") == 0 &&
+      out(1L).getAs[Double]("entropy") == 0.0)
+    // 3 distinct wide chars, each p=1/3: H = ln 3 ≈ 1.098612
+    assert(out(2L).getAs[Int]("n_chars") == 6 &&
+      out(2L).getAs[Int]("n_distinct") == 3 &&
+      out(2L).getAs[Double]("entropy") == 1.098612)
+    // a,b,日,日: H = 2·(1/4 ln 4) + (1/2 ln 2) = 1.039721
+    assert(out(3L).getAs[Int]("n_chars") == 4 &&
+      out(3L).getAs[Int]("n_distinct") == 3 &&
+      out(3L).getAs[Double]("entropy") == 1.039721)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("entropy")),
+      "null text must yield null stats, not a crash or zeros")
+  }
+
   test("bm25 ranks term-bearing docs above term-free docs, zero for no hits") {
     val corpus = Seq(
       (1L, "join join join filter scan"),
