@@ -532,6 +532,19 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum("l_quantity").cast("long").as("sum_qty"))),
 
+    // Explicit GROUPING SETS (each one-column set + grand total): the
+    // general form rollup/cube specialize — one Expand, one shuffle,
+    // same exact arithmetic.
+    "x_grouping_sets" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("graft_lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+          |FROM graft_lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+          .stripMargin)
+    }),
+
     "x_pivot" -> ((s, dir) =>
       Tables.read(s, dir, "documents")
         .groupBy("source")
@@ -1314,6 +1327,13 @@ object CoreQueries {
         |       sum(l_quantity)::BIGINT AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "x_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+        .stripMargin,
     "x_pivot" ->
       """SELECT source,
         |       count(*) FILTER (lang = 'en') AS en,
