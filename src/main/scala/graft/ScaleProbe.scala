@@ -152,7 +152,7 @@ object ScaleProbe {
     "dedup_drop_embed_capped",
     "knn_cosine_brute", "knn_lsh_bucketed", "knn_lsh_multiprobe",
     "knn_lsh_multitable", "knn_recall_lsh", "knn_sq8", "knn_pq",
-    "knn_ivf", "knn_ivfpq", "embed_cosine_pairs",
+    "knn_ivf", "knn_ivfpq", "knn_ivfpq_rerank", "embed_cosine_pairs",
     "embed_cosine_pairs_capped", "embed_cosine_pairs_ivf", "text_tfidf",
     // the FLAGSHIP family at 10× event density (same key cardinality)
     "pull_latest_events", "j1_coarse_range", "pit_events_ttl1h",

@@ -790,6 +790,43 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF-PQ shortlist + EXACT re-rank — the full production serving
+    * stack (FAISS's `index.search` + refine): stage 1 is [[ivfPqKnn]]
+    * with an over-fetched shortlist (`k · shortlistFactor` by ADC over
+    * codes — the corpus floats are never scanned), stage 2 joins ONLY
+    * the shortlisted ids back to the original vectors and re-scores
+    * with exact cosine. At 100 TB the stage-2 join touches
+    * `k·factor·|queries|` corpus rows via an id equi-join (a point
+    * lookup per candidate), so the float vectors are read at
+    * shortlist-cardinality, not corpus-cardinality — ADC's recall
+    * approximation no longer decides the FINAL ranking, only the
+    * candidate set. Output: (qid, nid, rank, sim) with sim the exact
+    * cosine, identical to [[bruteForceKnn]]'s scoring on the same
+    * pairs. */
+  def ivfPqRerankKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlistFactor: Int = 4,
+      nList: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      centroids: Option[IndexedSeq[Seq[Double]]] = None,
+      books: Option[IndexedSeq[IndexedSeq[Seq[Double]]]] = None,
+      assigned: Option[DataFrame] = None,
+      encoded: Option[DataFrame] = None): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    val short = ivfPqKnn(corpus, queries, idCol, vecCol,
+        k * shortlistFactor, nList, nProbe, iters, m, ksub, dim,
+        centroids, books, assigned, encoded)
+      .select(col("qid"), col("nid"))
+    val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val exact = short.join(v, "nid").join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    topK(exact, k)
+  }
+
   /** Embedding-cosine near-dup pairs above `tau` with the TRAINED
     * k-means cells as buckets: candidates must share an IVF cell, ranked
     * by exact cosine. On clustered corpora (what real embeddings look

@@ -443,9 +443,13 @@ object LlmQueries {
     * probing), the PQ chain scores them from codes via the query's ADC
     * table (mirror of `ivfPqKnn`) — both training chains share one WITH,
     * composed verbatim from [[ivfTrainCtes]] and [[pqTrainCtes]]. */
+  /** With `rerank = Some(kShort)` the ADC ranking only SELECTS the
+    * shortlist (rank <= kShort); the final top-k is re-scored with the
+    * exact cosine over the original vectors — replaying
+    * [[graft.llm.Similarity.ivfPqRerankKnn]]'s two-stage plan. */
   private def ivfPqOracleSql(
       nProbe: Int, k: Int, iters: Int, dim: Int,
-      m: Int, ksub: Int): String = {
+      m: Int, ksub: Int, rerank: Option[Int] = None): String = {
     val dsub = dim / m
     s"""${ivfTrainCtes(iters, dim)},
        |${pqTrainCtes("pq", m, ksub, iters, dim)},
@@ -475,9 +479,29 @@ object LlmQueries {
        |           JOIN pqnbn ON pqnbn.vec_id = ps.nid),
        |r AS (SELECT qid, nid, sim, row_number() OVER (
        |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-       |      FROM scored)
-       |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
-       |WHERE rank <= $k""".stripMargin
+       |      FROM scored)""".stripMargin +
+    (rerank match {
+      case None =>
+        s"""
+           |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+           |WHERE rank <= $k""".stripMargin
+      case Some(kShort) =>
+        // exact-cosine re-rank of the ADC shortlist over the ORIGINAL
+        // vectors (n.v/n.nrm — the same dot fold and ordering as the
+        // brute-force oracle, so stage 2 is bit-identical to it on the
+        // shortlisted pairs)
+        s""",
+           |sl AS (SELECT qid, nid FROM r WHERE rank <= $kShort),
+           |ex AS (SELECT sl.qid, sl.nid,
+           |         ${dotSql("qn.v", "nn.v")} / (qn.nrm * nn.nrm) AS sim
+           |       FROM sl JOIN n nn ON nn.vec_id = sl.nid
+           |       JOIN n qn ON qn.vec_id = sl.qid),
+           |rr AS (SELECT qid, nid, sim, row_number() OVER (
+           |         PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+           |       FROM ex)
+           |SELECT qid, nid, rank, round(sim, 6) AS sim FROM rr
+           |WHERE rank <= $k""".stripMargin
+    })
   }
 
   /** Per-doc pair-emission cap (mirror of `Dedup.capPairsPerDoc`): keep a
@@ -748,6 +772,19 @@ object LlmQueries {
       val e = emb(s, dir)
       Similarity.ivfPqKnn(e, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 5, nProbe = 4,
+        centroids = Some(trainedCentroids(s, dir)),
+        books = Some(trainedPqBooks(s, dir)),
+        assigned = Some(ivfIndex(s, dir)))
+    }),
+
+    // IVF-PQ shortlist (4k by ADC over codes) + EXACT re-rank of only
+    // the shortlisted ids against the original vectors — the complete
+    // production serving stack: codes decide the candidates, floats
+    // decide the final order, floats read at shortlist cardinality
+    "knn_ivfpq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqRerankKnn(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, shortlistFactor = 4, nProbe = 4,
         centroids = Some(trainedCentroids(s, dir)),
         books = Some(trainedPqBooks(s, dir)),
         assigned = Some(ivfIndex(s, dir)))
@@ -1365,6 +1402,10 @@ object LlmQueries {
 
     "knn_ivfpq" -> ivfPqOracleSql(
       nProbe = 4, k = 5, iters = 3, dim = 64, m = 8, ksub = 16),
+
+    "knn_ivfpq_rerank" -> ivfPqOracleSql(
+      nProbe = 4, k = 5, iters = 3, dim = 64, m = 8, ksub = 16,
+      rerank = Some(20)),
 
     // near-dup pairs bucketed by the same trained cells
     "embed_cosine_pairs_ivf" -> ivfPairsOracleSql(

@@ -29,6 +29,32 @@ class RerankSpec extends SparkSpec {
     assert(rr == br && rr.nonEmpty)
   }
 
+  test("ivfPqRerank reports exact cosines and beats/equals raw ADC order") {
+    val e = Tables.read(spark, sf(), "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val rr = Similarity.ivfPqRerankKnn(
+      e, q, "vec_id", "embedding", k = 5, shortlistFactor = 4)
+    // stage 2's REPORTED sim must equal the full-float exact cosine for
+    // every returned pair (re-rank never approximates the score)
+    val bruteAll = Similarity.bruteForceKnn(e, q, "vec_id", "embedding",
+        k = 200).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("sim"))).toMap
+    val rows = rr.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteAll.get(key).foreach(bs =>
+        assert(bs == r.getAs[Double]("sim"), s"sim mismatch for $key"))
+    }
+    // within each query, ranks must follow exact sim descending — the
+    // ADC ordering may not survive stage 2, the exact ordering must
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Number]("rank").longValue)
+        .map(_.getAs[Double]("sim"))
+      assert(byRank.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   test("project+rerank sims are exact cosines; overfetch is the recall lever") {
     val e = Tables.read(spark, sf(), "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)

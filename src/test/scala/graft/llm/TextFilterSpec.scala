@@ -58,6 +58,36 @@ class TextFilterSpec extends SparkSpec {
       "null text must yield null stats, not a crash or zeros")
   }
 
+  test("charEntropy equals a scala-reference computation on random text") {
+    // seeded randomized sweep over alphabet sizes/lengths — the native
+    // expression's counting + quantization vs an independent reference
+    def refEntropy(s: String): (Int, Int, Double) = {
+      val freq = s.groupBy(identity).view.mapValues(_.length)
+      val n = s.length.toDouble
+      val qsum = freq.values.map { c =>
+        val v = (c / n) * math.log(c / n) * 1e9
+        (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+      }.sum
+      (s.length, freq.size,
+        BigDecimal(-(qsum.toDouble / 1e9))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val rnd = new scala.util.Random(42)
+    val docs = Seq.tabulate(60) { i =>
+      val alpha = 2 + rnd.nextInt(60)
+      val len = 1 + rnd.nextInt(400)
+      (i.toLong, Seq.fill(len)(('a' + rnd.nextInt(alpha)).toChar).mkString)
+    }
+    val got = TextAnalysis.charEntropy(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_chars"), r.getAs[Int]("n_distinct"),
+          r.getAs[Double]("entropy")))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == refEntropy(text), s"doc $id: '${text.take(40)}…'")
+    }
+  }
+
   test("bm25 ranks term-bearing docs above term-free docs, zero for no hits") {
     val corpus = Seq(
       (1L, "join join join filter scan"),
