@@ -170,7 +170,13 @@ object ScaleProbe {
     // round-8 additions: TPC-H pushdown/broadcast shapes, SCD2 window,
     // profiling scan, native char entropy, cube — all keyed or per-row
     "x_q6_revenue", "x_q14_promo", "x_q19_disjunctive", "x_scd2_history",
-    "x_profile_events", "text_entropy", "x_cube")
+    "x_profile_events", "text_entropy", "x_cube",
+    // round-8 subquery/set-op family: decorrelated scalar subqueries,
+    // semi/anti self-joins on l_orderkey, hash-distinct set ops, and
+    // the keyed ranking-window pass — all shuffle on scaling keys
+    "x_q13_custdist", "x_q15_top_supplier", "x_q17_small_qty",
+    "x_q21_last_shipper", "x_q22_idle_customers", "x_setops",
+    "x_window_funcs", "text_ngram_diversity")
 
   /** Time one declared query against one SF dir: (seconds, rows). Same
     * `toRdd.count()` materialization as Bench (see Bench.scala on why

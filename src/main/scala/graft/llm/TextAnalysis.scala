@@ -99,6 +99,35 @@ object TextAnalysis {
           (h, p) => (h * p) % P),
         lit(0L), (acc, x) => acc + x) % P).as("fp"))
 
+  /** N-gram diversity (the other half of the Gopher repetitiousness
+    * family): distinct-fraction of unigrams / bigrams / trigrams per
+    * document. Low diversity flags template/boilerplate text that
+    * [[repetition]]'s longest-run statistic can miss (many DIFFERENT
+    * bigrams each repeated twice). Pure per-row array expressions —
+    * ZERO shuffles at any corpus size; each ratio is one IEEE division
+    * of exact ints (then round-6, the qualityScore convention) so any
+    * engine agrees bit-for-bit. Short docs yield empty n-gram arrays
+    * (the guarded [[TextOps.wordNgrams]]) and NULL ratios, never a
+    * divide-by-zero. */
+  def ngramDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"),
+        wordNgrams("w", 2).as("g2"), wordNgrams("w", 3).as("g3"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_tokens"),
+        size(col("g2")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("g2"))).cast("long").as("n_distinct_bigrams"),
+        size(col("g3")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("g3"))).cast("long").as("n_distinct_trigrams"))
+      .withColumn("unigram_diversity",
+        when(col("n_tokens") > 0, round(
+          col("n_distinct_tokens").cast("double") / col("n_tokens"), 6)))
+      .withColumn("bigram_diversity",
+        when(col("n_bigrams") > 0, round(
+          col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6)))
+
   /** Repetition metrics (the Gopher-rule family used to filter
     * low-quality training text): duplicate-bigram fraction and
     * most-frequent-bigram share. High values flag degenerate/repetitive

@@ -718,6 +718,147 @@ object CoreQueries {
             * 10000).cast("long")).as("revenue_x10000"))
     }),
 
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // join with the priority filter folded into the JOIN condition (so
+    // customers with no qualifying orders survive with count 0),
+    // followed by a re-aggregation of the aggregate. First groupBy
+    // shuffles on c_custkey (cardinality grows with data); the second
+    // is a handful of distinct counts.
+    "x_q13_custdist" -> ((s, dir) => {
+      val c = Tables.read(s, dir, "customer").select("c_custkey")
+      val o = Tables.read(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — the scalar
+    // MAX subquery re-expressed as an equi-join against a 1-row
+    // broadcast aggregate (no driver collect, no nested loop). Revenue
+    // is an exact integer sum, so the max and the equality filter are
+    // bit-deterministic in any engine.
+    "x_q15_top_supplier" -> ((s, dir) => {
+      val rev = lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(Timestamp.valueOf("1997-04-01 00:00:00")))
+        .groupBy("l_suppkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")).as("total_revenue_x10000"))
+      val top = rev.agg(max(col("total_revenue_x10000")).as("max_rev"))
+      val sup = Tables.read(s, dir, "supplier").select("s_suppkey", "s_name")
+      rev.join(broadcast(top), col("total_revenue_x10000") === col("max_rev"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_x10000")
+    }),
+
+    // TPC-H Q17 shape: the correlated per-part AVG subquery,
+    // decorrelated into a grouped aggregate + join-back, with the
+    // 0.2·avg comparison done in EXACT integers (qty·cnt·5 < sum_qty —
+    // l_quantity is integral) so no engine's FP average can diverge
+    // the gate. Both the stats build and the join-back shuffle on
+    // l_partkey.
+    "x_q17_small_qty" -> ((s, dir) => {
+      val p = Tables.read(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1" && col("p_size") < 15)
+        .select("p_partkey")
+      val l = lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          col("l_extendedprice"))
+      val stats = l.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      l.join(stats, col("l_partkey") === col("pk"))
+        .filter(col("qty") * col("cnt") * 5 < col("sum_qty"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 10000).cast("long"))
+            .as("price_x10000"))
+    }),
+
+    // TPC-H Q21 shape (adapted to this schema's columns): for every
+    // lineitem in a MULTI-supplier order (EXISTS ⇒ left-semi
+    // self-join), keep it only if NO other supplier in that order
+    // shipped later (NOT EXISTS ⇒ left-anti self-join with a strict
+    // inequality residual), then count "last shipper" items per
+    // supplier. Both self-joins shuffle on l_orderkey, whose
+    // cardinality scales with the fact table; the supplier dim
+    // broadcasts. Top-k order (numwait DESC, s_suppkey) is total.
+    "x_q21_last_shipper" -> ((s, dir) => {
+      val l1 = lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+      val l2 = lineitem(s, dir).select(col("l_orderkey").as("o2"),
+        col("l_suppkey").as("s2"))
+      val l3 = lineitem(s, dir).select(col("l_orderkey").as("o3"),
+        col("l_suppkey").as("s3"), col("l_shipdate").as("d3"))
+      val sup = Tables.read(s, dir, "supplier").select("s_suppkey", "s_name")
+      l1.join(l2, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3") &&
+          col("d3") > col("l_shipdate"), "left_anti")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q22 shape: above-average-balance customers with NO urgent
+    // order — LEFT ANTI join for NOT EXISTS, and the scalar AVG
+    // threshold as a structurally-licensed 1-row broadcast stats row
+    // (cents·n_pos > sum_cents in exact integers — the average needs
+    // no FP division anywhere).
+    "x_q22_idle_customers" -> ((s, dir) => {
+      val c = Tables.read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val stats = c.filter(col("cents") > 0)
+        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+      val urgent = Tables.read(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(stats))
+        .filter(col("cents") * col("n_pos") > col("sum_cents"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_custs"), sum(col("cents")).as("total_cents"))
+    }),
+
+    // Set operations (INTERSECT / EXCEPT — distinct set semantics in
+    // both engines): customers who placed an URGENT order AND a
+    // high-value one but never a 5-LOW one. Each leg is a pruned,
+    // pushdown-filtered scan; the set ops hash-shuffle on the key like
+    // any distinct — no sort, no nested loop.
+    "x_setops" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      val big = o.filter(col("o_totalprice") > 200000.0).select("o_custkey")
+      val low = o.filter(col("o_orderpriority") === "5-LOW")
+        .select("o_custkey")
+      urgent.intersect(big).except(low)
+    }),
+
+    // Ranking-window surface beyond row_number (the reference's W1):
+    // ntile / percent_rank / cume_dist / lag in ONE window pass,
+    // partitioned by user_id (key cardinality scales with users — not
+    // the 3-partition scale trap). percent_rank and cume_dist are
+    // exact rationals of the same ints in any engine; (ts, event_id)
+    // is a unique total order per user so no tie can reorder frames;
+    // the lag delta is computed on exact cents.
+    "x_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cents = round(col("value") * 100).cast("long")
+      events(s, dir).select(
+        col("user_id"), col("event_id"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"),
+        (cents - lag(cents, 1).over(w)).as("delta_cents"))
+    }),
+
     // SCD Type-2 history build: each event becomes a validity interval
     // [valid_from, valid_to) per user, closed by the NEXT event's ts
     // (lead over a user_id-partitioned window — ~10k keys here, key
@@ -1333,6 +1474,93 @@ object CoreQueries {
         |       sum(l_quantity)::BIGINT AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+        .stripMargin,
+
+    "x_q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey
+        |       AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+
+    "x_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(round(l_extendedprice * (1 - l_discount) * 10000)
+        |             ::BIGINT)::BIGINT AS total_revenue_x10000
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue_x10000
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue_x10000 =
+        |      (SELECT max(total_revenue_x10000) FROM rev)""".stripMargin,
+
+    "x_q17_small_qty" ->
+      """WITH p AS (SELECT p_partkey FROM part
+        |           WHERE p_brand = 'Brand#1' AND p_size < 15),
+        |l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |             l_extendedprice
+        |      FROM lineitem JOIN p ON l_partkey = p_partkey),
+        |a AS (SELECT l_partkey AS pk, sum(qty)::BIGINT AS sum_qty,
+        |             count(*) AS cnt
+        |      FROM l GROUP BY 1)
+        |SELECT count(*) AS n_items,
+        |       sum(round(l_extendedprice * 10000)::BIGINT)::BIGINT
+        |         AS price_x10000
+        |FROM l JOIN a ON l_partkey = pk
+        |WHERE qty * cnt * 5 < sum_qty""".stripMargin,
+
+    "x_q21_last_shipper" ->
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin,
+
+    "x_q22_idle_customers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |                  round(c_acctbal * 100)::BIGINT AS cents
+        |           FROM customer),
+        |s AS (SELECT sum(cents)::BIGINT AS sum_cents, count(*) AS n_pos
+        |      FROM c WHERE cents > 0)
+        |SELECT c_mktsegment, count(*) AS n_custs,
+        |       sum(cents)::BIGINT AS total_cents
+        |FROM c, s
+        |WHERE cents * n_pos > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+
+    "x_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'"""
+        .stripMargin,
+
+    "x_window_funcs" ->
+      """SELECT user_id, event_id,
+        |       ntile(4) OVER w AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cum_dist,
+        |       round(value * 100)::BIGINT
+        |         - lag(round(value * 100)::BIGINT, 1) OVER w AS delta_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
         .stripMargin,
     "x_pivot" ->
       """SELECT source,

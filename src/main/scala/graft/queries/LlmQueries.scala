@@ -960,6 +960,11 @@ object LlmQueries {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text")),
 
+    // distinct-n-gram fractions (the other Gopher repetitiousness axis):
+    // zero-shuffle per-row folds, round-6 exact-int divisions
+    "text_ngram_diversity" -> ((s, dir) =>
+      TextAnalysis.ngramDiversity(docs(s, dir), "doc_id", "text")),
+
     "text_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(docs(s, dir), "text", k = 20)),
 
@@ -1817,6 +1822,29 @@ object LlmQueries {
          |         AS dup_bigram_ratio,
          |       round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_ratio
          |FROM pg GROUP BY doc_id""".stripMargin,
+
+    "text_ngram_diversity" ->
+      s"""WITH $DocsCte,
+         |g AS (SELECT doc_id, w,
+         |        list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+         |                       i -> array_to_string(w[i:i+1], ' ')) AS g2,
+         |        list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                       i -> array_to_string(w[i:i+2], ' ')) AS g3
+         |      FROM docs)
+         |SELECT doc_id,
+         |       len(w)::BIGINT AS n_tokens,
+         |       len(list_distinct(w))::BIGINT AS n_distinct_tokens,
+         |       len(g2)::BIGINT AS n_bigrams,
+         |       len(list_distinct(g2))::BIGINT AS n_distinct_bigrams,
+         |       len(g3)::BIGINT AS n_trigrams,
+         |       len(list_distinct(g3))::BIGINT AS n_distinct_trigrams,
+         |       CASE WHEN len(w) > 0 THEN
+         |         round(len(list_distinct(w))::DOUBLE / len(w), 6)
+         |       END AS unigram_diversity,
+         |       CASE WHEN len(g2) > 0 THEN
+         |         round(len(list_distinct(g2))::DOUBLE / len(g2), 6)
+         |       END AS bigram_diversity
+         |FROM g""".stripMargin,
 
     "text_top_tokens" ->
       s"""WITH $DocsCte,

@@ -58,4 +58,36 @@ class TpchPlanSpec extends SparkSpec {
         df.queryExecution.executedPlan.toString.take(2500))
     }
   }
+
+  test("x_q21_last_shipper runs EXISTS/NOT EXISTS as semi/anti hash joins") {
+    val df = SparkEntry.queries("x_q21_last_shipper")(spark, sf("sf0.01"))
+    df.queryExecution.toRdd.count()
+    val kinds = executedNodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.joinType.toString
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.joinType.toString
+      case j: BroadcastHashJoinExec => j.joinType.toString
+    }
+    // both quantified predicates must be genuine semi/anti joins keyed on
+    // l_orderkey — never a rewritten aggregate-and-count or a nested loop
+    assert(kinds.exists(_.startsWith("LeftSemi")),
+      s"EXISTS must plan as a left-semi join, got: $kinds")
+    assert(kinds.exists(_.startsWith("LeftAnti")),
+      s"NOT EXISTS must plan as a left-anti join, got: $kinds")
+  }
+
+  test("x_q15_top_supplier broadcasts the 1-row max, never collects") {
+    val df = SparkEntry.queries("x_q15_top_supplier")(spark, sf("sf0.01"))
+    df.queryExecution.toRdd.count()
+    // the scalar-max filter must be a broadcast hash join against the
+    // 1-row aggregate (the distributed scalar-subquery shape), so the
+    // plan has ≥2 broadcast joins: max-rev attach + supplier dim
+    val joins = executedNodes(df.queryExecution.executedPlan).collect {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.size >= 2,
+      s"expected max-row + supplier broadcasts; plan:\n" +
+        df.queryExecution.executedPlan.toString.take(2500))
+  }
 }

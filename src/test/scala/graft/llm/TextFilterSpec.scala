@@ -177,4 +177,31 @@ class TextFilterSpec extends SparkSpec {
         s"residual PII in: ${r.getAs[String]("redacted")}")
     }
   }
+
+  test("ngramDiversity: hand-computed counts, short-doc edges, ordering") {
+    val rows = Seq(
+      (1L, "a b a b"),       // uni: 4/2; bi: "a b","b a","a b" -> 3/2; tri: 2/2
+      (2L, "x y z"),         // all distinct: uni 3/3, bi 2/2, tri 1/1
+      (3L, "w"),             // 1 token: no bigrams/trigrams, NULL bigram ratio
+      (4L, "q q q q q q"))   // degenerate: uni 6/1, bi 5/1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramDiversity(rows, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") == 4)
+    assert(out(1L).getAs[Long]("n_distinct_tokens") == 2)
+    assert(out(1L).getAs[Long]("n_bigrams") == 3)
+    assert(out(1L).getAs[Long]("n_distinct_bigrams") == 2)
+    assert(out(1L).getAs[Long]("n_trigrams") == 2)
+    assert(out(1L).getAs[Long]("n_distinct_trigrams") == 2)
+    assert(out(2L).getAs[Double]("unigram_diversity") == 1.0)
+    assert(out(2L).getAs[Double]("bigram_diversity") == 1.0)
+    assert(out(3L).getAs[Long]("n_bigrams") == 0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("bigram_diversity")))
+    // the signal this operator exists for: degenerate text scores
+    // strictly below varied text of the same length
+    assert(out(4L).getAs[Double]("bigram_diversity") <
+      out(2L).getAs[Double]("bigram_diversity"))
+    assert(out(4L).getAs[Double]("unigram_diversity") ==
+      math.rint(1.0 / 6 * 1e6) / 1e6)
+  }
 }
