@@ -176,7 +176,9 @@ object ScaleProbe {
     // the keyed ranking-window pass — all shuffle on scaling keys
     "x_q13_custdist", "x_q15_top_supplier", "x_q17_small_qty",
     "x_q21_last_shipper", "x_q22_idle_customers", "x_setops",
-    "x_window_funcs", "text_ngram_diversity")
+    "x_window_funcs", "text_ngram_diversity",
+    // sparse lexical retrieval, tokenize-encode, exact z-score outliers
+    "knn_sparse_tfidf", "text_encode_ids", "x_anomaly_zscore")
 
   /** Time one declared query against one SF dir: (seconds, rows). Same
     * `toRdd.count()` materialization as Bench (see Bench.scala on why

@@ -65,6 +65,58 @@ object Similarity {
         round(col("col.score"), 6).as("sim"))
   }
 
+  /** Sparse lexical kNN: TF-IDF cosine over the corpus vocabulary via a
+    * term-keyed inverted index — the retrieval modality the dense-ANN
+    * family (LSH/IVF/PQ) cannot express: exact lexical-overlap search
+    * (near-verbatim retrieval, citation/quote lookup). Weights are
+    * QUANTIZED to integers (w = round(tf·ln(N/df)·10³)) so every dot
+    * product and squared norm is an exact long; sim = dot/(√qn·√dn) is
+    * then bit-identical in any engine (IEEE sqrt + divide of identical
+    * operands — the meanPoolFixed recipe). Zero-weight terms (df = N)
+    * drop from the index identically on both sides.
+    *
+    * Plan: one token explode → map-side-combined (doc, term) tf agg →
+    * term-keyed df counts derived from tf (broadcast: |vocab| ≪
+    * |tokens|) → the query-side posting+norm relation BROADCAST against
+    * the corpus posting list (equi-join on term — the inverted-index
+    * probe) → (qid, doc) map-side-combined dot agg → norm attach →
+    * bounded [[graft.functions.TopKAgg]]. Candidate volume is
+    * Σ_t df(t)·[t ∈ queries] — the classic postings cost, linear in
+    * corpus per query term; hot (Zipfian) terms are ordinary shuffle-key
+    * skew (AQE). `queryPred` is a boolean over the `doc_id` column.
+    * Output: (qid, nid, rank, sim) like every kNN operator. */
+  def sparseTfidfKnn(docs: DataFrame, idCol: String, textCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val n = docs.count() // licensed driver scalar (the tfIdf license)
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(graft.llm.TextOps.words(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wts = tf.join(broadcast(dfreq), "term")
+      .withColumn("w",
+        round(col("tf") * log(lit(n.toDouble) / col("df")) * 1000)
+          .cast("long"))
+      .filter(col("w") > 0)
+      .select("doc_id", "term", "w")
+    val norms = wts.groupBy("doc_id")
+      .agg(sum(col("w") * col("w")).as("nsq"))
+    val qrel = broadcast(
+      wts.filter(queryPred)
+        .join(norms, "doc_id")
+        .select(col("doc_id").as("qid"), col("term"),
+          col("w").as("qw"), col("nsq").as("qnsq")))
+    val dots = wts.join(qrel, "term")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "qnsq", "doc_id")
+      .agg(sum(col("w") * col("qw")).as("dot"))
+    val scored = dots.join(norms, "doc_id")
+      .select(col("qid"), col("doc_id").as("nid"),
+        (col("dot").cast("double") /
+          (sqrt(col("qnsq").cast("double")) *
+            sqrt(col("nsq").cast("double")))).as("sim"))
+    topK(scored, k)
+  }
+
   /** Deterministic ±1 hyperplane matrix (nPlanes × dim); the oracle
     * embeds the identical literals (`planesSql` calls this function, so
     * the two sides can never diverge). Each entry is bit 0 of a

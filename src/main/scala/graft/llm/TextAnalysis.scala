@@ -208,6 +208,47 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Frequency-ranked vocabulary: the top `vocabSize` corpus tokens with
+    * dense ids 1..V assigned in (count DESC, token) order — a total
+    * order, so the id assignment is deterministic in any engine. The
+    * ranking window runs AFTER the top-V limit, so it sees ≤V rows (the
+    * limit-bounded license in PlanAuditSpec), never the corpus. */
+  def buildVocab(df: DataFrame, textCol: String, vocabSize: Int): DataFrame =
+    df.select(explode(words(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(vocabSize)
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))))
+      .select("token", "id", "n")
+
+  /** Tokenize-and-encode (the training-data step after curation): map
+    * every document to its token-id sequence under a [[buildVocab]]
+    * vocabulary, OOV → 0. The vocabulary collapses to ONE map row
+    * (grouping-less `map_from_entries` aggregate) broadcast to every
+    * partition — the corpus itself is touched exactly once, per-row,
+    * with NO explode/join/re-aggregate cycle (at 100 TB the positional
+    * explode would shuffle ~token-count rows; this shuffles nothing).
+    * The id sequence is emitted '-'-joined so the sequence — order
+    * included — goes through the exact hash gate as one string. */
+  def encodeTokenIds(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val vocabRow = buildVocab(df, textCol, vocabSize)
+      .agg(map_from_entries(collect_list(struct(col("token"), col("id"))))
+        .as("vm"))
+    df.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .crossJoin(broadcast(vocabRow))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("w"), t => try_element_at(col("vm"), t).isNull))
+          .cast("long").as("n_oov"),
+        array_join(transform(col("w"),
+          t => coalesce(try_element_at(col("vm"), t), lit(0))), "-")
+          .as("ids"))
+  }
+
   /** Per-document top-k TF-IDF terms — the topic/quality fingerprint a
     * curation pipeline attaches before filtering or clustering.
     * tf = term count in the doc; idf = ln(N/df) with df = #docs

@@ -859,6 +859,23 @@ object CoreQueries {
         (cents - lag(cents, 1).over(w)).as("delta_cents"))
     }),
 
+    // Statistical anomaly detection (the data-quality sibling of
+    // x_profile_events): per-user 3σ outliers, with the z-score test
+    // algebraized to EXACT integers — (c·n − S)² > 9(n·Q − S²) over
+    // cents c, count n, sum S, sum-of-squares Q — so there is no mean,
+    // no variance, no division, and no FP anywhere for engines to
+    // disagree on. One window pass partitioned by user_id (scaling key
+    // cardinality); σ=0 and n=1 groups flag nothing by construction.
+    // Long-range check: |terms| ≤ 9·n²·max(c)² ≈ 2e18 at n=10⁴
+    // events/user and c ≤ 5×10⁴ cents — inside Long with margin.
+    "x_anomaly_zscore" -> ((s, dir) =>
+      Anomaly.zscoreOutliers(
+        events(s, dir).filter(col("value").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            round(col("value") * 100).cast("long").as("value_cents")),
+        groupKeys = Seq("user_id"), valueCentsCol = "value_cents")
+        .select("user_id", "event_id", "value_cents")),
+
     // SCD Type-2 history build: each event becomes a validity interval
     // [valid_from, valid_to) per user, closed by the NEXT event's ts
     // (lead over a user_id-partitioned window — ~10k keys here, key
@@ -1551,6 +1568,19 @@ object CoreQueries {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'"""
         .stripMargin,
+
+    "x_anomaly_zscore" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |                  round(value * 100)::BIGINT AS c
+        |           FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, event_id, c,
+        |        count(*) OVER (PARTITION BY user_id) AS n,
+        |        sum(c) OVER (PARTITION BY user_id) AS sm,
+        |        sum(c*c) OVER (PARTITION BY user_id) AS q
+        |      FROM e)
+        |SELECT user_id, event_id, c AS value_cents
+        |FROM s
+        |WHERE (c*n - sm)*(c*n - sm) > 9*(n*q - sm*sm)""".stripMargin,
 
     "x_window_funcs" ->
       """SELECT user_id, event_id,

@@ -706,6 +706,13 @@ object LlmQueries {
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 5)
     }),
 
+    // sparse LEXICAL retrieval (tf-idf cosine over an inverted index) —
+    // the search modality dense ANN can't express; quantized-integer
+    // weights make every sim bit-exact across engines
+    "knn_sparse_tfidf" -> ((s, dir) =>
+      Similarity.sparseTfidfKnn(docs(s, dir), "doc_id", "text",
+        queryPred = col("doc_id") % 50 === 0, k = 5)),
+
     "knn_lsh_bucketed" -> ((s, dir) => {
       val e = emb(s, dir)
       // plane count scales with the corpus (⌈log₂N⌉ → ~N buckets,
@@ -964,6 +971,13 @@ object LlmQueries {
     // zero-shuffle per-row folds, round-6 exact-int divisions
     "text_ngram_diversity" -> ((s, dir) =>
       TextAnalysis.ngramDiversity(docs(s, dir), "doc_id", "text")),
+
+    // tokenize-and-encode under a frequency-ranked vocab (24 of the
+    // corpus's 31 tokens, so BOTH the hit and the OOV→0 paths fire);
+    // one broadcast map row, corpus touched once per-row
+    "text_encode_ids" -> ((s, dir) =>
+      TextAnalysis.encodeTokenIds(docs(s, dir), "doc_id", "text",
+        vocabSize = 24)),
 
     "text_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(docs(s, dir), "text", k = 20)),
@@ -1851,6 +1865,57 @@ object LlmQueries {
          |t AS (SELECT unnest(w) AS token FROM docs)
          |SELECT token, count(*) AS n FROM t
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // replays the whole quantized tf-idf chain — tf, df, integer
+    // weights, exact norms/dots, IEEE sqrt+divide — then ranks with
+    // row_number on the SAME unrounded sim the TopKAgg orders by
+    "knn_sparse_tfidf" ->
+      s"""WITH $DocsCte,
+         |t AS (SELECT doc_id, unnest(w) AS term FROM docs),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |wts AS (SELECT doc_id, term,
+         |          round(tf * ln(n::DOUBLE / df) * 1000)::BIGINT AS wt
+         |        FROM tf JOIN dfreq USING (term), nn
+         |        WHERE round(tf * ln(n::DOUBLE / df) * 1000)::BIGINT > 0),
+         |norms AS (SELECT doc_id, sum(wt*wt)::BIGINT AS nsq
+         |          FROM wts GROUP BY 1),
+         |q AS (SELECT wts.doc_id AS qid, term, wt AS qw, nsq AS qnsq
+         |      FROM wts JOIN norms USING (doc_id)
+         |      WHERE doc_id % 50 = 0),
+         |dots AS (SELECT qid, qnsq, d.doc_id AS nid,
+         |           sum(d.wt * q.qw)::BIGINT AS dot
+         |         FROM wts d JOIN q USING (term)
+         |         WHERE d.doc_id <> q.qid GROUP BY 1, 2, 3),
+         |scored AS (SELECT qid, nid,
+         |             dot::DOUBLE / (sqrt(qnsq::DOUBLE) * sqrt(nsq::DOUBLE))
+         |               AS sim
+         |           FROM dots JOIN norms ON nid = norms.doc_id),
+         |r AS (SELECT qid, nid, sim, row_number() OVER (
+         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM scored)
+         |SELECT qid, nid, rank, round(sim, 6) AS sim
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // the oracle replays encoding positionally (explode + ordinality +
+    // vocab join + ordered string_agg) — the Spark side's broadcast-map
+    // formulation must produce the identical '-'-joined id sequence
+    "text_encode_ids" ->
+      s"""WITH $DocsCte,
+         |tok AS (SELECT unnest(w) AS token FROM docs),
+         |vocab AS (SELECT token,
+         |            row_number() OVER (ORDER BY n DESC, token) AS id
+         |          FROM (SELECT token, count(*) AS n FROM tok
+         |                GROUP BY 1 ORDER BY n DESC, token LIMIT 24)),
+         |p AS (SELECT doc_id, generate_subscripts(w, 1) AS i,
+         |             unnest(w) AS t FROM docs),
+         |e AS (SELECT doc_id, i, coalesce(v.id, 0) AS id
+         |      FROM p LEFT JOIN vocab v ON p.t = v.token)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       sum(CASE WHEN id = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+         |       string_agg(id::VARCHAR, '-' ORDER BY i) AS ids
+         |FROM e GROUP BY doc_id""".stripMargin,
 
     // char frequencies via positional substr (character semantics — the
     // corpus is ASCII, so code-unit vs codepoint cannot diverge); each

@@ -204,4 +204,45 @@ class TextFilterSpec extends SparkSpec {
     assert(out(4L).getAs[Double]("unigram_diversity") ==
       math.rint(1.0 / 6 * 1e6) / 1e6)
   }
+
+  test("encodeTokenIds: frequency-ranked ids, OOV to 0, order preserved") {
+    // corpus counts: b=4, z=3, a=2, c=2, d=2 → ids b=1, z=2, a=3, c=4
+    // (a/c/d tie on count 2, broken lexicographically; vocabSize 4
+    // leaves "d" OOV → 0)
+    val rows = Seq(
+      (1L, "b a b c b a d"),
+      (2L, "z b"),
+      (3L, "d c z z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.encodeTokenIds(rows, "doc_id", "text", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("ids") == "1-3-1-4-1-3-0")
+    assert(out(1L).getAs[Long]("n_oov") == 1)
+    assert(out(2L).getAs[String]("ids") == "2-1")
+    assert(out(2L).getAs[Long]("n_oov") == 0)
+    assert(out(3L).getAs[String]("ids") == "0-4-2-2")
+    assert(out(3L).getAs[Long]("n_oov") == 1)
+    assert(out(3L).getAs[Long]("n_tokens") == 4)
+  }
+
+  test("sparseTfidfKnn: rare shared terms outrank common shared terms") {
+    // every doc shares "the"; q shares the RARE "zebra" only with d1 —
+    // idf weighting must rank d1 over d2 despite d2's larger raw overlap
+    val rows = Seq(
+      (0L, "the zebra sable"),
+      (1L, "the zebra runs"),
+      (2L, "the the the runs runs common words everywhere"),
+      (3L, "the common words"),
+      (4L, "the words everywhere"),
+      (5L, "the common runs"))
+      .toDF("doc_id", "text")
+    val out = Similarity.sparseTfidfKnn(rows, "doc_id", "text",
+      queryPred = col("doc_id") === 0, k = 2)
+      .orderBy("rank").collect()
+    assert(out.head.getAs[Long]("nid") == 1L,
+      s"zebra-sharing doc must rank first, got ${out.toSeq}")
+    // sims are valid cosines
+    out.foreach(r => assert(r.getAs[Double]("sim") <= 1.000001 &&
+      r.getAs[Double]("sim") >= -1.000001))
+  }
 }
