@@ -92,14 +92,25 @@ object Similarity {
       explode(graft.llm.TextOps.words(col(textCol))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // localCheckpoint: wts feeds THREE consumers (norms, the query-side
+    // relation, the posting probe) and norms feeds two — without it the
+    // corpus explode + tf/df aggregation chain re-runs per consumer
+    // (measured 7.7 s → 3.8 s at sf0.1; the residual is the genuine
+    // postings-probe volume — this corpus's 31-term vocabulary makes
+    // every query-doc pair share terms, the dense worst case a real
+    // 1e5-term vocabulary never hits); the checkpointed postings
+    // relation is ~|docs|·|vocab-per-doc| rows of longs, far smaller
+    // than the text corpus (the shingleSets rationale in Dedup)
     val wts = tf.join(broadcast(dfreq), "term")
       .withColumn("w",
         round(col("tf") * log(lit(n.toDouble) / col("df")) * 1000)
           .cast("long"))
       .filter(col("w") > 0)
       .select("doc_id", "term", "w")
+      .localCheckpoint()
     val norms = wts.groupBy("doc_id")
       .agg(sum(col("w") * col("w")).as("nsq"))
+      .localCheckpoint()
     val qrel = broadcast(
       wts.filter(queryPred)
         .join(norms, "doc_id")

@@ -239,14 +239,15 @@ object TextAnalysis {
         .as("vm"))
     df.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
       .crossJoin(broadcast(vocabRow))
+      // one map lookup per token: derive OOV from the id array instead
+      // of probing the map a second time
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        transform(col("w"),
+          t => coalesce(try_element_at(col("vm"), t), lit(0))).as("idsArr"))
       .select(
-        col("doc_id"),
-        size(col("w")).cast("long").as("n_tokens"),
-        size(filter(col("w"), t => try_element_at(col("vm"), t).isNull))
-          .cast("long").as("n_oov"),
-        array_join(transform(col("w"),
-          t => coalesce(try_element_at(col("vm"), t), lit(0))), "-")
-          .as("ids"))
+        col("doc_id"), col("n_tokens"),
+        size(filter(col("idsArr"), x => x === 0)).cast("long").as("n_oov"),
+        array_join(col("idsArr"), "-").as("ids"))
   }
 
   /** Per-document top-k TF-IDF terms — the topic/quality fingerprint a
