@@ -122,6 +122,13 @@ object ScaleProbe {
       Tables.read(spark, baseDir, "part")
         .write.mode("overwrite").parquet(s"$outDir/part.parquet")
     }
+    // round-8 continuation guard: the subquery/semi-anti family reads
+    // `supplier` (another unchanged broadcast dim); corpora built before
+    // it upgrade in place
+    if (!new java.io.File(s"$outDir/supplier.parquet").exists()) {
+      Tables.read(spark, baseDir, "supplier")
+        .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    }
   }
 
   final case class Li(

@@ -354,6 +354,78 @@ object Multimodal {
       .withColumn("modality", lit("image/png"))
   }
 
+  /** Two-tone fixture payloads (left half gray `a`, right half gray
+    * `b`, both derived from doc_id): real PNGs whose perceptual hash is
+    * ARITHMETICALLY predictable, so [[imageAHash]] can be oracle-gated
+    * end to end — the image-side analogue of the solid-color decode
+    * fixtures. */
+  def synthesizeTwoTone(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 8 + 2 * (id % 5).toInt // even: the tone seam is clean
+          val h = 6 + (id % 7).toInt
+          val a = (id % 256).toInt
+          val b = ((id * 31 + 7) % 256).toInt
+          def gray(v: Int) = (v << 16) | (v << 8) | v
+          (id, ImageCodec.encodePngPixels(w, h,
+            (x, _) => if (x < w / 2) gray(a) else gray(b)))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("modality", lit("image/png"))
+  }
+
+  /** Per-image perceptual hash + dims. The 64-bit hash ships as two
+    * 32-bit halves (the SimHash convention — bit 63 of a single long
+    * would be the sign bit on both engines). */
+  final case class ImageHash(doc_id: Long, width: Int, height: Int,
+      ahash_hi: Long, ahash_lo: Long)
+
+  /** Perceptual AVERAGE-HASH over decoded images — the image-side
+    * near-dup dedup primitive (aHash; same family as pHash/dHash):
+    * sample channel 0 of the raster on a deterministic 8×8
+    * nearest-neighbor grid (gx = round(i·(w−1)/7) in pure integer
+    * arithmetic — NOT Graphics2D bilinear, whose seam handling is
+    * implementation-defined and oracle-hostile), take the integer mean
+    * of the 64 samples, bit j (row-major) = sample > mean. Identical
+    * content hashes identically at any stored resolution; solid images
+    * hash 0; downstream dedup is a hash-equality groupBy or a
+    * SimHash-style banded hamming join. Partition-local typed
+    * `mapPartitions` (JDK codec — no Catalyst expression decodes PNG),
+    * no shuffle. */
+  def imageAHash(df: DataFrame): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, "payload is not a decodable image")
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          // round-half-up i·(n−1)/7 without FP: (2·i·(n−1)+7)/14
+          def grid(i: Int, n: Int): Int = (2 * i * (n - 1) + 7) / 14
+          val samples = Array.tabulate(64) { j =>
+            raster.getSample(grid(j % 8, w), grid(j / 8, h), 0).toLong
+          }
+          val mean = samples.sum / 64
+          var hi = 0L; var lo = 0L
+          var j = 0
+          while (j < 64) {
+            if (samples(j) > mean) {
+              if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+            }
+            j += 1
+          }
+          ImageHash(id, w, h, hi, lo)
+        }
+      }
+  }
+
   /** REAL image decode stage: `javax.imageio` over binary payloads, the
     * same typed partition-batch shape as [[decode]]. Emits genuine
     * decoded dimensions, band count, and the exact integer sum of all

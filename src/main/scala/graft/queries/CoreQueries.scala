@@ -1218,6 +1218,48 @@ object CoreQueries {
           sum(round(col("value") * 100).cast("long")).as("value_cents"))
     }),
 
+    // ORC roundtrip (completing the format surface beside CSV/JSON):
+    // write → schema-pinned read → aggregate, gated against the parquet
+    // original — the columnar sibling format must be semantically
+    // invisible, nulls/timestamps/doubles included.
+    "x_orc_roundtrip" -> ((s, dir) => {
+      val out = "tmp_roundtrip/orc_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val src = events(s, dir)
+        .select("event_id", "user_id", "event_type", "ts", "value", "props")
+      src.write.mode("overwrite").orc(out)
+      s.read.schema(src.schema).orc(out)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_types"),
+          max(col("ts")).as("max_ts"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"),
+          sum(length(col("props")).cast("long")).as("props_chars"))
+    }),
+
+    // Incremental aggregate maintenance — the materialized-view shape
+    // of a 100 TB ETL (never reprocess the base): the per-(user, day)
+    // rollup STATE built from events before the split point merges
+    // with the aggregate of the new DELTA by re-aggregating the
+    // unioned partial states. count/sum/max are all mergeable and
+    // integer-exact, so merged partials are provably indistinguishable
+    // from a full recompute — which is exactly what the oracle runs
+    // (one rollup over ALL events). At scale only the delta is ever
+    // scanned; the state table is aggregate-sized.
+    "x_incremental_agg" -> ((s, dir) => {
+      val split = lit(Timestamp.valueOf("2024-01-16 00:00:00"))
+      val e = events(s, dir).select(col("user_id"),
+        date_trunc("DAY", col("ts")).as("day"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def partial(df: DataFrame): DataFrame = df.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          max("ts").as("max_ts"))
+      val state = partial(e.filter(col("ts") < split))
+      val delta = partial(e.filter(col("ts") >= split))
+      state.unionByName(delta).groupBy("user_id", "day")
+        .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+          max("max_ts").as("max_ts"))
+    }),
+
     "x_json_roundtrip" -> ((s, dir) => {
       val out = "tmp_roundtrip/json_" +
         java.lang.Integer.toHexString(dir.hashCode)
@@ -2069,6 +2111,20 @@ object CoreQueries {
         |       max(ts) AS max_ts,
         |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
         |FROM events""".stripMargin,
+
+    "x_orc_roundtrip" ->
+      """SELECT count(*) AS n, count(DISTINCT event_type) AS n_types,
+        |       max(ts) AS max_ts,
+        |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents,
+        |       sum(length(props))::BIGINT AS props_chars
+        |FROM events""".stripMargin,
+
+    "x_incremental_agg" ->
+      """SELECT user_id, date_trunc('day', ts) AS day,
+        |       count(*) AS n,
+        |       sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+        |       max(ts) AS max_ts
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "x_json_roundtrip" ->
       """SELECT count(*) AS n, count(DISTINCT event_type) AS n_types,

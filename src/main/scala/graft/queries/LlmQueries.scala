@@ -1062,6 +1062,14 @@ object LlmQueries {
         targetW = 8, targetH = 8)
         .toDF()),
 
+    // perceptual average-hash (image near-dup primitive) over REAL
+    // decoded two-tone PNGs: the integer NN-grid makes the 64-bit hash
+    // arithmetically predictable per doc_id
+    "mm_image_ahash" -> ((s, dir) =>
+      Multimodal.imageAHash(
+        Multimodal.synthesizeTwoTone(docs(s, dir), "doc_id"))
+        .toDF()),
+
     // REAL WAV round-trip: javax.sound.sampled decode of genuinely
     // encoded PCM containers; oracle states the synthesized ramp's
     // format fields and exact sample sum
@@ -2149,6 +2157,30 @@ object LlmQueries {
         |       ((4 + doc_id % 13) * (4 + doc_id % 11) * 3 * (doc_id % 256))::BIGINT
         |         AS px_sum
         |FROM documents""".stripMargin,
+
+    // replays the aHash arithmetic analytically: the NN grid column
+    // (2·x·(w−1)+7)//14 lands left of the seam ⟺ sample = a; integer
+    // mean of the 64 samples; bit j = sample > mean; halves packed with
+    // BIGINT shifts — every step exact in both engines
+    "mm_image_ahash" ->
+      """WITH img AS (SELECT doc_id, 8 + 2*(doc_id % 5) AS w,
+        |                    6 + (doc_id % 7) AS h,
+        |                    doc_id % 256 AS a, (doc_id*31 + 7) % 256 AS b
+        |             FROM documents),
+        |s AS (SELECT doc_id, w, h, j.j AS j,
+        |        CASE WHEN (2*(j.j % 8)*(w-1) + 7) // 14 < w // 2
+        |             THEN a ELSE b END AS smp
+        |      FROM img, (SELECT unnest(range(0, 64)) AS j) j),
+        |m AS (SELECT doc_id, sum(smp) // 64 AS mean FROM s GROUP BY 1),
+        |bits AS (SELECT s.doc_id, s.w, s.h, s.j,
+        |           CASE WHEN s.smp > m.mean THEN 1 ELSE 0 END AS bit
+        |         FROM s JOIN m USING (doc_id))
+        |SELECT doc_id, max(w)::INTEGER AS width, max(h)::INTEGER AS height,
+        |       sum(CASE WHEN j >= 32 THEN bit::BIGINT << (j - 32)
+        |                ELSE 0 END)::BIGINT AS ahash_hi,
+        |       sum(CASE WHEN j < 32 THEN bit::BIGINT << j
+        |                ELSE 0 END)::BIGINT AS ahash_lo
+        |FROM bits GROUP BY doc_id""".stripMargin,
 
     // bilinear resampling of a solid color is exact — the resized 8×8
     // image must still be solid gray id%256

@@ -437,6 +437,34 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("image aHash: resolution-invariant on same content, solid hashes 0, " +
+      "no shuffle") {
+    import spark.implicits._
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // same two-tone CONTENT (left 40, right 200) at three resolutions —
+    // the perceptual hash must not care how big the file is
+    val sizes = Seq((8, 6), (16, 12), (40, 24))
+    val twoTone = sizes.zipWithIndex.map { case ((w, h), i) =>
+      (i.toLong, Multimodal.ImageCodec.encodePngPixels(w, h,
+        (x, _) => if (x < w / 2) gray(40) else gray(200)))
+    }
+    // solid: every sample equals the mean, strict > flags nothing
+    val solid = Seq((99L, Multimodal.ImageCodec.encodePngPixels(10, 10,
+      (_, _) => gray(128))))
+    val df = (twoTone ++ solid).toDF("doc_id", "payload")
+    val out = Multimodal.imageAHash(df)
+    val rows = out.collect().map(r => r.doc_id -> ((r.ahash_hi, r.ahash_lo)))
+      .toMap
+    assert(rows(0L) == rows(1L) && rows(1L) == rows(2L),
+      s"same content must hash identically across resolutions: $rows")
+    // right half brighter than mean → bits x≥4 set in every row:
+    // per-row byte 0xF0, repeated through both halves
+    assert(rows(0L) == ((0xF0F0F0F0L, 0xF0F0F0F0L)), s"got ${rows(0L)}")
+    assert(rows(99L) == ((0L, 0L)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "aHash must not shuffle")
+  }
+
   test("real MJPEG/AVI codec: demux + javax.imageio frame decode") {
     // container round-trip: a REAL RIFF/AVI structure, frames recovered
     // byte-for-byte in order
