@@ -314,6 +314,57 @@ object Multimodal {
       .withColumn("modality", lit("audio/wav"))
   }
 
+  /** Per-clip audio energy fingerprint row. */
+  final case class AudioFp(
+      doc_id: Long, n_frames: Long, energy_sum: Long, fp: Long)
+
+  /** Audio ENERGY FINGERPRINT — the audio-side near-dup primitive
+    * (the Shazam-family shape reduced to what integer arithmetic can
+    * gate exactly): decode the real WAV, split the frames into 16 equal
+    * windows (window of frame i = (i·16)/n, integer floor), per-window
+    * energy = Σ|sample| (exact long), bit w = energy_w > integer mean
+    * of the 16 energies. Same-content clips fingerprint identically
+    * regardless of container framing; silence fingerprints 0.
+    * Partition-local typed `mapPartitions` (JDK codec), no shuffle —
+    * downstream dedup is a fingerprint-equality groupBy or a banded
+    * hamming join, exactly like [[imageAHash]]. */
+  def audioFingerprint(df: DataFrame): Dataset[AudioFp] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            require(fmt.getSampleSizeInBits == 16, "16-bit PCM expected")
+            val data = in.readAllBytes()
+            val le = !fmt.isBigEndian
+            val n = data.length / 2
+            val energies = new Array[Long](16)
+            var i = 0
+            while (i + 1 < data.length) {
+              val lo = data(if (le) i else i + 1) & 0xff
+              val hi = data(if (le) i + 1 else i)
+              val s = (hi << 8) | lo
+              energies((i / 2 * 16) / n) += math.abs(s.toLong)
+              i += 2
+            }
+            val total = energies.sum
+            val mean = total / 16
+            var fp = 0L
+            var w = 0
+            while (w < 16) {
+              if (energies(w) > mean) fp |= 1L << w
+              w += 1
+            }
+            AudioFp(id, n.toLong, total, fp)
+          } finally in.close()
+        }
+      }
+  }
+
   /** REAL audio decode stage (`javax.sound.sampled` over binary
     * payloads, partition-local batch shape). */
   def decodeAudio(df: DataFrame): Dataset[AudioMeta] = {

@@ -1070,6 +1070,14 @@ object LlmQueries {
         Multimodal.synthesizeTwoTone(docs(s, dir), "doc_id"))
         .toDF()),
 
+    // audio energy fingerprint (audio near-dup primitive) over REAL
+    // WAV containers: 16 integer window energies, mean-thresholded —
+    // the ramp fixtures make the 16-bit fp SQL-predictable
+    "mm_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.synthesizeAudio(docs(s, dir), "doc_id"))
+        .toDF()),
+
     // REAL WAV round-trip: javax.sound.sampled decode of genuinely
     // encoded PCM containers; oracle states the synthesized ramp's
     // format fields and exact sample sum
@@ -2157,6 +2165,26 @@ object LlmQueries {
         |       ((4 + doc_id % 13) * (4 + doc_id % 11) * 3 * (doc_id % 256))::BIGINT
         |         AS px_sum
         |FROM documents""".stripMargin,
+
+    // replays the windowed-energy arithmetic over the same ramp the WAV
+    // container carries: window of frame i = (i·16)//n, |sample| sums,
+    // integer mean threshold, 16 bits packed with shifts
+    "mm_audio_fingerprint" ->
+      """WITH f AS (SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),
+        |s AS (SELECT f.doc_id, f.n, (i.i * 16) // f.n AS w,
+        |        abs((f.doc_id + i.i) % 2000 - 1000) AS e
+        |      FROM f, (SELECT unnest(range(0, 500)) AS i) i
+        |      WHERE i.i < f.n),
+        |ew AS (SELECT doc_id, n, w, sum(e)::BIGINT AS ew
+        |       FROM s GROUP BY 1, 2, 3),
+        |m AS (SELECT doc_id, sum(ew) // 16 AS mean,
+        |             sum(ew)::BIGINT AS tot
+        |      FROM ew GROUP BY 1)
+        |SELECT ew.doc_id, max(ew.n)::BIGINT AS n_frames,
+        |       max(m.tot)::BIGINT AS energy_sum,
+        |       sum(CASE WHEN ew.ew > m.mean THEN 1::BIGINT << w
+        |                ELSE 0 END)::BIGINT AS fp
+        |FROM ew JOIN m USING (doc_id) GROUP BY 1""".stripMargin,
 
     // replays the aHash arithmetic analytically: the NN grid column
     // (2·x·(w−1)+7)//14 lands left of the seam ⟺ sample = a; integer

@@ -465,6 +465,27 @@ class LlmSpec extends SparkSpec {
       "aHash must not shuffle")
   }
 
+  test("audio fingerprint: loud windows set bits, silence 0, rate-invariant") {
+    import spark.implicits._
+    def wav(s: Array[Short], rate: Float) =
+      Multimodal.AudioCodec.encodeWav(s, rate)
+    // 160 frames = 16 windows of 10; windows 3 and 12 loud (10×1000
+    // each), the rest quiet (10×10) → mean (2·10000+14·100)/16 = 1337,
+    // only the loud windows clear it
+    val loud = Array.tabulate(160)(i =>
+      if (i / 10 == 3 || i / 10 == 12) 1000 else 10).map(_.toShort)
+    val silent = Array.fill(80)(0.toShort)
+    val df = Seq((1L, wav(loud, 8000f)), (2L, wav(loud, 16000f)),
+      (3L, wav(silent, 8000f))).toDF("doc_id", "payload")
+    val out = Multimodal.audioFingerprint(df)
+    val fps = out.collect().map(r => r.doc_id -> r.fp).toMap
+    assert(fps(1L) == ((1L << 3) | (1L << 12)), s"got ${fps(1L).toBinaryString}")
+    assert(fps(2L) == fps(1L), "sample rate must not change content bits")
+    assert(fps(3L) == 0L)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "fingerprint must not shuffle")
+  }
+
   test("real MJPEG/AVI codec: demux + javax.imageio frame decode") {
     // container round-trip: a REAL RIFF/AVI structure, frames recovered
     // byte-for-byte in order
