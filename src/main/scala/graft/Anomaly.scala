@@ -17,25 +17,63 @@ import org.apache.spark.sql.functions._
   * engines (or partitionings) to disagree on. σ = 0 and n = 1 groups
   * flag nothing by construction (both sides 0, strict >).
   *
-  * Plan: ONE window pass partitioned by the group keys (key cardinality
+  * Plan: window passes partitioned by the group keys (key cardinality
   * must scale with the data — users, devices, days — never a
-  * handful-of-groups column, the round-2 window trap). Long-range: all
-  * terms bounded by k²·n²·max(c)² — document the bound at the call
-  * site for the caller's n and value range. */
+  * handful-of-groups column, the round-2 window trap). The guard pass
+  * and the sum pass share the window spec, so there is still exactly
+  * ONE shuffle+sort; the second Window exec reuses the partitioning.
+  *
+  * Long-range SAFETY is enforced at runtime, not by call-site
+  * documentation: every term is bounded by max(4, k²)·n²·max(|c|)²
+  * (LHS ≤ (2·n·max)², RHS ≤ k²·n²·max²), so the test is exact iff
+  * n·max(|c|) ≤ √(Long.Max / max(4, k²)). The guard (count and
+  * per-group max, compared in Decimal so the guard itself cannot
+  * wrap) is computed FIRST, and S/Q only accumulate for groups that
+  * pass it — a group that would overflow produces NULL sums, never a
+  * wrapped value (ANSI off) or an engine overflow error firing before
+  * the diagnostic one (ANSI on). The filter then raises a named
+  * `assert_true` error for any guarded-out group. */
 object Anomaly {
   def zscoreOutliers(df: DataFrame, groupKeys: Seq[String],
       valueCentsCol: String, sigmas: Int = 3): DataFrame = {
     require(groupKeys.nonEmpty, "zscoreOutliers needs group keys")
     require(sigmas > 0, "sigmas must be positive")
+    val k2 = sigmas.toLong * sigmas
+    // exact iff n·max(|c|) stays under this bound (see scaladoc)
+    val safeNM = math.sqrt(Long.MaxValue.toDouble / math.max(4L, k2)).toLong - 1
     val w = Window.partitionBy(groupKeys.map(col): _*)
     val c = col(valueCentsCol)
-    df.withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__s", sum(c).over(w))
-      .withColumn("__q", sum(c * c).over(w))
-      .filter(
-        (c * col("__n") - col("__s")) * (c * col("__n") - col("__s")) >
-          lit(sigmas.toLong * sigmas) *
-            (col("__n") * col("__q") - col("__s") * col("__s")))
-      .drop("__n", "__s", "__q")
+    // Window expressions are not allowed inside a WHERE clause, so the
+    // aggregates must materialize as columns — with names generated to
+    // never shadow (and then silently drop) a caller column.
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
+        .find(n => !df.columns.contains(n)).get
+    val (nC, mC, gC, sC, qC) = (fresh("__zs_n"), fresh("__zs_m"),
+      fresh("__zs_g"), fresh("__zs_s"), fresh("__zs_q"))
+    // pass 1: count and max(|c|) — abs and the n·m product in Decimal so
+    // the GUARD arithmetic itself cannot overflow for any long input
+    val guarded = df
+      .withColumn(nC, count(lit(1)).over(w))
+      .withColumn(mC, max(abs(c.cast("decimal(20,0)"))).over(w))
+      .withColumn(gC,
+        col(nC).cast("decimal(19,0)") * col(mC) <= lit(safeNM))
+    // pass 2 (same window spec — partitioning/sort reused, no second
+    // shuffle): S and Q accumulate ONLY under the guard, so a group past
+    // the bound yields NULLs instead of wrapped/overflowing longs
+    val g = col(gC)
+    val out = guarded
+      .withColumn(sC, sum(when(g, c)).over(w))
+      .withColumn(qC, sum(when(g, c * c)).over(w))
+    val (n, s, q) = (col(nC), col(sC), col(qC))
+    // assert_true returns NULL when the guard holds and raises otherwise;
+    // keeping it inside the filter conjunction (rather than a dropped
+    // column) means Catalyst cannot prune it away.
+    val loud = assert_true(g,
+      lit(s"zscoreOutliers: n*max(|$valueCentsCol|) exceeds the exact-Long " +
+        s"bound $safeNM for sigmas=$sigmas; rescale the value column"))
+    out.filter(loud.isNull &&
+        (c * n - s) * (c * n - s) > lit(k2) * (n * q - s * s))
+      .drop(nC, mC, gC, sC, qC)
   }
 }

@@ -339,6 +339,11 @@ object Multimodal {
           try {
             val fmt = in.getFormat
             require(fmt.getSampleSizeInBits == 16, "16-bit PCM expected")
+            // stereo would interleave channels into the 16 frame windows
+            // and count samples (not frames) in n_frames — reject rather
+            // than silently break the per-frame semantics
+            require(fmt.getChannels == 1,
+              s"mono PCM expected, got ${fmt.getChannels} channels")
             val data = in.readAllBytes()
             val le = !fmt.isBigEndian
             val n = data.length / 2

@@ -127,6 +127,9 @@ object TextAnalysis {
       .withColumn("bigram_diversity",
         when(col("n_bigrams") > 0, round(
           col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6)))
+      .withColumn("trigram_diversity",
+        when(col("n_trigrams") > 0, round(
+          col("n_distinct_trigrams").cast("double") / col("n_trigrams"), 6)))
 
   /** Repetition metrics (the Gopher-rule family used to filter
     * low-quality training text): duplicate-bigram fraction and

@@ -1873,7 +1873,10 @@ object LlmQueries {
          |       END AS unigram_diversity,
          |       CASE WHEN len(g2) > 0 THEN
          |         round(len(list_distinct(g2))::DOUBLE / len(g2), 6)
-         |       END AS bigram_diversity
+         |       END AS bigram_diversity,
+         |       CASE WHEN len(g3) > 0 THEN
+         |         round(len(list_distinct(g3))::DOUBLE / len(g3), 6)
+         |       END AS trigram_diversity
          |FROM g""".stripMargin,
 
     "text_top_tokens" ->

@@ -43,6 +43,41 @@ class AnomalySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("values past the exact-Long bound fail loudly, not silently") {
+    // n·max(|c|) beyond √(Long.Max/9) ≈ 1.01e9 would wrap the integer
+    // test silently; the inline assert_true guard must raise instead
+    val df = (1L to 10L).map(i => ("g", i, 400000000L * i))
+      .toDF("grp", "id", "cents")
+    val e = intercept[Exception] {
+      Anomaly.zscoreOutliers(df, Seq("grp"), "cents").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("exact-Long bound")), msgs(e).mkString("|"))
+  }
+
+  test("caller columns named like the temp columns survive untouched") {
+    // 20 tight values + 1 extreme (a lone value in n=4 can never clear
+    // 3σ — the sample-max z is (n−1)/√n)
+    val rows0 = (1L to 20L).map(i => ("a", i, 100L + (i % 3) - 1, "keep")) :+
+      (("a", 99L, 10000L, "keep"))
+    val df = rows0.toDF("grp", "id", "cents", "__zs_n")
+    val out = Anomaly.zscoreOutliers(df, Seq("grp"), "cents")
+    assert(out.columns.toSeq == Seq("grp", "id", "cents", "__zs_n"))
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("id")).toSet == Set(99L))
+    assert(rows.forall(_.getAs[String]("__zs_n") == "keep"))
+  }
+
+  test("guard pass and sum pass share ONE shuffle (same window spec)") {
+    val df = (1L to 50L).map(i => ("g" + i % 5, i, i % 97))
+      .toDF("grp", "id", "cents")
+    val plan = Anomaly.zscoreOutliers(df, Seq("grp"), "cents")
+      .queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges == 1, s"expected 1 window shuffle, got $nExchanges:\n$plan")
+  }
+
   test("result is repartition-invariant (exact integers, no FP order)") {
     val rows = (1L to 300L).map(i => ("g" + i % 5, i, (i * i * 7) % 90001))
     val df = rows.toDF("grp", "id", "cents")

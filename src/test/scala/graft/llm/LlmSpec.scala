@@ -486,6 +486,33 @@ class LlmSpec extends SparkSpec {
       "fingerprint must not shuffle")
   }
 
+  test("audio fingerprint: stereo payloads are rejected, not mis-windowed") {
+    import spark.implicits._
+    // real 2-channel WAV: interleaved L/R frames through the JDK encoder
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val frames = 40
+    val bytes = new Array[Byte](frames * 4) // 2 ch × 2 bytes
+    var i = 0
+    while (i < frames) {
+      val l = (i * 10).toShort; val r = (1000 - i * 10).toShort
+      bytes(i * 4) = (l & 0xff).toByte; bytes(i * 4 + 1) = (l >> 8).toByte
+      bytes(i * 4 + 2) = (r & 0xff).toByte; bytes(i * 4 + 3) = (r >> 8).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val e = intercept[Exception] {
+      Multimodal.audioFingerprint(df).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("mono PCM expected")), msgs(e).mkString("|"))
+  }
+
   test("real MJPEG/AVI codec: demux + javax.imageio frame decode") {
     // container round-trip: a REAL RIFF/AVI structure, frames recovered
     // byte-for-byte in order

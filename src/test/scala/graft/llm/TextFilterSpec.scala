@@ -195,8 +195,11 @@ class TextFilterSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("n_distinct_trigrams") == 2)
     assert(out(2L).getAs[Double]("unigram_diversity") == 1.0)
     assert(out(2L).getAs[Double]("bigram_diversity") == 1.0)
+    assert(out(2L).getAs[Double]("trigram_diversity") == 1.0)
+    assert(out(1L).getAs[Double]("trigram_diversity") == 1.0) // 2 distinct / 2
     assert(out(3L).getAs[Long]("n_bigrams") == 0)
     assert(out(3L).isNullAt(out(3L).fieldIndex("bigram_diversity")))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("trigram_diversity")))
     // the signal this operator exists for: degenerate text scores
     // strictly below varied text of the same length
     assert(out(4L).getAs[Double]("bigram_diversity") <
