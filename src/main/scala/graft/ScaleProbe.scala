@@ -185,7 +185,10 @@ object ScaleProbe {
     "x_q21_last_shipper", "x_q22_idle_customers", "x_setops",
     "x_window_funcs", "text_ngram_diversity",
     // sparse lexical retrieval, tokenize-encode, exact z-score outliers
-    "knn_sparse_tfidf", "text_encode_ids", "x_anomaly_zscore")
+    "knn_sparse_tfidf", "text_encode_ids", "x_anomaly_zscore",
+    // round-9: image near-dup (decode → aHash → banded hamming join),
+    // incremental-agg merge, perceptual hash scan
+    "mm_image_near_dup", "mm_image_ahash", "x_incremental_agg")
 
   /** Time one declared query against one SF dir: (seconds, rows). Same
     * `toRdd.count()` materialization as Bench (see Bench.scala on why

@@ -814,9 +814,23 @@ object Dedup {
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       hammingMax: Int = 3): DataFrame = {
+    val sims = simHashFingerprints(df, idCol, textCol)
+    hammingPairs64(sims, hammingMax)
+  }
+
+  /** Banded hamming join over ANY (doc_id, lo, hi) 64-bit fingerprint
+    * relation — the candidate-generation core shared by text SimHash
+    * ([[simHashPairs]]) and image perceptual-hash near-dup
+    * ([[graft.llm.Multimodal.imageAHash]] consumers). 4 × 16-bit bands:
+    * by pigeonhole, two fingerprints within hamming ≤ 3 agree on at
+    * least one band, so the equi-join on (band, value) has EXACT recall
+    * for hammingMax ≤ 3 while only comparing within band buckets —
+    * never all pairs. Bucket sizes stay bounded because 16-bit band
+    * values spread over 65536 keys; the verify step recomputes the true
+    * hamming distance, so precision is exact too. */
+  def hammingPairs64(sims: DataFrame, hammingMax: Int = 3): DataFrame = {
     require(hammingMax <= 3,
       "banded recall is exact only for hammingMax <= bands-1 = 3")
-    val sims = simHashFingerprints(df, idCol, textCol)
     // Banded candidates: 4 × 16-bit slices of (lo, hi).
     val banded = sims.select(col("doc_id"), col("lo"), col("hi"),
       explode(array(

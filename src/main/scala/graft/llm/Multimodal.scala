@@ -434,6 +434,45 @@ object Multimodal {
       .withColumn("modality", lit("image/png"))
   }
 
+  /** NEAR-DUPLICATE image fixture payloads: 8×8 two-level PNGs whose
+    * perceptual hash is a planted 64-bit pattern. Family f = doc_id/4
+    * draws its base pattern from md5("img"+f) (two 32-bit hex halves,
+    * the SimHash (lo, hi) convention); members m = 1..3 flip ONE bit at
+    * position (f + 17·m) % 64. Pixel j (row-major) is white iff pattern
+    * bit j is set, so [[imageAHash]]'s integer mean threshold recovers
+    * the pattern EXACTLY (8×8 input ⇒ identity NN grid; white > mean,
+    * black never), making members of a family mutual near-duplicates at
+    * hamming ≤ 2 while unrelated families sit ~32 apart — the
+    * controlled corpus an image-dedup oracle can state analytically. */
+  def synthesizeNearDupImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val f = id / 4
+          val m = (id % 4).toInt
+          val hex = md.digest(s"img$f".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          var lo = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+          var hi = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+          if (m > 0) {
+            val p = ((f + 17L * m) % 64).toInt
+            if (p < 32) lo ^= 1L << p else hi ^= 1L << (p - 32)
+          }
+          val png = ImageCodec.encodePngPixels(8, 8, (x, y) => {
+            val j = y * 8 + x
+            val bit = if (j < 32) (lo >> j) & 1L else (hi >> (j - 32)) & 1L
+            if (bit == 1L) 0xffffff else 0x000000
+          })
+          (id, png)
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("modality", lit("image/png"))
+  }
+
   /** Per-image perceptual hash + dims. The 64-bit hash ships as two
     * 32-bit halves (the SimHash convention — bit 63 of a single long
     * would be the sign bit on both engines). */

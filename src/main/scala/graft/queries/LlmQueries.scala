@@ -1070,6 +1070,19 @@ object LlmQueries {
         Multimodal.synthesizeTwoTone(docs(s, dir), "doc_id"))
         .toDF()),
 
+    // IMAGE NEAR-DUP end-to-end: real PNG fixtures with planted
+    // near-duplicate families → javax.imageio decode → perceptual aHash
+    // → the shared 4×16-bit banded hamming join (exact recall ≤ 3,
+    // never all-pairs) — the image-side twin of dedup_simhash
+    "mm_image_near_dup" -> ((s, dir) =>
+      Dedup.hammingPairs64(
+        Multimodal.imageAHash(
+          Multimodal.synthesizeNearDupImages(docs(s, dir), "doc_id"))
+          .toDF()
+          .select(col("doc_id"), col("ahash_lo").as("lo"),
+            col("ahash_hi").as("hi")),
+        hammingMax = 3)),
+
     // audio energy fingerprint (audio near-dup primitive) over REAL
     // WAV containers: 16 integer window energies, mean-thresholded —
     // the ramp fixtures make the 16-bit fp SQL-predictable
@@ -2212,6 +2225,32 @@ object LlmQueries {
         |       sum(CASE WHEN j < 32 THEN bit::BIGINT << j
         |                ELSE 0 END)::BIGINT AS ahash_lo
         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // replays the planted-pattern arithmetic: family base = two md5
+    // hex halves, member m flips bit (f + 17m) % 64; the aHash of the
+    // 8×8 two-level fixture IS the pattern, so pairs are exact
+    // hamming ≤ 3 over the analytic fingerprints
+    "mm_image_near_dup" ->
+      """WITH fam AS (SELECT doc_id, doc_id // 4 AS f, doc_id % 4 AS m
+        |             FROM documents),
+        |base AS (SELECT doc_id, f, m,
+        |           ('0x' || substr(md5('img' || f), 1, 8))::BIGINT AS blo,
+        |           ('0x' || substr(md5('img' || f), 9, 8))::BIGINT AS bhi
+        |         FROM fam),
+        |fp AS (SELECT doc_id,
+        |         CASE WHEN m > 0 AND (f + 17*m) % 64 < 32
+        |              THEN xor(blo, 1::BIGINT << ((f + 17*m) % 64)::INTEGER)
+        |              ELSE blo END AS lo,
+        |         CASE WHEN m > 0 AND (f + 17*m) % 64 >= 32
+        |              THEN xor(bhi, 1::BIGINT << ((f + 17*m) % 64 - 32)::INTEGER)
+        |              ELSE bhi END AS hi
+        |       FROM base)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))
+        |         AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
+        .stripMargin,
 
     // bilinear resampling of a solid color is exact — the resized 8×8
     // image must still be solid gray id%256

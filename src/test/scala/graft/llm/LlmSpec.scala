@@ -40,6 +40,46 @@ class LlmSpec extends SparkSpec {
       s"banded missed ${(brute -- banded).size}, extra ${(banded.toSet -- brute).size}")
   }
 
+  test("image near-dup: aHash recovers planted patterns; banded join " +
+    "exact, no all-pairs") {
+    import spark.implicits._
+    val ids = (0L until 64L).toDF("doc_id")
+    val hashes = Multimodal.imageAHash(
+      Multimodal.synthesizeNearDupImages(ids, "doc_id")).toDF()
+      .select(col("doc_id"), col("ahash_lo").as("lo"), col("ahash_hi").as("hi"))
+    // decoded hash == the planted md5 pattern with the member bit flip
+    val got = hashes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = (0L until 64L).map { id =>
+      val f = id / 4; val m = (id % 4).toInt
+      val hex = md.digest(s"img$f".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      var lo = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      var hi = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      if (m > 0) {
+        val p = ((f + 17L * m) % 64).toInt
+        if (p < 32) lo ^= 1L << p else hi ^= 1L << (p - 32)
+      }
+      (id, lo, hi)
+    }
+    assert(got.toSet == expect.toSet)
+    // banded pairs == brute-force hamming <= 3 (pigeonhole exactness)
+    val pairs = Dedup.hammingPairs64(hashes, hammingMax = 3)
+    val gotPairs = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    val brute = (for {
+      (ia, la, ha) <- expect; (ib, lb, hb) <- expect if ia < ib
+      d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(gotPairs == brute)
+    // each 4-member family yields its 6 pairs (members differ by <= 2 bits)
+    assert(brute.size >= 16 * 6, s"planted families missing: ${brute.size}")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded hamming join must be an equi-join:\n$plan")
+  }
+
   test("connected components label every doc with its min reachable id") {
     import spark.implicits._
     // two components (1-2-3 chain, 10-11) — 3 reaches 1 only transitively
