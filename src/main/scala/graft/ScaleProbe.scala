@@ -188,7 +188,13 @@ object ScaleProbe {
     "knn_sparse_tfidf", "text_encode_ids", "x_anomaly_zscore",
     // round-9: image near-dup (decode → aHash → banded hamming join),
     // incremental-agg merge, perceptual hash scan
-    "mm_image_near_dup", "mm_image_ahash", "x_incremental_agg")
+    "mm_image_near_dup", "mm_image_ahash", "x_incremental_agg",
+    // round-9 TPC-H closures: correlated-min decorrelation, bilateral
+    // volume (two fact shuffles), market share, HAVING-vs-global,
+    // distinct-count + NOT IN, nested semi-joins
+    "x_q2_min_cost", "x_q7_volume", "x_q8_market_share",
+    "x_q11_important_parts", "x_q16_supplier_count",
+    "x_q20_dominant_suppliers")
 
   /** Time one declared query against one SF dir: (seconds, rows). Same
     * `toRdd.count()` materialization as Bench (see Bench.scala on why

@@ -826,6 +826,187 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_custs"), sum(col("cents")).as("total_cents"))
     }),
 
+    // TPC-H Q2 shape (this schema has no partsupp — lineitem is the
+    // part×supplier supply relation): for each STANDARD small part, the
+    // EUROPE supplier(s) with the minimum price ever charged for it.
+    // The correlated min-cost subquery is decorrelated into a grouped
+    // min + join-back on (partkey, cost); the part and supplier dims
+    // (supplier pre-joined to its broadcast nation/region) broadcast
+    // into the fact scan, so the only real shuffles are the offer
+    // aggregation and its join-back — both keyed on l_partkey, which
+    // scales with the data. All money exact cents.
+    "x_q2_min_cost" -> ((s, dir) => {
+      val p = Tables.read(s, dir, "part")
+        .filter(col("p_type") === "STANDARD" && col("p_size") < 10)
+        .select("p_partkey")
+      val nat = Tables.read(s, dir, "nation")
+        .join(broadcast(Tables.read(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"), "left_semi")
+      val sup = Tables.read(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          round(col("s_acctbal") * 100).cast("long").as("acctbal_cents"))
+      val offers = lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cost_cents"))
+      val minCost = offers.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("cost_cents")).as("min_cost"))
+      offers
+        .join(minCost, col("l_partkey") === col("mk") &&
+          col("cost_cents") === col("min_cost"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("acctbal_cents"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("cost_cents"))
+        .orderBy(col("acctbal_cents").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q7 shape: bilateral shipping volume between two nations by
+    // year — the customer side reaches its nation through orders
+    // (lineitem⋈orders on l_orderkey, orders⋈customer on o_custkey:
+    // both shuffles on keys whose cardinality scales), the supplier and
+    // both nation dims broadcast. The two-direction predicate evaluates
+    // post-join on the broadcast-joined nation names.
+    "x_q7_volume" -> ((s, dir) => {
+      val nat = Tables.read(s, dir, "nation").select("n_nationkey", "n_name")
+      val sup = Tables.read(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.read(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      lineitem(s, dir)
+        .join(Tables.read(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")).as("revenue_x10000"))
+    }),
+
+    // TPC-H Q8 shape: one nation's market share inside a region's
+    // market by year. Numerator (NATION_3-supplied revenue) and
+    // denominator are both exact integer sums carried to the output;
+    // the published share is one IEEE long÷long division rounded to
+    // 6dp — bit-identical across engines. ASIA-customer scoping is a
+    // left-semi of customers against the broadcast nation⋉region set.
+    "x_q8_market_share" -> ((s, dir) => {
+      val nat = Tables.read(s, dir, "nation")
+      val asiaNations = nat.join(broadcast(Tables.read(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+      val cust = Tables.read(s, dir, "customer")
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"),
+          "left_semi")
+        .select("c_custkey")
+      val sup = Tables.read(s, dir, "supplier")
+        .join(broadcast(nat.select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val p = Tables.read(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long").as("vol"),
+          col("supp_nation"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("vol"))
+            .otherwise(0L)).as("nation_x10000"),
+          sum(col("vol")).as("total_x10000"))
+        .withColumn("mkt_share",
+          round(col("nation_x10000").cast("double") / col("total_x10000"), 6))
+    }),
+
+    // TPC-H Q11 shape: parts whose revenue exceeds a fraction of the
+    // GLOBAL revenue — grouped aggregate HAVING against a global
+    // scalar, the scalar carried as a structurally-licensed 1-row
+    // broadcast stats row and compared in exact integers. The
+    // threshold is 4/3 of the MEAN part value (v·n·3 > total·4), not a
+    // fixed share — part count scales with SF, so a fixed fraction
+    // selects a vanishing (eventually empty) set while the mean-based
+    // tail stays a stable "important parts" population at any scale.
+    "x_q11_important_parts" -> ((s, dir) => {
+      val perPart = lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")).as("value_x10000"))
+      val total = perPart.agg(sum(col("value_x10000")).as("grand_x10000"),
+        count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_x10000") * col("n_parts") * 3 >
+          col("grand_x10000") * 4)
+        .select(col("l_partkey").as("p_partkey"), col("value_x10000"))
+    }),
+
+    // TPC-H Q16 shape: distinct-supplier counts per part group with a
+    // NOT IN exclusion — the excluded supplier set (negative balance,
+    // the schema's stand-in for complaint suppliers) is a broadcast
+    // LEFT ANTI; the distinct count shuffles on the (brand, type,
+    // size) group key after the broadcast part-dim join.
+    "x_q16_supplier_count" -> ((s, dir) => {
+      val p = Tables.read(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val excluded = Tables.read(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q20 shape: nested semi-joins — suppliers in NATION_4 who
+    // DOMINATED shipping of some 'small %' part in 1997 (their own
+    // shipped quantity > 20% of the part's total). The inner level is
+    // a part-name semi-join into the fact scan; the per-(part, supp)
+    // and per-part aggregates shuffle on l_partkey; the comparison is
+    // exact integers (qty·5 > total); the outer level is the supplier
+    // dim left-semi against the qualifying supplier set.
+    "x_q20_dominant_suppliers" -> ((s, dir) => {
+      val pk = Tables.read(s, dir, "part")
+        .filter(col("p_name").startsWith("small")).select("p_partkey")
+      val l97 = lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val bySupp = l97.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("qty")).as("supp_qty"))
+      val byPart = l97.groupBy(col("l_partkey").as("pk2"))
+        .agg(sum(col("qty")).as("part_qty"))
+      val dominant = bySupp.join(byPart, col("l_partkey") === col("pk2"))
+        .filter(col("supp_qty") * 5 > col("part_qty"))
+        .select("l_suppkey")
+      Tables.read(s, dir, "supplier")
+        .join(broadcast(Tables.read(s, dir, "nation")
+          .filter(col("n_name") === "NATION_4")),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    }),
+
     // Set operations (INTERSECT / EXCEPT — distinct set semantics in
     // both engines): customers who placed an URGENT order AND a
     // high-value one but never a 5-LOW one. Each leg is a pruned,
@@ -1610,6 +1791,111 @@ object CoreQueries {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'"""
         .stripMargin,
+
+    "x_q2_min_cost" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey, s_name, n_name,
+        |         round(s_acctbal * 100)::BIGINT AS acctbal_cents
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(round(l_extendedprice * 100)::BIGINT) AS cost_cents
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |   AND p_type = 'STANDARD' AND p_size < 10
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM sup)
+        |  GROUP BY 1, 2)
+        |SELECT acctbal_cents, s_name, n_name,
+        |       l_partkey AS p_partkey, cost_cents
+        |FROM offers JOIN sup ON l_suppkey = s_suppkey
+        |WHERE cost_cents = (SELECT min(cost_cents) FROM offers o2
+        |                    WHERE o2.l_partkey = offers.l_partkey)
+        |ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "x_q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       year(l_shipdate) AS l_year,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 10000)
+        |           ::BIGINT)::BIGINT AS revenue_x10000
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "x_q8_market_share" ->
+      """WITH v AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         round(l_extendedprice * (1 - l_discount) * 10000)
+        |           ::BIGINT AS vol,
+        |         sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE o_custkey IN (
+        |    SELECT c_custkey FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'ASIA'))
+        |SELECT o_year,
+        |       sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |                ELSE 0 END)::BIGINT AS nation_x10000,
+        |       sum(vol)::BIGINT AS total_x10000,
+        |       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |                      ELSE 0 END)::BIGINT::DOUBLE
+        |             / sum(vol)::BIGINT, 6) AS mkt_share
+        |FROM v GROUP BY 1""".stripMargin,
+
+    "x_q11_important_parts" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |         sum(round(l_extendedprice * (1 - l_discount) * 10000)
+        |             ::BIGINT)::BIGINT AS value_x10000
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(value_x10000)::BIGINT AS grand_x10000,
+        |             count(*)::BIGINT AS n_parts FROM pp)
+        |SELECT l_partkey AS p_partkey, value_x10000
+        |FROM pp, t
+        |WHERE value_x10000 * n_parts * 3 > grand_x10000 * 4""".stripMargin,
+
+    "x_q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "x_q20_dominant_suppliers" ->
+      """WITH l97 AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'small%')),
+        |bs AS (SELECT l_partkey, l_suppkey, sum(qty)::BIGINT AS supp_qty
+        |       FROM l97 GROUP BY 1, 2),
+        |bp AS (SELECT l_partkey, sum(qty)::BIGINT AS part_qty
+        |       FROM l97 GROUP BY 1)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_4'
+        |  AND s_suppkey IN (
+        |    SELECT bs.l_suppkey FROM bs JOIN bp USING (l_partkey)
+        |    WHERE bs.supp_qty * 5 > bp.part_qty)""".stripMargin,
 
     "x_anomaly_zscore" ->
       """WITH e AS (SELECT user_id, event_id,

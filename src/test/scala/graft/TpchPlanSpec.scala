@@ -77,6 +77,48 @@ class TpchPlanSpec extends SparkSpec {
       s"NOT EXISTS must plan as a left-anti join, got: $kinds")
   }
 
+  test("round-9 TPC-H shapes: broadcast dims, no nested loops beyond " +
+    "the licensed 1-row stats row") {
+    Seq("x_q2_min_cost", "x_q7_volume", "x_q8_market_share",
+      "x_q16_supplier_count", "x_q20_dominant_suppliers").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf("sf0.01"))
+      df.queryExecution.toRdd.count()
+      val nodes = executedNodes(df.queryExecution.executedPlan)
+      assert(nodes.collect {
+        case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"$q: dimension joins must broadcast; plan:\n" +
+          df.queryExecution.executedPlan.toString.take(2500))
+      val bad = nodes.filter {
+        case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+        case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+        case _ => false
+      }
+      assert(bad.isEmpty, s"$q: unlicensed non-equi join: $bad")
+    }
+    // q11's global scalar is the ONE licensed 1-row broadcast nested
+    // loop (the crossJoin stats-row pattern); everything else equi-joins
+    val df = SparkEntry.queries("x_q11_important_parts")(spark, sf("sf0.01"))
+    df.queryExecution.toRdd.count()
+    val nl = executedNodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nl.size <= 1, s"q11: only the 1-row stats crossJoin may nest: $nl")
+  }
+
+  test("x_q20 semi-joins stay semi (no fact-side distinct explosion)") {
+    val df = SparkEntry.queries("x_q20_dominant_suppliers")(spark, sf("sf0.01"))
+    df.queryExecution.toRdd.count()
+    val kinds = executedNodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.joinType.toString
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.joinType.toString
+      case j: BroadcastHashJoinExec => j.joinType.toString
+    }
+    assert(kinds.count(_.startsWith("LeftSemi")) >= 2,
+      s"nested IN subqueries must plan as semi joins, got: $kinds")
+  }
+
   test("x_q15_top_supplier broadcasts the 1-row max, never collects") {
     val df = SparkEntry.queries("x_q15_top_supplier")(spark, sf("sf0.01"))
     df.queryExecution.toRdd.count()
