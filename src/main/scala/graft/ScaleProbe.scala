@@ -129,6 +129,14 @@ object ScaleProbe {
       Tables.read(spark, baseDir, "supplier")
         .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
     }
+    // round-9 guard: the Q2/Q7/Q8/Q20 shapes read the `nation`/`region`
+    // geography dims (tiny, broadcast, copied unchanged)
+    Seq("nation", "region").foreach { t =>
+      if (!new java.io.File(s"$outDir/$t.parquet").exists()) {
+        Tables.read(spark, baseDir, t)
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+    }
   }
 
   final case class Li(

@@ -1,0 +1,43 @@
+package graft
+
+/** Generates the STATUS.md closing-state counts from the code itself
+  * (VERDICT r8 #7: the hand-written r8 tally was stale by 15 queries at
+  * gate time). Query/oracle counts come from `SparkEntry` directly;
+  * the spec count is the number of ScalaTest `test(` registrations
+  * under src/test — the same figure `sbt test` reports when green.
+  * No SparkSession needed; patches STATUS.md between the COUNTS
+  * markers. Usage: runMain graft.StatusCounts */
+object StatusCounts {
+  def main(args: Array[String]): Unit = {
+    val nQueries = SparkEntry.queries.size
+    val nOracles = SparkEntry.oracleSql.size
+    val gated = SparkEntry.queries.keySet.intersect(SparkEntry.oracleSql.keySet)
+    require(gated.size == nOracles,
+      s"oracleSql keys missing from queries: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
+    def specCount(dir: java.io.File): Int =
+      dir.listFiles().map { f =>
+        if (f.isDirectory) specCount(f)
+        else if (f.getName.endsWith(".scala"))
+          "(?m)^\\s*test\\(".r
+            .findAllIn(new String(
+              java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).length
+        else 0
+      }.sum
+    val nSpecs = specCount(new java.io.File("src/test/scala"))
+    val stamp = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      .format(new java.util.Date())
+    val body =
+      s"""$nQueries declared queries, $nOracles oracle-gated
+         |(${nQueries - nOracles} rows-only), $nSpecs ScalaTest specs.
+         |Counts generated from `SparkEntry.queries`/`oracleSql` and the
+         |test-registration scan on $stamp — never hand-written.""".stripMargin
+    val p = java.nio.file.Paths.get("STATUS.md")
+    val (begin, end) = ("<!-- COUNTS_BEGIN -->", "<!-- COUNTS_END -->")
+    val md = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val (b, e) = (md.indexOf(begin), md.indexOf(end))
+    require(b >= 0 && e > b, "COUNTS markers missing from STATUS.md")
+    java.nio.file.Files.write(p, (md.substring(0, b + begin.length) +
+      "\n" + body + "\n" + md.substring(e)).getBytes("UTF-8"))
+    println(s"queries=$nQueries oracles=$nOracles specs=$nSpecs")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The pair-emission budget that makes `embed_cosine_pairs` safe on a
+  * dup-dense corpus (VERDICT r8 #3): the probe corpus's duplicate
+  * density grows 10× per decade BY CONSTRUCTION, so the measured pair
+  * set is still riding the density curve at the second decade (0.95
+  * pairs/doc — far under the cap) and the row reads as superlinear.
+  * This spec demonstrates the ASYMPTOTE the probe hasn't reached: on a
+  * SATURATED corpus (every vector a near-dup of every other — the
+  * worst case, denser than any probe decade), the capped output is
+  * bounded by 64·N and grows LINEARLY when N doubles, while the
+  * underlying pair set grows quadratically. The uncapped formulation
+  * (`maxPairsPerDoc = 0`) is the licensed small-corpus oracle
+  * yardstick, exactly like the brute-force kNN contrasts. */
+class PairCapSpec extends SparkSpec {
+
+  private def saturated(n: Int) = {
+    import spark.implicits._
+    // n tiny jitters of one base direction: every pairwise cosine ≈ 1,
+    // so ALL n(n−1)/2 pairs clear tau — maximal dup density
+    (0 until n).map { i =>
+      val v = Array.tabulate(64)(d =>
+        1.0f + 0.001f * (((i * 131 + d * 17) % 97) / 97.0f))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pair cap: 64·N ceiling binds on a saturated corpus; doubling " +
+    "density grows output linearly, not quadratically") {
+    val n1 = 300
+    val n2 = 600
+    // bucketless: the saturated corpus sits at LSH plane boundaries, so
+    // bucket splits would blur the exact pair arithmetic — the claim
+    // under test is the CAP's bound, which applies after any candidate
+    // generation (the bucketed default can only produce fewer pairs)
+    def capped(n: Int): Long =
+      Similarity.cosinePairs(saturated(n), "vec_id", "embedding",
+        tau = 0.4, bucketless = true, nPlanes = 4, dim = 64).count()
+    def uncapped(n: Int): Long =
+      Similarity.cosinePairs(saturated(n), "vec_id", "embedding",
+        tau = 0.4, bucketless = true, nPlanes = 4, dim = 64,
+        maxPairsPerDoc = 0).count()
+    val (c1, c2) = (capped(n1), capped(n2))
+    val u1 = uncapped(n1)
+    // the saturated corpus really is all-pairs before the cap
+    assert(u1 == n1.toLong * (n1 - 1) / 2, s"expected all pairs, got $u1")
+    // the budget binds: ≤ 64·N at both sizes
+    assert(c1 <= 64L * n1, s"cap must bound output: $c1 > 64*$n1")
+    assert(c2 <= 64L * n2, s"cap must bound output: $c2 > 64*$n2")
+    // and output growth is ~linear in N (quadratic would be ×4)
+    assert(c2.toDouble / c1 <= 2.5,
+      s"capped output must grow linearly: $c1 -> $c2")
+  }
+
+  test("pair cap keeps each doc's strongest edges (cluster connectivity)") {
+    import spark.implicits._
+    // two saturated cliques far apart: the cap must never emit a
+    // cross-clique pair, and every doc must keep at least one edge
+    // inside its own clique so downstream CC still finds both clusters
+    val a = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        1.0f + 0.001f * ((i * 31 + d) % 53)))
+    }
+    val b = (0 until 80).map { i =>
+      ((1000 + i).toLong, Array.tabulate(64)(d =>
+        (if (d % 2 == 0) -1.0f else 1.0f) + 0.001f * ((i * 37 + d) % 59)))
+    }
+    val pairs = Similarity.cosinePairs((a ++ b).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", tau = 0.4, nPlanes = 4, dim = 64,
+      maxPairsPerDoc = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (x, y) => (x < 1000) == (y < 1000) },
+      "no cross-clique pair may survive the tau filter")
+    val touched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((0 until 80).forall(i => touched(i.toLong)),
+      "every clique-A doc keeps an edge under the cap")
+    assert((0 until 80).forall(i => touched(1000L + i)),
+      "every clique-B doc keeps an edge under the cap")
+  }
+}
