@@ -1083,6 +1083,24 @@ object LlmQueries {
             col("ahash_hi").as("hi")),
         hammingMax = 3)),
 
+    // the dedup CONSUMER of the image near-dup pairs: hamming clusters
+    // → drop every non-minimum member → the surviving image id set
+    // (pairs → CC → broadcast anti, the dropNearDuplicates skeleton)
+    "mm_image_dedup" -> ((s, dir) => {
+      val hashes = Multimodal.imageAHash(
+        Multimodal.synthesizeNearDupImages(docs(s, dir), "doc_id"))
+        .toDF()
+        .select(col("doc_id"), col("ahash_lo").as("lo"),
+          col("ahash_hi").as("hi"))
+      val pairs = Dedup.hammingPairs64(hashes, hammingMax = 3)
+      val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("__graft_loser"))
+      hashes.join(broadcast(losers),
+          col("doc_id") === col("__graft_loser"), "left_anti")
+        .select("doc_id", "lo", "hi")
+    }),
+
     // audio energy fingerprint (audio near-dup primitive) over REAL
     // WAV containers: 16 integer window energies, mean-thresholded —
     // the ramp fixtures make the 16-bit fp SQL-predictable
@@ -2251,6 +2269,40 @@ object LlmQueries {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
         .stripMargin,
+
+    // same analytic fingerprints → all-pairs hamming ≤ 3 → recursive
+    // reachability (the dedup_clusters oracle pattern) → survivors
+    "mm_image_dedup" ->
+      """WITH RECURSIVE fam AS (SELECT doc_id, doc_id // 4 AS f,
+        |                              doc_id % 4 AS m
+        |                       FROM documents),
+        |base AS (SELECT doc_id, f, m,
+        |           ('0x' || substr(md5('img' || f), 1, 8))::BIGINT AS blo,
+        |           ('0x' || substr(md5('img' || f), 9, 8))::BIGINT AS bhi
+        |         FROM fam),
+        |fp AS (SELECT doc_id,
+        |         CASE WHEN m > 0 AND (f + 17*m) % 64 < 32
+        |              THEN xor(blo, 1::BIGINT << ((f + 17*m) % 64)::INTEGER)
+        |              ELSE blo END AS lo,
+        |         CASE WHEN m > 0 AND (f + 17*m) % 64 >= 32
+        |              THEN xor(bhi, 1::BIGINT << ((f + 17*m) % 64 - 32)::INTEGER)
+        |              ELSE bhi END AS hi
+        |       FROM base),
+        |jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.lo, b.lo))
+        |             + bit_count(xor(a.hi, b.hi)) <= 3),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+        |          UNION ALL SELECT id_b, id_a FROM jp),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+        |losers AS (SELECT id FROM reach GROUP BY id
+        |           HAVING min(lbl) != id)
+        |SELECT doc_id, lo, hi FROM fp
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     // bilinear resampling of a solid color is exact — the resized 8×8
     // image must still be solid gray id%256
