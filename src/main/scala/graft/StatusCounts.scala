@@ -28,9 +28,11 @@ object StatusCounts {
       .format(new java.util.Date())
     val body =
       s"""$nQueries declared queries, $nOracles oracle-gated
-         |(${nQueries - nOracles} rows-only), $nSpecs ScalaTest specs.
+         |(${nQueries - nOracles} rows-only), $nSpecs ScalaTest
+         |test-registration sites in source (a loop-parameterized site
+         |registers several runtime tests, so `sbt test` may report more).
          |Counts generated from `SparkEntry.queries`/`oracleSql` and the
-         |test-registration scan on $stamp — never hand-written.""".stripMargin
+         |source scan on $stamp — never hand-written.""".stripMargin
     val p = java.nio.file.Paths.get("STATUS.md")
     val (begin, end) = ("<!-- COUNTS_BEGIN -->", "<!-- COUNTS_END -->")
     val md = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")

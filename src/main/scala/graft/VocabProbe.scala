@@ -34,13 +34,15 @@ object VocabProbe {
   final case class Doc(
       doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
 
-  /** Same doc count / words-per-doc as the base corpus, Zipfian vocab. */
+  /** Same doc count / words-per-doc as the base corpus, Zipfian vocab.
+    * `scaleUp` multiplies the doc count (the 10× decade for the scaling
+    * contrast). */
   def ensureZipfCorpus(spark: SparkSession, baseDir: String, outDir: String,
-      vocab: Int = 10000): Unit = {
+      vocab: Int = 10000, scaleUp: Int = 1): Unit = {
     import spark.implicits._
     if (new java.io.File(s"$outDir/documents.parquet").exists()) return
     val base = Tables.read(spark, baseDir, "documents")
-    val nDocs = base.count()
+    val nDocs = base.count() * scaleUp
     val wordsPerDoc = 54 // the base corpus's mean words/doc
     val lnV = math.log(vocab.toDouble)
     spark.range(0L, nDocs, 1L, 32).as[Long]
@@ -58,12 +60,19 @@ object VocabProbe {
 
   /** The candidate-generation volume of the sparse kNN's postings probe:
     * Σ_t df(t) · qdf(t) over the query predicate — counted by replaying
-    * the operator's own index-build stages. */
-  private def probeVolume(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    * the operator's own index-build stages. `maxDfFraction` mirrors the
+    * operator's stop-term prune. */
+  private def probeVolume(spark: SparkSession, dir: String,
+      maxDfFraction: Double = 1.0): (Long, Long, Long) = {
     val docs = Tables.read(spark, dir, "documents")
+    val n = docs.count()
     val terms = docs.select(col("doc_id"),
       explode(graft.llm.TextOps.words(col("text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf0 = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val kept = tf0.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(math.ceil(n * maxDfFraction).toLong))
+      .select("term")
+    val tf = tf0.join(kept, "term")
     val postings = tf.count()
     val nTerms = tf.select("term").distinct().count()
     val q = tf.filter(col("doc_id") % 50 === 0)
@@ -71,6 +80,23 @@ object VocabProbe {
     val volume = tf.join(q, "term")
       .filter(col("doc_id") =!= col("qid")).count()
     (nTerms, postings, volume)
+  }
+
+  /** Median-of-3 timing of the operator itself at a given prune. */
+  private def timeKnn(spark: SparkSession, dir: String,
+      maxDfFraction: Double): (Double, Long) = {
+    def once(): (Double, Long) = {
+      val df = graft.llm.Similarity.sparseTfidfKnn(
+        Tables.read(spark, dir, "documents"), "doc_id", "text",
+        queryPred = col("doc_id") % 50 === 0, k = 5,
+        maxDfFraction = maxDfFraction)
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.toRdd.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    once() // warm
+    val runs = (1 to 3).map(_ => once())
+    (runs.map(_._1).sorted.apply(1), runs.head._2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -85,11 +111,21 @@ object VocabProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ensureZipfCorpus(spark, baseDir, outDir)
-    val rows = Seq(("synthetic-31", baseDir), ("zipf-1e4", outDir)).map {
-      case (label, dir) =>
-        val (nTerms, postings, volume) = probeVolume(spark, dir)
-        ScaleProbe.time(spark, "knn_sparse_tfidf", dir) // warm
-        val (t, n) = ScaleProbe.timeMedian3(spark, "knn_sparse_tfidf", dir)
+    // the 10× decade of the SAME Zipfian corpus: the dense synthetic
+    // vocabulary measured 39×/decade in BENCH_10x — this row is the
+    // realistic-sparsity counterpart
+    ensureZipfCorpus(spark, baseDir, outDir + "10", scaleUp = 10)
+    // full-vocabulary rows (the declared query's exact semantics) plus
+    // the stop-term-pruned production configuration on the Zipf corpora
+    val rows = Seq(
+      ("synthetic-31", baseDir, 1.0),
+      ("zipf-1e4", outDir, 1.0),
+      ("zipf-1e4-x10", outDir + "10", 1.0),
+      ("zipf-1e4 pruned .5", outDir, 0.5),
+      ("zipf-1e4-x10 pruned .5", outDir + "10", 0.5)).map {
+      case (label, dir, mdf) =>
+        val (nTerms, postings, volume) = probeVolume(spark, dir, mdf)
+        val (t, n) = timeKnn(spark, dir, mdf)
         (label, nTerms, postings, volume, t, n)
     }
     val table = (

@@ -56,6 +56,33 @@ class PairCapSpec extends SparkSpec {
       s"capped output must grow linearly: $c1 -> $c2")
   }
 
+  test("sparse kNN stop-term prune: equals full semantics with the " +
+    "high-df term stripped; identity when nothing crosses") {
+    import spark.implicits._
+    // "common" sits in 6 of 8 docs (df = 0.75N — kept by full
+    // semantics, dropped at maxDfFraction = 0.5); the rest are rare
+    val docs = Seq(
+      (1L, "common apple banana"), (2L, "common apple cherry"),
+      (3L, "common banana date"), (4L, "common cherry date"),
+      (5L, "common apple date"), (6L, "common banana cherry"),
+      (7L, "fig grape apple"), (8L, "fig grape banana"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame, mdf: Double) =
+      Similarity.sparseTfidfKnn(d, "doc_id", "text",
+        queryPred = col("doc_id") <= 2, k = 3, maxDfFraction = mdf)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getInt(2), r.getDouble(3))).toSet
+    val pruned = run(docs, 0.5)
+    val stripped = docs.select(col("doc_id"),
+      regexp_replace(col("text"), "common ?", "").as("text"))
+    assert(pruned == run(stripped, 1.0),
+      "pruned semantics must equal full semantics on the stripped corpus")
+    // identity: no term crosses 0.5 in the stripped corpus
+    assert(run(stripped, 0.5) == run(stripped, 1.0))
+    // and the prune changes the dense result (the head term mattered)
+    assert(pruned != run(docs, 1.0))
+  }
+
   test("pair cap keeps each doc's strongest edges (cluster connectivity)") {
     import spark.implicits._
     // two saturated cliques far apart: the cap must never emit a
