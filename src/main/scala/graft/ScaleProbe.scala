@@ -203,7 +203,8 @@ object ScaleProbe {
     // distinct-count + NOT IN, nested semi-joins
     "x_q2_min_cost", "x_q7_volume", "x_q8_market_share",
     "x_q11_important_parts", "x_q16_supplier_count",
-    "x_q20_dominant_suppliers")
+    "x_q20_dominant_suppliers",
+    "x_q9_profit", "x_q10_returned", "x_q12_late_priority")
 
   /** Time one declared query against one SF dir: (seconds, rows). Same
     * `toRdd.count()` materialization as Bench (see Bench.scala on why

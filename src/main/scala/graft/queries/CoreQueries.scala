@@ -826,6 +826,80 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_custs"), sum(col("cents")).as("total_cents"))
     }),
 
+    // TPC-H Q9 shape: product-line profit by supplier nation and year —
+    // the 5-way join tree (part filter broadcast, supplier+nation
+    // broadcast, lineitem⋈orders shuffle on l_orderkey). No partsupp ⇒
+    // unit cost stands in as 80% of p_retailprice; profit = revenue −
+    // cost·qty, every term exact cents (qty is integral).
+    "x_q9_profit" -> ((s, dir) => {
+      val p = Tables.read(s, dir, "part")
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 80).cast("long").as("cost_cents"))
+      val sup = Tables.read(s, dir, "supplier")
+        .join(broadcast(Tables.read(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.read(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long") -
+          col("cost_cents") * col("l_quantity").cast("long"))
+          .as("profit_cents"))
+    }),
+
+    // TPC-H Q10 shape: top customers by revenue lost to RETURNED items
+    // in a quarter — lineitem⋈orders on the fact keys, customer dim
+    // joined after the aggregate (top-k rows only), nation broadcast.
+    "x_q10_returned" -> ((s, dir) => {
+      val rev = lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.read(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(Timestamp.valueOf("1997-04-01 00:00:00")))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")).as("revenue_x10000"))
+      val cust = Tables.read(s, dir, "customer")
+        .join(broadcast(Tables.read(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      rev.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("acctbal_cents"), col("revenue_x10000"))
+        .orderBy(col("revenue_x10000").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q12 shape: conditional priority counts over LATE shipments
+    // (l_shipdate > o_orderdate + 60 days), grouped by return flag (the
+    // schema's shipmode stand-in) — one fact⋈fact equi-join and two
+    // conditional sums.
+    "x_q12_late_priority" -> ((s, dir) => {
+      lineitem(s, dir)
+        .join(Tables.read(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+    }),
+
     // TPC-H Q2 shape (this schema has no partsupp — lineitem is the
     // part×supplier supply relation): for each STANDARD small part, the
     // EUROPE supplier(s) with the minimum price ever charged for it.
@@ -1791,6 +1865,45 @@ object CoreQueries {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'"""
         .stripMargin,
+
+    "x_q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+        |           - round(p_retailprice * 80)::BIGINT
+        |             * CAST(l_quantity AS BIGINT))::BIGINT AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "x_q10_returned" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         sum(round(l_extendedprice * (1 - l_discount) * 10000)
+        |             ::BIGINT)::BIGINT AS revenue_x10000
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name,
+        |       round(c_acctbal * 100)::BIGINT AS acctbal_cents,
+        |       revenue_x10000
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue_x10000 DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "x_q12_late_priority" ->
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
 
     "x_q2_min_cost" ->
       """WITH sup AS (

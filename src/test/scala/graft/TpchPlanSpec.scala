@@ -80,7 +80,8 @@ class TpchPlanSpec extends SparkSpec {
   test("round-9 TPC-H shapes: broadcast dims, no nested loops beyond " +
     "the licensed 1-row stats row") {
     Seq("x_q2_min_cost", "x_q7_volume", "x_q8_market_share",
-      "x_q16_supplier_count", "x_q20_dominant_suppliers").foreach { q =>
+      "x_q16_supplier_count", "x_q20_dominant_suppliers",
+      "x_q9_profit", "x_q10_returned", "x_q12_late_priority").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf("sf0.01"))
       df.queryExecution.toRdd.count()
       val nodes = executedNodes(df.queryExecution.executedPlan)
