@@ -314,6 +314,41 @@ object Multimodal {
       .withColumn("modality", lit("audio/wav"))
   }
 
+  /** NEAR-DUPLICATE audio fixture payloads — the audio analogue of
+    * [[synthesizeNearDupImages]]: 160-sample mono WAVs (16 windows × 10
+    * frames) whose energy fingerprint is a planted 16-bit pattern.
+    * Family f = doc_id/4 draws its pattern from 4 hex chars of
+    * md5("aud"+f) (guarded away from the degenerate all-0/all-1
+    * patterns the mean threshold cannot represent); window w is LOUD
+    * (amplitude 1000+m) iff pattern bit w is set, else quiet (10+m) —
+    * the member index m = 1..3 shifts amplitudes WITHOUT changing any
+    * energy comparison, so members are true near-duplicates (different
+    * bytes, identical fingerprint). Loud windows always clear the
+    * integer mean, quiet never do, for any popcount in [1,15]. */
+  def synthesizeNearDupAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val f = id / 4
+          val m = (id % 4).toInt
+          val hex = md.digest(s"aud$f".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          val p0 = java.lang.Integer.parseInt(hex.substring(0, 4), 16)
+          val pat = if (p0 == 0) 1 else if (p0 == 0xffff) 0xfffe else p0
+          val samples = Array.tabulate(160) { i =>
+            val w = i / 10
+            (if (((pat >> w) & 1) == 1) 1000 + m else 10 + m).toShort
+          }
+          (id, AudioCodec.encodeWav(samples, 8000f))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("modality", lit("audio/wav"))
+  }
+
   /** Per-clip audio energy fingerprint row. */
   final case class AudioFp(
       doc_id: Long, n_frames: Long, energy_sum: Long, fp: Long)

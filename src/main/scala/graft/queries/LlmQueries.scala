@@ -1109,6 +1109,35 @@ object LlmQueries {
         Multimodal.synthesizeAudio(docs(s, dir), "doc_id"))
         .toDF()),
 
+    // AUDIO NEAR-DUP pairs: same-content clips fingerprint identically
+    // regardless of amplitude, so candidate generation is a plain
+    // fingerprint-EQUALITY self-join — bounded buckets (16-bit fp
+    // space), never all-pairs; the audio twin of mm_image_near_dup
+    "mm_audio_near_dup" -> ((s, dir) => {
+      val fps = Multimodal.audioFingerprint(
+        Multimodal.synthesizeNearDupAudio(docs(s, dir), "doc_id"))
+        .toDF().select("doc_id", "fp")
+      fps.as("a").join(fps.as("b"),
+          col("a.fp") === col("b.fp") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.fp").as("fp"))
+    }),
+
+    // the dedup consumer: fingerprint equality is TRANSITIVE, so no CC
+    // is needed — the survivor per fp is min(doc_id), and the winner
+    // set (≤ 65,536 fps) broadcasts into a semi join
+    "mm_audio_dedup" -> ((s, dir) => {
+      val fps = Multimodal.audioFingerprint(
+        Multimodal.synthesizeNearDupAudio(docs(s, dir), "doc_id"))
+        .toDF().select("doc_id", "fp")
+      val keep = fps.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+      fps.join(broadcast(keep),
+          col("doc_id") === col("keep_id") && fps("fp") === keep("fp"),
+          "left_semi")
+        .select("doc_id", "fp")
+    }),
+
     // REAL WAV round-trip: javax.sound.sampled decode of genuinely
     // encoded PCM containers; oracle states the synthesized ramp's
     // format fields and exact sample sum
@@ -2312,6 +2341,35 @@ object LlmQueries {
         |       3::INTEGER AS channels,
         |       (8 * 8 * 3 * (doc_id % 256))::BIGINT AS px_sum
         |FROM documents""".stripMargin,
+
+    // planted 16-bit pattern: 4 md5 hex chars, degenerate-guarded;
+    // the fixture's fingerprint IS the pattern, so pairs/survivors are
+    // analytic
+    "mm_audio_near_dup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN p0 = 0 THEN 1 WHEN p0 = 65535 THEN 65534
+        |              ELSE p0 END AS fp
+        |  FROM (SELECT doc_id,
+        |          ('0x' || substr(md5('aud' || (doc_id // 4)), 1, 4))
+        |            ::BIGINT AS p0
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp
+        |FROM fp a JOIN fp b
+        |  ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+
+    "mm_audio_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN p0 = 0 THEN 1 WHEN p0 = 65535 THEN 65534
+        |              ELSE p0 END AS fp
+        |  FROM (SELECT doc_id,
+        |          ('0x' || substr(md5('aud' || (doc_id // 4)), 1, 4))
+        |            ::BIGINT AS p0
+        |        FROM documents))
+        |SELECT doc_id, fp FROM fp
+        |WHERE doc_id = (SELECT min(doc_id) FROM fp f2
+        |                WHERE f2.fp = fp.fp)""".stripMargin,
 
     // WAV: n = 100 + id%400 frames of the ramp (id+i)%2000 - 1000 at
     // 8k/16kHz mono — the decoder must recover rate, mono, frame count,

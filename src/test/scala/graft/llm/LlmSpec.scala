@@ -526,6 +526,33 @@ class LlmSpec extends SparkSpec {
       "fingerprint must not shuffle")
   }
 
+  test("audio near-dup: members fingerprint identically; dedup keeps " +
+    "one per family via broadcast semi, no window") {
+    import spark.implicits._
+    val ids = (0L until 64L).toDF("doc_id")
+    val fps = Multimodal.audioFingerprint(
+      Multimodal.synthesizeNearDupAudio(ids, "doc_id")).toDF()
+      .select("doc_id", "fp")
+    val got = fps.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // all four members of each family share the planted pattern
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0L until 64L by 4L).foreach { base =>
+      val hex = md.digest(s"aud${base / 4}".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val p0 = java.lang.Integer.parseInt(hex.substring(0, 4), 16)
+      val pat = if (p0 == 0) 1 else if (p0 == 0xffff) 0xfffe else p0
+      (0 to 3).foreach(m => assert(got(base + m) == pat.toLong,
+        s"doc ${base + m}: got ${got(base + m)}, want $pat"))
+    }
+    // dedup: one survivor per distinct fingerprint, and its plan is a
+    // broadcast semi join (winner set bounded by the 16-bit fp space)
+    val dedup = graft.SparkEntry.queries("mm_audio_dedup")(spark, sf())
+    val plan = dedup.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"dedup must broadcast the winner set:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), "no window pass needed for equality dedup")
+  }
+
   test("audio fingerprint: stereo payloads are rejected, not mis-windowed") {
     import spark.implicits._
     // real 2-channel WAV: interleaved L/R frames through the JDK encoder
