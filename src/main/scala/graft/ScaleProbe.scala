@@ -249,8 +249,15 @@ object ScaleProbe {
     val skip = sys.env.getOrElse("SPARK_GRAFT_PROBE_SKIP", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     if (skip.nonEmpty) println(s"skipping (licensed rows): ${skip.mkString(", ")}")
+    // SPARK_GRAFT_PROBE_ONLY: restrict to named queries — used to append
+    // scale evidence for late-round additions without re-timing the
+    // whole family
+    val only = sys.env.getOrElse("SPARK_GRAFT_PROBE_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val picked =
+      if (only.nonEmpty) family.filter(only) else family.filterNot(skip)
     println(f"${"query"}%-22s ${"base_s"}%8s ${"x10_s"}%8s ${"ratio"}%6s ${"base_rows"}%10s ${"x10_rows"}%10s")
-    family.filterNot(skip).foreach { q =>
+    picked.foreach { q =>
       time(spark, q, baseDir)
       val (tb, nb) = timeMedian3(spark, q, baseDir)
       time(spark, q, outDir)

@@ -1080,7 +1080,10 @@ object LlmQueries {
           Multimodal.synthesizeNearDupImages(docs(s, dir), "doc_id"))
           .toDF()
           .select(col("doc_id"), col("ahash_lo").as("lo"),
-            col("ahash_hi").as("hi")),
+            col("ahash_hi").as("hi"))
+          // both sides of the banded self-join read the hashes — without
+          // the checkpoint the PNG decode pipeline runs once per branch
+          .localCheckpoint(),
         hammingMax = 3)),
 
     // the dedup CONSUMER of the image near-dup pairs: hamming clusters
@@ -1092,6 +1095,9 @@ object LlmQueries {
         .toDF()
         .select(col("doc_id"), col("ahash_lo").as("lo"),
           col("ahash_hi").as("hi"))
+        // read by both banded-join sides, CC, and the final anti join —
+        // checkpoint or the decode pipeline runs once per consumer
+        .localCheckpoint()
       val pairs = Dedup.hammingPairs64(hashes, hammingMax = 3)
       val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("doc_id") =!= col("cluster_id"))
@@ -1117,6 +1123,7 @@ object LlmQueries {
       val fps = Multimodal.audioFingerprint(
         Multimodal.synthesizeNearDupAudio(docs(s, dir), "doc_id"))
         .toDF().select("doc_id", "fp")
+        .localCheckpoint() // both self-join sides — one WAV decode pass
       fps.as("a").join(fps.as("b"),
           col("a.fp") === col("b.fp") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -1131,6 +1138,7 @@ object LlmQueries {
       val fps = Multimodal.audioFingerprint(
         Multimodal.synthesizeNearDupAudio(docs(s, dir), "doc_id"))
         .toDF().select("doc_id", "fp")
+        .localCheckpoint() // winner build + probe — one WAV decode pass
       val keep = fps.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
       fps.join(broadcast(keep),
           col("doc_id") === col("keep_id") && fps("fp") === keep("fp"),
