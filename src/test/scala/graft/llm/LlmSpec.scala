@@ -553,6 +553,27 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no window pass needed for equality dedup")
   }
 
+  test("canonical-PCM fast path decodes byte-identically to javax.sound") {
+    // the fixtures are canonical 16-bit mono LE PCM, so they MUST take
+    // the fast path, and its output must equal the full decoder's
+    (0L until 40L).foreach { id =>
+      val n = 100 + (id % 400).toInt
+      val samples = Array.tabulate(n)(i => (((id + i) % 2000) - 1000).toShort)
+      val wav = Multimodal.AudioCodec.encodeWav(samples,
+        if (id % 2 == 0) 8000f else 16000f)
+      assert(Multimodal.AudioCodec.parseCanonicalPcm(wav).isDefined,
+        s"fixture $id must be canonical")
+      assert(Multimodal.AudioCodec.decode(wav) ==
+        Multimodal.AudioCodec.decodeViaAudioSystem(wav))
+    }
+    // a truncated container is non-canonical: the parser refuses and the
+    // fallback raises instead of silently mis-summing
+    val broken = Multimodal.AudioCodec
+      .encodeWav(Array.tabulate(50)(_.toShort), 8000f).take(30)
+    assert(Multimodal.AudioCodec.parseCanonicalPcm(broken).isEmpty)
+    intercept[Exception] { Multimodal.AudioCodec.decode(broken) }
+  }
+
   test("audio fingerprint: stereo payloads are rejected, not mis-windowed") {
     import spark.implicits._
     // real 2-channel WAV: interleaved L/R frames through the JDK encoder
