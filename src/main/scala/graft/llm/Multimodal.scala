@@ -451,53 +451,61 @@ object Multimodal {
     df.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // canonical 16-bit mono PCM takes the direct RIFF parse (the
-          // decode cost is the linear bulk of the audio dedup family);
-          // anything else goes through javax.sound with format checks
-          val (data, dataOff, n) =
-            AudioCodec.parseCanonicalPcm(bytes) match {
-              case Some((_, off, ns)) => (bytes, off, ns)
-              case None =>
-                val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                  new java.io.ByteArrayInputStream(bytes))
-                try {
-                  val fmt = in.getFormat
-                  require(fmt.getSampleSizeInBits == 16, "16-bit PCM expected")
-                  // stereo would interleave channels into the 16 frame
-                  // windows and count samples (not frames) in n_frames —
-                  // reject rather than silently break the semantics
-                  require(fmt.getChannels == 1,
-                    s"mono PCM expected, got ${fmt.getChannels} channels")
-                  val raw = in.readAllBytes()
-                  if (fmt.isBigEndian) { // normalize to LE for sampleAt
-                    var j = 0
-                    while (j + 1 < raw.length) {
-                      val t = raw(j); raw(j) = raw(j + 1); raw(j + 1) = t
-                      j += 2
-                    }
-                  }
-                  (raw, 0, -1)
-                } finally in.close()
-            }
-          val ns = if (n >= 0) n else data.length / 2
-          val energies = new Array[Long](16)
-          var i = 0
-          while (i < ns) {
-            val s = AudioCodec.sampleAt(data, dataOff, i)
-            energies((i * 16) / ns) += math.abs(s.toLong)
-            i += 1
-          }
-          val total = energies.sum
-          val mean = total / 16
-          var fp = 0L
-          var w = 0
-          while (w < 16) {
-            if (energies(w) > mean) fp |= 1L << w
-            w += 1
-          }
-          AudioFp(id, ns.toLong, total, fp)
+          val (n, total, fp) = fingerprintWavBytes(bytes)
+          AudioFp(id, n, total, fp)
         }
       }
+  }
+
+  /** Per-clip fingerprint core — (nFrames, energySum, fp) — shared by
+    * the batch operator above and the streaming dedup twin. Canonical
+    * 16-bit mono PCM takes the direct RIFF parse (the decode cost is
+    * the linear bulk of the audio dedup family); anything else goes
+    * through `javax.sound` with format checks. */
+  private[graft] def fingerprintWavBytes(
+      bytes: Array[Byte]): (Long, Long, Long) = {
+    val (data, dataOff, n) =
+      AudioCodec.parseCanonicalPcm(bytes) match {
+        case Some((_, off, ns)) => (bytes, off, ns)
+        case None =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            require(fmt.getSampleSizeInBits == 16, "16-bit PCM expected")
+            // stereo would interleave channels into the 16 frame
+            // windows and count samples (not frames) in n_frames —
+            // reject rather than silently break the semantics
+            require(fmt.getChannels == 1,
+              s"mono PCM expected, got ${fmt.getChannels} channels")
+            val raw = in.readAllBytes()
+            if (fmt.isBigEndian) { // normalize to LE for sampleAt
+              var j = 0
+              while (j + 1 < raw.length) {
+                val t = raw(j); raw(j) = raw(j + 1); raw(j + 1) = t
+                j += 2
+              }
+            }
+            (raw, 0, -1)
+          } finally in.close()
+      }
+    val ns = if (n >= 0) n else data.length / 2
+    val energies = new Array[Long](16)
+    var i = 0
+    while (i < ns) {
+      val s = AudioCodec.sampleAt(data, dataOff, i)
+      energies((i * 16) / ns) += math.abs(s.toLong)
+      i += 1
+    }
+    val total = energies.sum
+    val mean = total / 16
+    var fp = 0L
+    var w = 0
+    while (w < 16) {
+      if (energies(w) > mean) fp |= 1L << w
+      w += 1
+    }
+    (ns.toLong, total, fp)
   }
 
   /** REAL audio decode stage (`javax.sound.sampled` over binary

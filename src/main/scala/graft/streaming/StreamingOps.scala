@@ -205,6 +205,31 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** STREAMING multimodal near-dup filter — the streaming twin of the
+    * batch `mm_audio_dedup` consumer: fingerprint each clip payload as
+    * a STATELESS map (the shared canonical-WAV energy-fingerprint core,
+    * [[graft.llm.Multimodal.fingerprintWavBytes]]), then keep the FIRST
+    * clip per fingerprint inside the watermark horizon via
+    * `dropDuplicatesWithinWatermark` — fingerprint equality is
+    * transitive, so first-wins per fp IS the dedup (no clustering
+    * state). State = one row per distinct fingerprint in the horizon,
+    * bounded by the 16-bit fp space; the batch twin keeps min(doc_id)
+    * per fp, so on in-order delivery stream == batch (spec-proved). */
+  def fingerprintDedupStream(
+      clips: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col("doc_id"), col("ts"), col("payload"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .map { case (id, t, bytes) =>
+        val (n, total, fp) = graft.llm.Multimodal.fingerprintWavBytes(bytes)
+        (id, t, fp, n, total)
+      }
+      .toDF("doc_id", "ts", "fp", "n_frames", "energy_sum")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** STREAMING point-in-time enrichment — the streaming counterpart of
     * the flagship batch as-of join ([[graft.PointInTime]]): each
     * streaming entity row is attached the latest STATIC feature row with

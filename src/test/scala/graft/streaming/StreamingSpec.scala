@@ -226,6 +226,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fingerprintDedupStream == batch min-per-fp dedup on in-order clips") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the planted near-dup audio fixtures: 4 members per family share a
+    // fingerprint; batch dedup keeps min(doc_id) per fp
+    val ids = (0L until 32L).toDF("doc_id")
+    val clips = graft.llm.Multimodal
+      .synthesizeNearDupAudio(ids, "doc_id")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val batchKeep = graft.llm.Multimodal.audioFingerprint(
+      graft.llm.Multimodal.synthesizeNearDupAudio(ids, "doc_id"))
+      .toDF().groupBy("fp")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toSet
+    val in = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q = StreamingOps.fingerprintDedupStream(
+      in.toDF().toDF("doc_id", "ts", "payload"))
+      .writeStream.format("memory").queryName("fpdedup_t")
+      .outputMode("append").start()
+    try {
+      // two in-order micro-batches (split mid-family: doc 17's family
+      // leader arrived in batch 1, so 17 must still be dropped)
+      val (b1, b2) = clips.splitAt(17)
+      in.addData(b1.map { case (id, p) => (id, ts(1), p) }.toSeq)
+      q.processAllAvailable()
+      in.addData(b2.map { case (id, p) => (id, ts(2), p) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("fpdedup_t")
+        .select("doc_id", "fp").as[(Long, Long)].collect().toSet
+      assert(got == batchKeep,
+        s"stream kept ${got.size}, batch kept ${batchKeep.size}; " +
+          s"diff ${(got -- batchKeep) ++ (batchKeep -- got)}")
+    } finally q.stop()
+  }
+
   test("sessionCounts closes a session after the gap, splits on it") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
