@@ -306,8 +306,12 @@ object Multimodal {
       while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
         val id = tag(off)
         val len = u32(off + 4)
+        // a corrupt/hostile length (> container, or ≥ 2³¹ which would
+        // wrap negative in Int) must fall back, not loop or scan past
+        // the buffer
+        if (len < 0 || len > bytes.length - off - 8) return None
         if (id == "fmt ") {
-          if (len < 16 || off + 8 + 16 > bytes.length) return None
+          if (len < 16) return None
           val fmtCode = u16(off + 8)
           val channels = u16(off + 10)
           val bits = u16(off + 22)
@@ -581,7 +585,12 @@ object Multimodal {
     * the pattern EXACTLY (8×8 input ⇒ identity NN grid; white > mean,
     * black never), making members of a family mutual near-duplicates at
     * hamming ≤ 2 while unrelated families sit ~32 apart — the
-    * controlled corpus an image-dedup oracle can state analytically. */
+    * controlled corpus an image-dedup oracle can state analytically.
+    * Degenerate all-black/all-white patterns (where the mean threshold
+    * cannot reproduce the bits) would need md5 to emit 64 equal bits —
+    * probability 2⁻⁶³ per family, unreachable at any SF (the audio
+    * fixture's 16-bit space IS reachable and carries an explicit
+    * guard). */
   def synthesizeNearDupImages(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -572,6 +572,12 @@ class LlmSpec extends SparkSpec {
       .encodeWav(Array.tabulate(50)(_.toShort), 8000f).take(30)
     assert(Multimodal.AudioCodec.parseCanonicalPcm(broken).isEmpty)
     intercept[Exception] { Multimodal.AudioCodec.decode(broken) }
+    // a hostile chunk length (0xFFFFFFFF — negative as Int) must refuse,
+    // not loop or scan past the buffer
+    val hostile = Multimodal.AudioCodec
+      .encodeWav(Array.tabulate(50)(_.toShort), 8000f)
+    (16 to 19).foreach(i => hostile(i) = 0xff.toByte) // fmt chunk length
+    assert(Multimodal.AudioCodec.parseCanonicalPcm(hostile).isEmpty)
   }
 
   test("audio fingerprint: stereo payloads are rejected, not mis-windowed") {
