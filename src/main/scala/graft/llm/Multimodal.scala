@@ -885,6 +885,43 @@ object Multimodal {
       .withColumn("modality", lit("video/x-msvideo"))
   }
 
+  /** NEAR-DUPLICATE video fixture payloads — the video leg of the
+    * multimodal near-dup triad: real AVI-MJPEG containers whose frames
+    * are drawn from md5-derived identity triples (gray, w, h), each
+    * realized as a solid-color JPEG (byte-exact through the q=1.0
+    * round trip, so a frame's decoded (w, h, px_sum) IS its identity).
+    * Family f = doc_id/4 contributes three SHARED frames
+    * (md5("vf<f>_<j>")); each member m adds two UNIQUE frames
+    * (md5("vu<id>_<j>")), interleaved so members are near-duplicates by
+    * shared-frame containment, never byte-equal containers. Identity
+    * collisions across families (36,608-triple space) are REAL shared
+    * frames both engines model identically. */
+  def synthesizeNearDupVideos(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def frame(key: String): Array[Byte] = {
+          val hex = md.digest(key.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          val gray = java.lang.Integer.parseInt(hex.substring(0, 2), 16)
+          val w = 8 + java.lang.Integer.parseInt(hex.substring(2, 4), 16) % 13
+          val h = 8 + java.lang.Integer.parseInt(hex.substring(4, 6), 16) % 11
+          ImageCodec.encodeJpeg(w, h, (gray << 16) | (gray << 8) | gray)
+        }
+        it.map { id =>
+          val f = id / 4
+          val jpegs = Seq(
+            frame(s"vf${f}_0"), frame(s"vu${id}_0"), frame(s"vf${f}_1"),
+            frame(s"vu${id}_1"), frame(s"vf${f}_2"))
+          (id, AviMjpeg.encode(jpegs))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("modality", lit("video/x-msvideo"))
+  }
+
   /** One REALLY decoded video frame: true dims + exact raster sample sum. */
   final case class DecodedFrame(
       doc_id: Long, frame_idx: Int, width: Int, height: Int,

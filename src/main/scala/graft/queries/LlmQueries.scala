@@ -1170,7 +1170,32 @@ object LlmQueries {
     "mm_frame_decode" -> ((s, dir) =>
       Multimodal.decodeFrames(
         Multimodal.synthesizeMjpegVideos(docs(s, dir), "doc_id"))
-        .toDF())
+        .toDF()),
+
+    // VIDEO NEAR-DUP by shared-frame containment (the standard
+    // frame-hash approach): demux + decode every frame for real, key
+    // each by its decoded identity (w, h, px_sum — exact for the
+    // q=1.0 solid-JPEG round trip), inverted-index equi-join on the
+    // identity, count distinct shared frames per video pair, keep
+    // pairs sharing ≥ 2 — bucket-keyed candidates, never all-pairs.
+    // Completes the image/audio/video near-dup triad.
+    "mm_video_near_dup" -> ((s, dir) => {
+      val fr = Multimodal.decodeFrames(
+        Multimodal.synthesizeNearDupVideos(docs(s, dir), "doc_id"))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("px_sum"))
+        .distinct()
+        // both sides of the identity self-join — decode once
+        .localCheckpoint()
+      fr.as("a").join(fr.as("b"),
+          col("a.width") === col("b.width") &&
+            col("a.height") === col("b.height") &&
+            col("a.px_sum") === col("b.px_sum") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared_frames"))
+        .filter(col("shared_frames") >= 2)
+    })
   )
 
   // ───────────────────────────── oracles ─────────────────────────────
@@ -2402,6 +2427,34 @@ object LlmQueries {
         |       'ftyp,mdat' AS box_types,
         |       (32 + doc_id % 991)::BIGINT AS mdat_bytes
         |FROM documents""".stripMargin,
+
+    // replays the frame-identity arithmetic: each video's five frames
+    // are md5-derived (gray, w, h) triples (three family-shared, two
+    // member-unique); identity = (w, h, px_sum) with px_sum = w·h·3·gray
+    // exact through the solid-JPEG round trip — pairs are videos whose
+    // DISTINCT identity sets intersect in ≥ 2 frames, cross-family
+    // collisions in the 36,608-triple space modeled identically
+    "mm_video_near_dup" ->
+      """WITH keys AS (
+        |  SELECT doc_id, 'vf' || (doc_id // 4) || '_' || j.j AS k
+        |  FROM documents, (SELECT unnest(range(0, 3)) AS j) j
+        |  UNION ALL
+        |  SELECT doc_id, 'vu' || doc_id || '_' || j.j AS k
+        |  FROM documents, (SELECT unnest(range(0, 2)) AS j) j),
+        |ident AS (SELECT DISTINCT doc_id,
+        |            8 + ('0x' || substr(md5(k), 3, 2))::INTEGER % 13 AS w,
+        |            8 + ('0x' || substr(md5(k), 5, 2))::INTEGER % 11 AS h,
+        |            (8 + ('0x' || substr(md5(k), 3, 2))::INTEGER % 13)
+        |              * (8 + ('0x' || substr(md5(k), 5, 2))::INTEGER % 11)
+        |              * 3 * ('0x' || substr(md5(k), 1, 2))::BIGINT AS px
+        |          FROM keys)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       count(*) AS shared_frames
+        |FROM ident a JOIN ident b
+        |  ON a.w = b.w AND a.h = b.h AND a.px = b.px
+        | AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
 
     // every decoded MJPEG frame: dims from the synthesis arithmetic,
     // px_sum = w·h·3·gray exactly (solid-color JPEG at quality 1.0

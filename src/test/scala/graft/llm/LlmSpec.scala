@@ -553,6 +553,52 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no window pass needed for equality dedup")
   }
 
+  test("video near-dup: shared-frame identity join equals the analytic " +
+    "pair set; equi-join only") {
+    import spark.implicits._
+    val n = 48L
+    val ids = (0L until n).toDF("doc_id")
+    val fr = Multimodal.decodeFrames(
+      Multimodal.synthesizeNearDupVideos(ids, "doc_id")).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("px_sum"))
+      .distinct().localCheckpoint()
+    val pairs = fr.as("a").join(fr.as("b"),
+        col("a.width") === col("b.width") &&
+          col("a.height") === col("b.height") &&
+          col("a.px_sum") === col("b.px_sum") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // analytic identities straight from the fixture arithmetic
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ident(k: String) = {
+      val hex = md.digest(k.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val g = Integer.parseInt(hex.substring(0, 2), 16)
+      val w = 8 + Integer.parseInt(hex.substring(2, 4), 16) % 13
+      val h = 8 + Integer.parseInt(hex.substring(4, 6), 16) % 11
+      (w, h, w.toLong * h * 3 * g)
+    }
+    val sets = (0L until n).map { id =>
+      id -> ((0 to 2).map(j => ident(s"vf${id / 4}_$j")) ++
+        (0 to 1).map(j => ident(s"vu${id}_$j"))).toSet
+    }
+    val expect = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      shared = (sa & sb).size if shared >= 2
+    } yield (ia, ib, shared.toLong)).toSet
+    assert(got == expect)
+    // every planted family pair is present sharing >= 3 identities
+    assert((0L until n by 4L).forall(f =>
+      got.exists(p => p._1 == f && p._2 == f + 1 && p._3 >= 3)))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"identity join must stay an equi-join:\n${plan.take(1200)}")
+  }
+
   test("canonical-PCM fast path decodes byte-identically to javax.sound") {
     // the fixtures are canonical 16-bit mono LE PCM, so they MUST take
     // the fast path, and its output must equal the full decoder's
