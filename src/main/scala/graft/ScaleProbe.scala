@@ -198,7 +198,7 @@ object ScaleProbe {
     // incremental-agg merge, perceptual hash scan
     "mm_image_near_dup", "mm_image_dedup", "mm_image_ahash",
     "mm_audio_near_dup", "mm_audio_dedup", "mm_video_near_dup",
-    "x_incremental_agg",
+    "mm_video_dedup", "x_incremental_agg",
     // round-9 TPC-H closures: correlated-min decorrelation, bilateral
     // volume (two fact shuffles), market share, HAVING-vs-global,
     // distinct-count + NOT IN, nested semi-joins

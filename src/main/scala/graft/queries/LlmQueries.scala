@@ -1195,6 +1195,19 @@ object LlmQueries {
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("shared_frames"))
         .filter(col("shared_frames") >= 2)
+    }),
+
+    // the dedup consumer: shared-frame pairs → connected components →
+    // drop every non-minimum member (the mm_image_dedup skeleton on the
+    // video pair graph)
+    "mm_video_dedup" -> ((s, dir) => {
+      val pairs = queries("mm_video_near_dup")(s, dir)
+      val all = docs(s, dir).select(col("doc_id"))
+      val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("__graft_loser"))
+      all.join(broadcast(losers),
+          col("doc_id") === col("__graft_loser"), "left_anti")
     })
   )
 
@@ -2455,6 +2468,38 @@ object LlmQueries {
         | AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+
+    // same analytic pair graph → recursive reachability → survivors
+    "mm_video_dedup" ->
+      """WITH RECURSIVE keys AS (
+        |  SELECT doc_id, 'vf' || (doc_id // 4) || '_' || j.j AS k
+        |  FROM documents, (SELECT unnest(range(0, 3)) AS j) j
+        |  UNION ALL
+        |  SELECT doc_id, 'vu' || doc_id || '_' || j.j AS k
+        |  FROM documents, (SELECT unnest(range(0, 2)) AS j) j),
+        |ident AS (SELECT DISTINCT doc_id,
+        |            8 + ('0x' || substr(md5(k), 3, 2))::INTEGER % 13 AS w,
+        |            8 + ('0x' || substr(md5(k), 5, 2))::INTEGER % 11 AS h,
+        |            (8 + ('0x' || substr(md5(k), 3, 2))::INTEGER % 13)
+        |              * (8 + ('0x' || substr(md5(k), 5, 2))::INTEGER % 11)
+        |              * 3 * ('0x' || substr(md5(k), 1, 2))::BIGINT AS px
+        |          FROM keys),
+        |jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM ident a JOIN ident b
+        |         ON a.w = b.w AND a.h = b.h AND a.px = b.px
+        |        AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+        |          UNION ALL SELECT id_b, id_a FROM jp),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+        |losers AS (SELECT id FROM reach GROUP BY id
+        |           HAVING min(lbl) != id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     // every decoded MJPEG frame: dims from the synthesis arithmetic,
     // px_sum = w·h·3·gray exactly (solid-color JPEG at quality 1.0
