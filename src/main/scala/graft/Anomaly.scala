@@ -57,7 +57,12 @@ object Anomaly {
       .withColumn(nC, count(lit(1)).over(w))
       .withColumn(mC, max(abs(c.cast("decimal(20,0)"))).over(w))
       .withColumn(gC,
-        col(nC).cast("decimal(19,0)") * col(mC) <= lit(safeNM))
+        // An all-NULL group has mC = NULL, which would make the guard NULL
+        // and assert_true(NULL) raise a misleading overflow error; such a
+        // group cannot overflow anything, so it passes the guard (and then
+        // falls out of the outlier filter on NULL arithmetic, as before).
+        coalesce(col(nC).cast("decimal(19,0)") * col(mC) <= lit(safeNM),
+          lit(true)))
     // pass 2 (same window spec — partitioning/sort reused, no second
     // shuffle): S and Q accumulate ONLY under the guard, so a group past
     // the bound yields NULLs instead of wrapped/overflowing longs

@@ -255,6 +255,14 @@ object ScaleProbe {
     // whole family
     val only = sys.env.getOrElse("SPARK_GRAFT_PROBE_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // A typo'd name would silently produce an empty/partial probe run
+    // that still exits 0 and looks like complete scale evidence — fail
+    // loudly instead (same for a stale skip-list entry).
+    val familySet = family.toSet
+    val unknown = (only ++ skip).diff(familySet)
+    require(unknown.isEmpty,
+      s"unknown probe query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        s"known: ${family.mkString(", ")}")
     val picked =
       if (only.nonEmpty) family.filter(only) else family.filterNot(skip)
     println(f"${"query"}%-22s ${"base_s"}%8s ${"x10_s"}%8s ${"ratio"}%6s ${"base_rows"}%10s ${"x10_rows"}%10s")

@@ -498,7 +498,9 @@ object Multimodal {
     var i = 0
     while (i < ns) {
       val s = AudioCodec.sampleAt(data, dataOff, i)
-      energies((i * 16) / ns) += math.abs(s.toLong)
+      // window index in Long: for clips past ~134M samples (~268 MB WAV)
+      // i * 16 wraps negative in Int and would throw AIOOBE
+      energies(((i.toLong * 16) / ns).toInt) += math.abs(s.toLong)
       i += 1
     }
     val total = energies.sum

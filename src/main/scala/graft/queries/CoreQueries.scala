@@ -1026,8 +1026,14 @@ object CoreQueries {
       val total = perPart.agg(sum(col("value_x10000")).as("grand_x10000"),
         count(lit(1)).as("n_parts"))
       perPart.crossJoin(broadcast(total))
-        .filter(col("value_x10000") * col("n_parts") * 3 >
-          col("grand_x10000") * 4)
+        // Threshold arithmetic in Decimal: value_x10000 (~1e13 at large
+        // SF) * n_parts (~1e8) * 3 passes Long.MaxValue around SF 1e4;
+        // Spark would wrap silently with ANSI off while DuckDB promotes
+        // to HUGEINT, so both sides compare in decimal(38,0), which
+        // holds to ~1e38 — beyond any physical SF.
+        .filter(col("value_x10000").cast("decimal(38,0)")
+            * col("n_parts") * 3 >
+          col("grand_x10000").cast("decimal(38,0)") * 4)
         .select(col("l_partkey").as("p_partkey"), col("value_x10000"))
     }),
 
