@@ -179,6 +179,27 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Splice a COM (comment) segment right after SOI — a structurally
+      * valid JPEG that every decoder skips. Fixture use: gives each
+      * synthesized frame distinct BYTES (real footage never byte-
+      * collides across distinct content) without touching the raster,
+      * so content-hash keys and decoded-identity cross-checks coexist
+      * on the same payload. */
+    def withComment(jpeg: Array[Byte], comment: Array[Byte]): Array[Byte] = {
+      require(jpeg.length >= 2 &&
+        (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+        "not a JPEG (missing SOI)")
+      require(comment.length <= 65533, "COM payload too long")
+      val out = new Array[Byte](jpeg.length + 4 + comment.length)
+      out(0) = jpeg(0); out(1) = jpeg(1)
+      out(2) = 0xff.toByte; out(3) = 0xfe.toByte
+      val len = comment.length + 2
+      out(4) = ((len >> 8) & 0xff).toByte; out(5) = (len & 0xff).toByte
+      System.arraycopy(comment, 0, out, 6, comment.length)
+      System.arraycopy(jpeg, 2, out, 6 + comment.length, jpeg.length - 2)
+      out
+    }
+
     /** Encode arbitrary per-pixel RGB values (spec fixtures). */
     def encodePngPixels(
         width: Int, height: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
@@ -891,13 +912,23 @@ object Multimodal {
     * multimodal near-dup triad: real AVI-MJPEG containers whose frames
     * are drawn from md5-derived identity triples (gray, w, h), each
     * realized as a solid-color JPEG (byte-exact through the q=1.0
-    * round trip, so a frame's decoded (w, h, px_sum) IS its identity).
-    * Family f = doc_id/4 contributes three SHARED frames
-    * (md5("vf<f>_<j>")); each member m adds two UNIQUE frames
-    * (md5("vu<id>_<j>")), interleaved so members are near-duplicates by
-    * shared-frame containment, never byte-equal containers. Identity
-    * collisions across families (36,608-triple space) are REAL shared
-    * frames both engines model identically. */
+    * round trip, so a frame's decoded (w, h, px_sum) matches its
+    * identity — the spec-level cross-check). Family f = doc_id/4
+    * contributes three SHARED frames (md5("vf<f>_<j>")); each member m
+    * adds two UNIQUE frames (md5("vu<id>_<j>")), interleaved so members
+    * are near-duplicates by shared-frame containment, never byte-equal
+    * containers.
+    *
+    * FULL-ENTROPY frame bytes: every frame carries its 128-bit key
+    * digest in a JPEG COM segment ([[ImageCodec.withComment]] — valid
+    * JPEG structure, skipped by decoders), so frame BYTES are equal iff
+    * the frame KEY is equal. That models real footage, where distinct
+    * content compresses to distinct bytes: the frame-byte space is
+    * unbounded, and the content-hash pairing key (md5 of the demuxed
+    * frame) does not saturate at scale the way the 36,608-value decoded
+    * identity triple does (the solid-gray raster alone has only
+    * 256·13·11 states — fine as a perceptual cross-check, wrong as THE
+    * pairing key; see `mm_video_near_dup`). */
   def synthesizeNearDupVideos(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -905,12 +936,14 @@ object Multimodal {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         def frame(key: String): Array[Byte] = {
-          val hex = md.digest(key.getBytes("UTF-8"))
-            .map(b => f"$b%02x").mkString
+          val digest = md.digest(key.getBytes("UTF-8"))
+          val hex = digest.map(b => f"$b%02x").mkString
           val gray = java.lang.Integer.parseInt(hex.substring(0, 2), 16)
           val w = 8 + java.lang.Integer.parseInt(hex.substring(2, 4), 16) % 13
           val h = 8 + java.lang.Integer.parseInt(hex.substring(4, 6), 16) % 11
-          ImageCodec.encodeJpeg(w, h, (gray << 16) | (gray << 8) | gray)
+          ImageCodec.withComment(
+            ImageCodec.encodeJpeg(w, h, (gray << 16) | (gray << 8) | gray),
+            digest)
         }
         it.map { id =>
           val f = id / 4
@@ -922,6 +955,30 @@ object Multimodal {
       }
       .toDF("doc_id", "payload")
       .withColumn("modality", lit("video/x-msvideo"))
+  }
+
+  /** One demuxed (NOT decoded) video frame: the raw codec payload. */
+  final case class RawFrame(
+      doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Container DEMUX stage: walk the RIFF/AVI chunk structure and emit
+    * each frame's raw codec bytes — no pixel decode. This is the input
+    * shape for CONTENT-HASH video keys (`md5(frame_bytes)`): at 100 TB
+    * the near-dup pair graph keys on the hash of the demuxed frame, so
+    * the expensive pixel decode never runs on the dedup path at all
+    * (decode stays in [[decodeFrames]] for pixel analytics). Typed
+    * 1-row-in/N-frames-out flatMap, partition-local, no shuffle. */
+  def demuxFrames(df: DataFrame): Dataset[RawFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          AviMjpeg.frames(bytes).iterator.zipWithIndex.map {
+            case (fb, i) => RawFrame(id, i, fb)
+          }
+        }
+      }
   }
 
   /** One REALLY decoded video frame: true dims + exact raster sample sum. */

@@ -1173,24 +1173,26 @@ object LlmQueries {
         .toDF()),
 
     // VIDEO NEAR-DUP by shared-frame containment (the standard
-    // frame-hash approach): demux + decode every frame for real, key
-    // each by its decoded identity (w, h, px_sum — exact for the
-    // q=1.0 solid-JPEG round trip), inverted-index equi-join on the
-    // identity, count distinct shared frames per video pair, keep
-    // pairs sharing ≥ 2 — bucket-keyed candidates, never all-pairs.
+    // frame-hash approach): demux every frame for real and key it by
+    // the CONTENT HASH of its raw codec bytes — md5(frame_bytes), a
+    // 128-bit key that never saturates (the decoded identity triple
+    // (w, h, px_sum) it replaces has only 36,608 states on solid
+    // frames, a birthday bomb at 100 TB; it survives as a spec-level
+    // perceptual cross-check, MultimodalSpec). Inverted-index
+    // equi-join on the hash, count distinct shared frames per video
+    // pair, keep pairs sharing ≥ 2 — bucket-keyed candidates, never
+    // all-pairs, and the pixel decoder never runs on this path.
     // Completes the image/audio/video near-dup triad.
     "mm_video_near_dup" -> ((s, dir) => {
-      val fr = Multimodal.decodeFrames(
+      val fr = Multimodal.demuxFrames(
         Multimodal.synthesizeNearDupVideos(docs(s, dir), "doc_id"))
         .toDF()
-        .select(col("doc_id"), col("width"), col("height"), col("px_sum"))
+        .select(col("doc_id"), md5(col("frame_bytes")).as("frame_md5"))
         .distinct()
-        // both sides of the identity self-join — decode once
+        // both sides of the hash self-join — demux once
         .localCheckpoint()
       fr.as("a").join(fr.as("b"),
-          col("a.width") === col("b.width") &&
-            col("a.height") === col("b.height") &&
-            col("a.px_sum") === col("b.px_sum") &&
+          col("a.frame_md5") === col("b.frame_md5") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("shared_frames"))
@@ -2441,35 +2443,28 @@ object LlmQueries {
         |       (32 + doc_id % 991)::BIGINT AS mdat_bytes
         |FROM documents""".stripMargin,
 
-    // replays the frame-identity arithmetic: each video's five frames
-    // are md5-derived (gray, w, h) triples (three family-shared, two
-    // member-unique); identity = (w, h, px_sum) with px_sum = w·h·3·gray
-    // exact through the solid-JPEG round trip — pairs are videos whose
-    // DISTINCT identity sets intersect in ≥ 2 frames, cross-family
-    // collisions in the 36,608-triple space modeled identically
+    // replays the content-hash pair graph analytically: every frame's
+    // BYTES embed the md5 digest of its generator key (COM segment), so
+    // md5(frame_bytes) equality ≡ key-string equality — pairs are
+    // videos whose DISTINCT frame-key sets intersect in ≥ 2 frames
+    // (only the three family-shared 'vf' keys can ever match; the
+    // member-unique 'vu' keys ride along and match nothing)
     "mm_video_near_dup" ->
       """WITH keys AS (
         |  SELECT doc_id, 'vf' || (doc_id // 4) || '_' || j.j AS k
         |  FROM documents, (SELECT unnest(range(0, 3)) AS j) j
         |  UNION ALL
         |  SELECT doc_id, 'vu' || doc_id || '_' || j.j AS k
-        |  FROM documents, (SELECT unnest(range(0, 2)) AS j) j),
-        |ident AS (SELECT DISTINCT doc_id,
-        |            8 + ('0x' || substr(md5(k), 3, 2))::INTEGER % 13 AS w,
-        |            8 + ('0x' || substr(md5(k), 5, 2))::INTEGER % 11 AS h,
-        |            (8 + ('0x' || substr(md5(k), 3, 2))::INTEGER % 13)
-        |              * (8 + ('0x' || substr(md5(k), 5, 2))::INTEGER % 11)
-        |              * 3 * ('0x' || substr(md5(k), 1, 2))::BIGINT AS px
-        |          FROM keys)
+        |  FROM documents, (SELECT unnest(range(0, 2)) AS j) j)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       count(*) AS shared_frames
-        |FROM ident a JOIN ident b
-        |  ON a.w = b.w AND a.h = b.h AND a.px = b.px
-        | AND a.doc_id < b.doc_id
+        |FROM keys a JOIN keys b
+        |  ON a.k = b.k AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
 
-    // same analytic pair graph → recursive reachability → survivors
+    // same content-hash pair graph (key-string equality — see
+    // mm_video_near_dup) → recursive reachability → survivors
     "mm_video_dedup" ->
       """WITH RECURSIVE keys AS (
         |  SELECT doc_id, 'vf' || (doc_id // 4) || '_' || j.j AS k
@@ -2477,17 +2472,9 @@ object LlmQueries {
         |  UNION ALL
         |  SELECT doc_id, 'vu' || doc_id || '_' || j.j AS k
         |  FROM documents, (SELECT unnest(range(0, 2)) AS j) j),
-        |ident AS (SELECT DISTINCT doc_id,
-        |            8 + ('0x' || substr(md5(k), 3, 2))::INTEGER % 13 AS w,
-        |            8 + ('0x' || substr(md5(k), 5, 2))::INTEGER % 11 AS h,
-        |            (8 + ('0x' || substr(md5(k), 3, 2))::INTEGER % 13)
-        |              * (8 + ('0x' || substr(md5(k), 5, 2))::INTEGER % 11)
-        |              * 3 * ('0x' || substr(md5(k), 1, 2))::BIGINT AS px
-        |          FROM keys),
         |jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |       FROM ident a JOIN ident b
-        |         ON a.w = b.w AND a.h = b.h AND a.px = b.px
-        |        AND a.doc_id < b.doc_id
+        |       FROM keys a JOIN keys b
+        |         ON a.k = b.k AND a.doc_id < b.doc_id
         |       GROUP BY 1, 2 HAVING count(*) >= 2),
         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
         |          UNION ALL SELECT id_b, id_a FROM jp),

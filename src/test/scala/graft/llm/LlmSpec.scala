@@ -553,16 +553,41 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no window pass needed for equality dedup")
   }
 
-  test("video near-dup: shared-frame identity join equals the analytic " +
-    "pair set; equi-join only") {
+  test("video near-dup: content-hash join equals the analytic pair set, " +
+    "is contained in the identity-triple cross-check; equi-join only") {
     import spark.implicits._
     val n = 48L
     val ids = (0L until n).toDF("doc_id")
-    val fr = Multimodal.decodeFrames(
-      Multimodal.synthesizeNearDupVideos(ids, "doc_id")).toDF()
+    val vids = Multimodal.synthesizeNearDupVideos(ids, "doc_id")
+      .localCheckpoint()
+    // THE declared key: md5 over the demuxed frame bytes (same plan
+    // shape as the declared mm_video_near_dup query)
+    val fr = Multimodal.demuxFrames(vids).toDF()
+      .select(col("doc_id"), md5(col("frame_bytes")).as("frame_md5"))
+      .distinct().localCheckpoint()
+    val hp = fr.as("a").join(fr.as("b"),
+        col("a.frame_md5") === col("b.frame_md5") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    val got = hp.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // analytic model: frame bytes equal iff generator key equal (the COM
+    // digest), so the pair graph is exactly the family cliques — every
+    // member pair shares the 3 'vf' keys, nothing else ever matches
+    val expect = (for {
+      ia <- 0L until n; ib <- ia + 1 until n if ia / 4 == ib / 4
+    } yield (ia, ib, 3L)).toSet
+    assert(got == expect)
+    // KEPT CROSS-CHECK: the decoded identity triple (w, h, px_sum). A
+    // hash-equal frame pair has identical bytes, hence identical decoded
+    // rasters — hash pairs must be a SUBSET of triple pairs (the triple
+    // may add bounded-space collisions; that's why it is not the key).
+    val tr = Multimodal.decodeFrames(vids).toDF()
       .select(col("doc_id"), col("width"), col("height"), col("px_sum"))
       .distinct().localCheckpoint()
-    val pairs = fr.as("a").join(fr.as("b"),
+    val tp = tr.as("a").join(tr.as("b"),
         col("a.width") === col("b.width") &&
           col("a.height") === col("b.height") &&
           col("a.px_sum") === col("b.px_sum") &&
@@ -570,9 +595,11 @@ class LlmSpec extends SparkSpec {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 2)
-    val got = pairs.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // analytic identities straight from the fixture arithmetic
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(p => (p._1, p._2)).subsetOf(tp),
+      "a hash-equal frame pair must also be identity-equal")
+    // the COM splice must not disturb the raster: decoded triples match
+    // the fixture arithmetic for every frame
     val md = java.security.MessageDigest.getInstance("MD5")
     def ident(k: String) = {
       val hex = md.digest(k.getBytes("UTF-8")).map(b => f"$b%02x").mkString
@@ -581,22 +608,19 @@ class LlmSpec extends SparkSpec {
       val h = 8 + Integer.parseInt(hex.substring(4, 6), 16) % 11
       (w, h, w.toLong * h * 3 * g)
     }
-    val sets = (0L until n).map { id =>
-      id -> ((0 to 2).map(j => ident(s"vf${id / 4}_$j")) ++
+    val trSets = Multimodal.decodeFrames(vids).collect()
+      .groupBy(_.doc_id)
+      .map { case (id, fs) =>
+        id -> fs.map(f => (f.width, f.height, f.px_sum)).toSet }
+    (0L until n).foreach { id =>
+      val want = ((0 to 2).map(j => ident(s"vf${id / 4}_$j")) ++
         (0 to 1).map(j => ident(s"vu${id}_$j"))).toSet
+      assert(trSets(id) == want, s"doc $id decoded triples diverge")
     }
-    val expect = (for {
-      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
-      shared = (sa & sb).size if shared >= 2
-    } yield (ia, ib, shared.toLong)).toSet
-    assert(got == expect)
-    // every planted family pair is present sharing >= 3 identities
-    assert((0L until n by 4L).forall(f =>
-      got.exists(p => p._1 == f && p._2 == f + 1 && p._3 >= 3)))
-    val plan = pairs.queryExecution.executedPlan.toString
+    val plan = hp.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
-      s"identity join must stay an equi-join:\n${plan.take(1200)}")
+      s"content-hash join must stay an equi-join:\n${plan.take(1200)}")
   }
 
   test("canonical-PCM fast path decodes byte-identically to javax.sound") {
