@@ -179,24 +179,36 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Splice a COM (comment) segment right after SOI — a structurally
-      * valid JPEG that every decoder skips. Fixture use: gives each
-      * synthesized frame distinct BYTES (real footage never byte-
-      * collides across distinct content) without touching the raster,
-      * so content-hash keys and decoded-identity cross-checks coexist
-      * on the same payload. */
+    /** Splice a COM (comment) segment after the APP0/JFIF segment (or
+      * directly after SOI when no APP0 is present — strict JFIF
+      * requires APP0 to be the segment immediately following SOI, so
+      * the comment must come after it). A structurally valid JPEG that
+      * every decoder skips. Fixture use: gives each synthesized frame
+      * distinct BYTES (real footage never byte-collides across
+      * distinct content) without touching the raster, so content-hash
+      * keys and decoded-identity cross-checks coexist on the same
+      * payload. */
     def withComment(jpeg: Array[Byte], comment: Array[Byte]): Array[Byte] = {
       require(jpeg.length >= 2 &&
         (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
         "not a JPEG (missing SOI)")
       require(comment.length <= 65533, "COM payload too long")
+      // insertion point: past SOI, and past APP0 (FF E0) if it follows
+      val cut =
+        if (jpeg.length >= 6 && (jpeg(2) & 0xff) == 0xff &&
+            (jpeg(3) & 0xff) == 0xe0) {
+          val app0Len = ((jpeg(4) & 0xff) << 8) | (jpeg(5) & 0xff)
+          4 + app0Len // SOI(2) + marker(2) + payload(app0Len incl. len)
+        } else 2
       val out = new Array[Byte](jpeg.length + 4 + comment.length)
-      out(0) = jpeg(0); out(1) = jpeg(1)
-      out(2) = 0xff.toByte; out(3) = 0xfe.toByte
+      System.arraycopy(jpeg, 0, out, 0, cut)
+      out(cut) = 0xff.toByte; out(cut + 1) = 0xfe.toByte
       val len = comment.length + 2
-      out(4) = ((len >> 8) & 0xff).toByte; out(5) = (len & 0xff).toByte
-      System.arraycopy(comment, 0, out, 6, comment.length)
-      System.arraycopy(jpeg, 2, out, 6 + comment.length, jpeg.length - 2)
+      out(cut + 2) = ((len >> 8) & 0xff).toByte
+      out(cut + 3) = (len & 0xff).toByte
+      System.arraycopy(comment, 0, out, cut + 4, comment.length)
+      System.arraycopy(jpeg, cut, out, cut + 4 + comment.length,
+        jpeg.length - cut)
       out
     }
 
@@ -458,37 +470,54 @@ object Multimodal {
 
   /** Per-clip audio energy fingerprint row. */
   final case class AudioFp(
-      doc_id: Long, n_frames: Long, energy_sum: Long, fp: Long)
+      doc_id: Long, n_frames: Long, energy_sum: Long, fp: Long,
+      fp_hi: Long, fp_lo: Long)
 
   /** Audio ENERGY FINGERPRINT — the audio-side near-dup primitive
     * (the Shazam-family shape reduced to what integer arithmetic can
     * gate exactly): decode the real WAV, split the frames into 16 equal
     * windows (window of frame i = (i·16)/n, integer floor), per-window
-    * energy = Σ|sample| (exact long), bit w = energy_w > integer mean
-    * of the 16 energies. Same-content clips fingerprint identically
-    * regardless of container framing; silence fingerprints 0.
-    * Partition-local typed `mapPartitions` (JDK codec), no shuffle —
-    * downstream dedup is a fingerprint-equality groupBy or a banded
-    * hamming join, exactly like [[imageAHash]]. */
+    * energy = Σ|sample| (exact long). Two keys come out of the same
+    * 16 energies:
+    *
+    *  - `fp` — the 16-bit FAMILY key: bit w = energy_w > integer mean
+    *    of the 16 energies (coarse perceptual class; 65,536 states, so
+    *    never THE pairing key at scale).
+    *  - `(fp_hi, fp_lo)` — the 64-bit PAIRING key in the image path's
+    *    two-halves convention: inter-window energy-ORDER bits (the
+    *    Haitsma–Kalker sign-of-difference family) — bit 4w+k =
+    *    energy_w > energy_{(w+δ_k) mod 16}, δ = (1, 2, 3, 7). Rank
+    *    comparisons are invariant under uniform gain/offset (the
+    *    near-dup transform), and the realizable keyspace is the weak
+    *    orderings of 16 energies (ordered Bell ≈ 2⁴⁷) — no ~65k
+    *    birthday saturation. No δ pair sums to 16, so all 64
+    *    comparisons are distinct unordered window pairs.
+    *
+    * Same-content clips fingerprint identically regardless of container
+    * framing; silence fingerprints 0 on both keys. Partition-local
+    * typed `mapPartitions` (JDK codec), no shuffle — downstream dedup
+    * is a banded hamming join on the 64-bit key
+    * ([[graft.llm.Dedup.hammingPairs64]]), exactly like
+    * [[imageAHash]]. */
   def audioFingerprint(df: DataFrame): Dataset[AudioFp] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (n, total, fp) = fingerprintWavBytes(bytes)
-          AudioFp(id, n, total, fp)
+          val (n, total, fp, hi, lo) = fingerprintWavBytes(bytes)
+          AudioFp(id, n, total, fp, hi, lo)
         }
       }
   }
 
-  /** Per-clip fingerprint core — (nFrames, energySum, fp) — shared by
-    * the batch operator above and the streaming dedup twin. Canonical
-    * 16-bit mono PCM takes the direct RIFF parse (the decode cost is
-    * the linear bulk of the audio dedup family); anything else goes
-    * through `javax.sound` with format checks. */
+  /** Per-clip fingerprint core — (nFrames, energySum, fp16, fp_hi,
+    * fp_lo) — shared by the batch operator above and the streaming
+    * dedup twin. Canonical 16-bit mono PCM takes the direct RIFF parse
+    * (the decode cost is the linear bulk of the audio dedup family);
+    * anything else goes through `javax.sound` with format checks. */
   private[graft] def fingerprintWavBytes(
-      bytes: Array[Byte]): (Long, Long, Long) = {
+      bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
     val (data, dataOff, n) =
       AudioCodec.parseCanonicalPcm(bytes) match {
         case Some((_, off, ns)) => (bytes, off, ns)
@@ -532,7 +561,27 @@ object Multimodal {
       if (energies(w) > mean) fp |= 1L << w
       w += 1
     }
-    (ns.toLong, total, fp)
+    // 64-bit pairing key: 4 rotation-comparison bits per window
+    // (bit 4w+k = E_w > E_{(w+δ_k) mod 16}, δ = 1,2,3,7), packed into
+    // the (lo, hi) two-halves convention shared with [[imageAHash]]
+    var hi = 0L
+    var lo = 0L
+    w = 0
+    while (w < 16) {
+      var k = 0
+      while (k < 4) {
+        val delta = k match {
+          case 0 => 1; case 1 => 2; case 2 => 3; case _ => 7
+        }
+        if (energies(w) > energies((w + delta) & 15)) {
+          val j = 4 * w + k
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        }
+        k += 1
+      }
+      w += 1
+    }
+    (ns.toLong, total, fp, hi, lo)
   }
 
   /** REAL audio decode stage (`javax.sound.sampled` over binary
@@ -850,7 +899,7 @@ object Multimodal {
     /** Walk the container → the JPEG bytes of every `00dc` frame chunk,
       * in stream order. Throws on malformed structure — a truncated or
       * mistyped container must fail loudly, not decode garbage
-      * (MultimodalSpec asserts). Skips non-frame chunks (e.g. a `hdrl`
+      * (LlmSpec asserts). Skips non-frame chunks (e.g. a `hdrl`
       * LIST) the way a demuxer does. */
     def frames(bytes: Array[Byte]): Seq[Array[Byte]] = {
       require(bytes.length >= 12 &&

@@ -1115,35 +1115,44 @@ object LlmQueries {
         Multimodal.synthesizeAudio(docs(s, dir), "doc_id"))
         .toDF()),
 
-    // AUDIO NEAR-DUP pairs: same-content clips fingerprint identically
-    // regardless of amplitude, so candidate generation is a plain
-    // fingerprint-EQUALITY self-join — bounded buckets (16-bit fp
-    // space), never all-pairs; the audio twin of mm_image_near_dup
+    // AUDIO NEAR-DUP pairs on the 64-BIT pairing key (fp_hi, fp_lo) —
+    // inter-window energy-order bits in the image path's two-halves
+    // convention — via the shared 4×16-bit banded hamming join
+    // (exact recall ≤ 3). The 16-bit mean-threshold fp stays a coarse
+    // FAMILY key only: as THE pairing key it saturates at ~65k distinct
+    // contents (an N²/65536 birthday term at 100 TB). Same-content
+    // clips share all energy-order comparisons regardless of uniform
+    // amplitude shift, so true near-dups land at hamming 0; the audio
+    // twin of mm_image_near_dup.
     "mm_audio_near_dup" -> ((s, dir) => {
       val fps = Multimodal.audioFingerprint(
         Multimodal.synthesizeNearDupAudio(docs(s, dir), "doc_id"))
-        .toDF().select("doc_id", "fp")
-        .localCheckpoint() // both self-join sides — one WAV decode pass
-      fps.as("a").join(fps.as("b"),
-          col("a.fp") === col("b.fp") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.fp").as("fp"))
+        .toDF()
+        .select(col("doc_id"), col("fp_lo").as("lo"),
+          col("fp_hi").as("hi"))
+        .localCheckpoint() // both banded-join sides — one WAV decode pass
+      Dedup.hammingPairs64(fps, hammingMax = 3)
     }),
 
-    // the dedup consumer: fingerprint equality is TRANSITIVE, so no CC
-    // is needed — the survivor per fp is min(doc_id), and the winner
-    // set (≤ 65,536 fps) broadcasts into a semi join
+    // the dedup consumer on the same 64-bit key: banded hamming pairs →
+    // connected components → drop every non-minimum member (the
+    // mm_image_dedup skeleton on the audio pair graph); the 16-bit
+    // family fp rides along as a descriptive column
     "mm_audio_dedup" -> ((s, dir) => {
       val fps = Multimodal.audioFingerprint(
         Multimodal.synthesizeNearDupAudio(docs(s, dir), "doc_id"))
-        .toDF().select("doc_id", "fp")
-        .localCheckpoint() // winner build + probe — one WAV decode pass
-      val keep = fps.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
-      fps.join(broadcast(keep),
-          col("doc_id") === col("keep_id") && fps("fp") === keep("fp"),
-          "left_semi")
-        .select("doc_id", "fp")
+        .toDF()
+        .select(col("doc_id"), col("fp"), col("fp_lo").as("lo"),
+          col("fp_hi").as("hi"))
+        .localCheckpoint() // pair build + survivor probe — one decode pass
+      val pairs = Dedup.hammingPairs64(
+        fps.select("doc_id", "lo", "hi"), hammingMax = 3)
+      val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("__graft_loser"))
+      fps.join(broadcast(losers),
+          col("doc_id") === col("__graft_loser"), "left_anti")
+        .select("doc_id", "fp", "lo", "hi")
     }),
 
     // REAL WAV round-trip: javax.sound.sampled decode of genuinely
@@ -1178,7 +1187,7 @@ object LlmQueries {
     // 128-bit key that never saturates (the decoded identity triple
     // (w, h, px_sum) it replaces has only 36,608 states on solid
     // frames, a birthday bomb at 100 TB; it survives as a spec-level
-    // perceptual cross-check, MultimodalSpec). Inverted-index
+    // perceptual cross-check, LlmSpec "video near-dup"). Inverted-index
     // equi-join on the hash, count distinct shared frames per video
     // pair, keep pairs sharing ≥ 2 — bucket-keyed candidates, never
     // all-pairs, and the pixel decoder never runs on this path.
@@ -2279,7 +2288,9 @@ object LlmQueries {
 
     // replays the windowed-energy arithmetic over the same ramp the WAV
     // container carries: window of frame i = (i·16)//n, |sample| sums,
-    // integer mean threshold, 16 bits packed with shifts
+    // integer mean threshold for the 16-bit family fp, and the 64-bit
+    // pairing key as inter-window energy-order bits (bit 4w+k =
+    // ew_w > ew_{(w+δ_k) mod 16}, δ = 1,2,3,7) packed into two halves
     "mm_audio_fingerprint" ->
       """WITH f AS (SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),
         |s AS (SELECT f.doc_id, f.n, (i.i * 16) // f.n AS w,
@@ -2290,12 +2301,29 @@ object LlmQueries {
         |       FROM s GROUP BY 1, 2, 3),
         |m AS (SELECT doc_id, sum(ew) // 16 AS mean,
         |             sum(ew)::BIGINT AS tot
-        |      FROM ew GROUP BY 1)
+        |      FROM ew GROUP BY 1),
+        |dk AS (SELECT unnest([1, 2, 3, 7]) AS delta,
+        |              unnest([0, 1, 2, 3]) AS k),
+        |ob AS (SELECT a.doc_id, 4 * a.w + dk.k AS j,
+        |         CASE WHEN a.ew > b.ew THEN 1 ELSE 0 END AS bit
+        |       FROM ew a CROSS JOIN dk
+        |       JOIN ew b ON b.doc_id = a.doc_id
+        |                AND b.w = (a.w + dk.delta) % 16),
+        |fp64 AS (SELECT doc_id,
+        |           sum(CASE WHEN j >= 32
+        |                    THEN bit::BIGINT << (j - 32)::INTEGER
+        |                    ELSE 0 END)::BIGINT AS fp_hi,
+        |           sum(CASE WHEN j < 32 THEN bit::BIGINT << j::INTEGER
+        |                    ELSE 0 END)::BIGINT AS fp_lo
+        |         FROM ob GROUP BY 1)
         |SELECT ew.doc_id, max(ew.n)::BIGINT AS n_frames,
         |       max(m.tot)::BIGINT AS energy_sum,
         |       sum(CASE WHEN ew.ew > m.mean THEN 1::BIGINT << w
-        |                ELSE 0 END)::BIGINT AS fp
-        |FROM ew JOIN m USING (doc_id) GROUP BY 1""".stripMargin,
+        |                ELSE 0 END)::BIGINT AS fp,
+        |       max(fp64.fp_hi)::BIGINT AS fp_hi,
+        |       max(fp64.fp_lo)::BIGINT AS fp_lo
+        |FROM ew JOIN m USING (doc_id) JOIN fp64 USING (doc_id)
+        |GROUP BY 1""".stripMargin,
 
     // replays the aHash arithmetic analytically: the NN grid column
     // (2·x·(w−1)+7)//14 lands left of the seam ⟺ sample = a; integer
@@ -2390,34 +2418,88 @@ object LlmQueries {
         |       (8 * 8 * 3 * (doc_id % 256))::BIGINT AS px_sum
         |FROM documents""".stripMargin,
 
-    // planted 16-bit pattern: 4 md5 hex chars, degenerate-guarded;
-    // the fixture's fingerprint IS the pattern, so pairs/survivors are
-    // analytic
+    // planted 16-bit pattern (4 md5 hex chars, degenerate-guarded):
+    // loud window ⟺ pattern bit set, so the energy-ORDER bit 4w+k of
+    // the 64-bit pairing key is exactly pat_w=1 ∧ pat_{(w+δ_k)%16}=0 —
+    // analytic for every doc; pairs are all-pairs hamming ≤ 3 over the
+    // analytic keys (the mm_image_near_dup oracle pattern)
     "mm_audio_near_dup" ->
-      """WITH fp AS (
+      """WITH pat AS (
         |  SELECT doc_id,
         |         CASE WHEN p0 = 0 THEN 1 WHEN p0 = 65535 THEN 65534
-        |              ELSE p0 END AS fp
+        |              ELSE p0 END AS pat
         |  FROM (SELECT doc_id,
         |          ('0x' || substr(md5('aud' || (doc_id // 4)), 1, 4))
         |            ::BIGINT AS p0
-        |        FROM documents))
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp
-        |FROM fp a JOIN fp b
-        |  ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+        |        FROM documents)),
+        |dk AS (SELECT unnest([1, 2, 3, 7]) AS delta,
+        |              unnest([0, 1, 2, 3]) AS k),
+        |ob AS (SELECT p.doc_id, 4 * w.w + dk.k AS j,
+        |         CASE WHEN ((p.pat >> w.w::INTEGER) & 1) = 1
+        |               AND ((p.pat >> ((w.w + dk.delta) % 16)::INTEGER)
+        |                    & 1) = 0
+        |              THEN 1 ELSE 0 END AS bit
+        |       FROM pat p
+        |       CROSS JOIN (SELECT unnest(range(0, 16)) AS w) w
+        |       CROSS JOIN dk),
+        |fp AS (SELECT doc_id,
+        |         sum(CASE WHEN j < 32 THEN bit::BIGINT << j::INTEGER
+        |                  ELSE 0 END)::BIGINT AS lo,
+        |         sum(CASE WHEN j >= 32
+        |                  THEN bit::BIGINT << (j - 32)::INTEGER
+        |                  ELSE 0 END)::BIGINT AS hi
+        |       FROM ob GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))
+        |         AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
+        .stripMargin,
 
+    // same analytic keys → all-pairs hamming ≤ 3 → recursive
+    // reachability → survivors carry the 16-bit family fp (= the
+    // pattern on this fixture) beside the 64-bit halves
     "mm_audio_dedup" ->
-      """WITH fp AS (
+      """WITH RECURSIVE pat AS (
         |  SELECT doc_id,
         |         CASE WHEN p0 = 0 THEN 1 WHEN p0 = 65535 THEN 65534
-        |              ELSE p0 END AS fp
+        |              ELSE p0 END AS pat
         |  FROM (SELECT doc_id,
         |          ('0x' || substr(md5('aud' || (doc_id // 4)), 1, 4))
         |            ::BIGINT AS p0
-        |        FROM documents))
-        |SELECT doc_id, fp FROM fp
-        |WHERE doc_id = (SELECT min(doc_id) FROM fp f2
-        |                WHERE f2.fp = fp.fp)""".stripMargin,
+        |        FROM documents)),
+        |dk AS (SELECT unnest([1, 2, 3, 7]) AS delta,
+        |              unnest([0, 1, 2, 3]) AS k),
+        |ob AS (SELECT p.doc_id, 4 * w.w + dk.k AS j,
+        |         CASE WHEN ((p.pat >> w.w::INTEGER) & 1) = 1
+        |               AND ((p.pat >> ((w.w + dk.delta) % 16)::INTEGER)
+        |                    & 1) = 0
+        |              THEN 1 ELSE 0 END AS bit
+        |       FROM pat p
+        |       CROSS JOIN (SELECT unnest(range(0, 16)) AS w) w
+        |       CROSS JOIN dk),
+        |fp AS (SELECT ob.doc_id, p.pat,
+        |         sum(CASE WHEN j < 32 THEN bit::BIGINT << j::INTEGER
+        |                  ELSE 0 END)::BIGINT AS lo,
+        |         sum(CASE WHEN j >= 32
+        |                  THEN bit::BIGINT << (j - 32)::INTEGER
+        |                  ELSE 0 END)::BIGINT AS hi
+        |       FROM ob JOIN pat p USING (doc_id) GROUP BY 1, 2),
+        |jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.lo, b.lo))
+        |             + bit_count(xor(a.hi, b.hi)) <= 3),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+        |          UNION ALL SELECT id_b, id_a FROM jp),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+        |losers AS (SELECT id FROM reach GROUP BY id
+        |           HAVING min(lbl) != id)
+        |SELECT doc_id, pat AS fp, lo, hi FROM fp
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     // WAV: n = 100 + id%400 frames of the ramp (id+i)%2000 - 1000 at
     // 8k/16kHz mono — the decoder must recover rate, mono, frame count,

@@ -209,12 +209,14 @@ object StreamingOps {
     * batch `mm_audio_dedup` consumer: fingerprint each clip payload as
     * a STATELESS map (the shared canonical-WAV energy-fingerprint core,
     * [[graft.llm.Multimodal.fingerprintWavBytes]]), then keep the FIRST
-    * clip per fingerprint inside the watermark horizon via
-    * `dropDuplicatesWithinWatermark` — fingerprint equality is
-    * transitive, so first-wins per fp IS the dedup (no clustering
-    * state). State = one row per distinct fingerprint in the horizon,
-    * bounded by the 16-bit fp space; the batch twin keeps min(doc_id)
-    * per fp, so on in-order delivery stream == batch (spec-proved). */
+    * clip per 64-bit pairing key `(fp_hi, fp_lo)` inside the watermark
+    * horizon via `dropDuplicatesWithinWatermark` — key equality is
+    * transitive, so first-wins per key IS the dedup (no clustering
+    * state). State = one row per distinct key in the horizon, bounded
+    * by the distinct clip contents seen (the 64-bit key does not
+    * saturate the way the 16-bit family `fp` — still carried as a
+    * column — would); the batch twin keeps min(doc_id) per key, so on
+    * in-order delivery stream == batch (spec-proved). */
   def fingerprintDedupStream(
       clips: DataFrame, watermark: String = "1 hour"): DataFrame = {
     val spark = clips.sparkSession
@@ -222,12 +224,14 @@ object StreamingOps {
     clips.select(col("doc_id"), col("ts"), col("payload"))
       .as[(Long, java.sql.Timestamp, Array[Byte])]
       .map { case (id, t, bytes) =>
-        val (n, total, fp) = graft.llm.Multimodal.fingerprintWavBytes(bytes)
-        (id, t, fp, n, total)
+        val (n, total, fp, hi, lo) =
+          graft.llm.Multimodal.fingerprintWavBytes(bytes)
+        (id, t, fp, hi, lo, n, total)
       }
-      .toDF("doc_id", "ts", "fp", "n_frames", "energy_sum")
+      .toDF("doc_id", "ts", "fp", "fp_hi", "fp_lo", "n_frames",
+        "energy_sum")
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("fp")
+      .dropDuplicatesWithinWatermark("fp_hi", "fp_lo")
   }
 
   /** STREAMING point-in-time enrichment — the streaming counterpart of

@@ -518,39 +518,115 @@ class LlmSpec extends SparkSpec {
     val df = Seq((1L, wav(loud, 8000f)), (2L, wav(loud, 16000f)),
       (3L, wav(silent, 8000f))).toDF("doc_id", "payload")
     val out = Multimodal.audioFingerprint(df)
-    val fps = out.collect().map(r => r.doc_id -> r.fp).toMap
+    val rows = out.collect().map(r => r.doc_id -> r).toMap
+    val fps = rows.view.mapValues(_.fp).toMap
     assert(fps(1L) == ((1L << 3) | (1L << 12)), s"got ${fps(1L).toBinaryString}")
     assert(fps(2L) == fps(1L), "sample rate must not change content bits")
     assert(fps(3L) == 0L)
+    // 64-bit pairing key: bit 4w+k = E_w > E_{(w+δ_k)%16}, δ = 1,2,3,7.
+    // Loud window 3 beats quiet neighbors 4,5,6,10 → lo bits 12..15;
+    // loud window 12 beats 13,14,15 but TIES loud window (12+7)%16=3 →
+    // hi bits 16..18 only. Quiet windows never set a bit.
+    assert(rows(1L).fp_lo == 0xF000L,
+      s"lo got ${rows(1L).fp_lo.toBinaryString}")
+    assert(rows(1L).fp_hi == 0x70000L,
+      s"hi got ${rows(1L).fp_hi.toBinaryString}")
+    assert(rows(2L).fp_hi == rows(1L).fp_hi && rows(2L).fp_lo == rows(1L).fp_lo,
+      "sample rate must not change the 64-bit key")
+    assert(rows(3L).fp_hi == 0L && rows(3L).fp_lo == 0L,
+      "silence must key to 0 on both halves")
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
       "fingerprint must not shuffle")
   }
 
-  test("audio near-dup: members fingerprint identically; dedup keeps " +
-    "one per family via broadcast semi, no window") {
+  test("audio near-dup: members share both keys; 64-bit pairing key " +
+    "matches the analytic energy-order bits; dedup survivors analytic") {
     import spark.implicits._
-    val ids = (0L until 64L).toDF("doc_id")
+    val n = 64L
+    val ids = (0L until n).toDF("doc_id")
     val fps = Multimodal.audioFingerprint(
       Multimodal.synthesizeNearDupAudio(ids, "doc_id")).toDF()
-      .select("doc_id", "fp")
-    val got = fps.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    // all four members of each family share the planted pattern
+      .select("doc_id", "fp", "fp_hi", "fp_lo")
+    val got = fps.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // analytic model: loud window ⟺ pattern bit set, so family fp = pat
+    // and fp64 bit 4w+k = pat_w=1 ∧ pat_{(w+δ_k)%16}=0, δ = 1,2,3,7
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0L until 64L by 4L).foreach { base =>
-      val hex = md.digest(s"aud${base / 4}".getBytes("UTF-8"))
+    val deltas = Array(1, 2, 3, 7)
+    def key64(pat: Int): (Long, Long) = {
+      var hi = 0L; var lo = 0L
+      for (w <- 0 until 16; k <- 0 until 4) {
+        if (((pat >> w) & 1) == 1 &&
+            ((pat >> ((w + deltas(k)) % 16)) & 1) == 0) {
+          val j = 4 * w + k
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        }
+      }
+      (hi, lo)
+    }
+    val pats = (0L until n).map { id =>
+      val hex = md.digest(s"aud${id / 4}".getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString
       val p0 = java.lang.Integer.parseInt(hex.substring(0, 4), 16)
-      val pat = if (p0 == 0) 1 else if (p0 == 0xffff) 0xfffe else p0
-      (0 to 3).foreach(m => assert(got(base + m) == pat.toLong,
-        s"doc ${base + m}: got ${got(base + m)}, want $pat"))
+      id -> (if (p0 == 0) 1 else if (p0 == 0xffff) 0xfffe else p0)
+    }.toMap
+    (0L until n).foreach { id =>
+      val (hi, lo) = key64(pats(id))
+      assert(got(id) == ((pats(id).toLong, hi, lo)),
+        s"doc $id: got ${got(id)}, want (${pats(id)}, $hi, $lo)")
     }
-    // dedup: one survivor per distinct fingerprint, and its plan is a
-    // broadcast semi join (winner set bounded by the 16-bit fp space)
-    val dedup = graft.SparkEntry.queries("mm_audio_dedup")(spark, sf())
+    // near-dup pairs = banded hamming ≤ 3 over the 64-bit key; replay
+    // analytically (members land at hamming 0; no all-pairs in Spark)
+    def ham(a: Long, b: Long, c: Long, d: Long): Int =
+      java.lang.Long.bitCount(a ^ c) + java.lang.Long.bitCount(b ^ d)
+    val keys = (0L until n).map(id => id -> key64(pats(id))).toMap
+    val expectPairs = (for {
+      ia <- 0L until n; ib <- ia + 1 until n
+      h = ham(keys(ia)._1, keys(ia)._2, keys(ib)._1, keys(ib)._2)
+      if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    val nd = graft.llm.Dedup.hammingPairs64(
+      fps.select(col("doc_id"), col("fp_lo").as("lo"),
+        col("fp_hi").as("hi")), hammingMax = 3)
+    val gotPairs = nd.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).asInstanceOf[Number].longValue)).toSet
+    assert(gotPairs == expectPairs,
+      s"pair graph diverges: got ${gotPairs.size}, want ${expectPairs.size}")
+    assert((0L until n by 4).forall(b =>
+        gotPairs.exists(p => p._1 == b && p._2 == b + 1 && p._3 == 0L)),
+      "family members must pair at hamming 0")
+    // dedup: min per connected component survives; replay CC analytically
+    val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    expectPairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val comp = (0L until n).groupBy(find)
+    val losers = comp.values.flatMap(ms => ms.filterNot(_ == ms.min)).toSet
+    // same shape as the declared mm_audio_dedup query, on this fixture
+    val fpsCk = fps.select(col("doc_id"), col("fp"),
+      col("fp_lo").as("lo"), col("fp_hi").as("hi")).localCheckpoint()
+    val ccLosers = graft.llm.Dedup.connectedComponents(
+        graft.llm.Dedup.hammingPairs64(
+          fpsCk.select("doc_id", "lo", "hi"), hammingMax = 3),
+        "id_a", "id_b")
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__graft_loser"))
+    val dedup = fpsCk.join(broadcast(ccLosers),
+        col("doc_id") === col("__graft_loser"), "left_anti")
+      .select("doc_id", "fp", "lo", "hi")
+    val kept = dedup.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until n).toSet -- losers,
+      s"survivors diverge: kept ${kept.size}")
     val plan = dedup.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"dedup must broadcast the winner set:\n${plan.take(1500)}")
-    assert(!plan.contains("Window"), "no window pass needed for equality dedup")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"dedup must broadcast the loser set into an anti join:\n" +
+        plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "banded pairing must stay an equi-join")
   }
 
   test("video near-dup: content-hash join equals the analytic pair set, " +

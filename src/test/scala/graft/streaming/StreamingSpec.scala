@@ -238,7 +238,7 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Array[Byte])].collect().sortBy(_._1)
     val batchKeep = graft.llm.Multimodal.audioFingerprint(
       graft.llm.Multimodal.synthesizeNearDupAudio(ids, "doc_id"))
-      .toDF().groupBy("fp")
+      .toDF().groupBy("fp_hi", "fp_lo", "fp")
       .agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toSet
     val in = MemoryStream[(Long, Timestamp, Array[Byte])]
