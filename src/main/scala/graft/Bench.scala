@@ -66,11 +66,27 @@ object Bench {
     // per-query as {"err": msg} and excluded from `total` so a broken
     // query can never masquerade as a timing.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    // One full timed pass, bracketed by the control query: (pre, results, post).
-    def runLoop(): (Double, Seq[(String, Either[String, Double])], Double) = {
+    // INTERLEAVED control sampling: one control run every `ctlEvery`
+    // queries, not just pre/post. r10's artifact carried a 5-query
+    // regression cluster (up to 7.5×) on untouched, alphabetically
+    // adjacent queries with CLEAN pre/post controls — exactly the
+    // signature of a transient box-load window mid-run that endpoint
+    // controls structurally cannot see. Each query's window is bounded
+    // by two control samples; a window whose bounding controls drift
+    // above driftMax × the run's best control gets its queries listed
+    // in "suspect_queries" so a reader can discount (or re-measure)
+    // them instead of mistaking box noise for a code regression.
+    val ctlEvery = sys.env.getOrElse("SPARK_GRAFT_CONTROL_EVERY", "25").toInt
+    // One full timed pass, bracketed and interleaved by the control
+    // query: (pre, results, post, mid-run samples).
+    def runLoop(): (Double, Seq[(String, Either[String, Double])], Double,
+        Seq[Double]) = {
       val pre = controlMedian3()
+      val mids = scala.collection.mutable.ArrayBuffer[Double]()
       val rs: Seq[(String, Either[String, Double])] =
-        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+          case ((name, fn), i) =>
+          if (i > 0 && i % ctlEvery == 0) mids += controlOnce()
           def once(): Either[String, Double] = {
             val t0 = System.nanoTime()
             try {
@@ -92,7 +108,7 @@ object Bench {
                    else Right(times(times.size / 2)))
         }
       val post = controlMedian3()
-      (pre, rs, post)
+      (pre, rs, post, mids.toSeq)
     }
     // SELF-PROTECTION: the control query's cost is data-independent, so a
     // drifting pre/post pair means the BOX slowed mid-run (r8's official
@@ -107,13 +123,29 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_CONTROL_DRIFT", "1.5").toDouble
     def drifted(pre: Double, post: Double): Boolean =
       post / pre > driftMax || pre / post > driftMax
-    val (controlPre, results, controlPost, rerunCtl, contaminated) = {
-      val (p1, r1, q1) = runLoop()
-      if (!drifted(p1, q1)) (p1, r1, q1, None, false)
+    val (controlPre, results, controlPost, midCtls, rerunCtl, contaminated) = {
+      val (p1, r1, q1, m1) = runLoop()
+      if (!drifted(p1, q1)) (p1, r1, q1, m1, None, false)
       else {
-        val (p2, r2, q2) = runLoop()
-        (p2, r2, q2, Some((p1, q1)), drifted(p2, q2))
+        val (p2, r2, q2, m2) = runLoop()
+        (p2, r2, q2, m2, Some((p1, q1)), drifted(p2, q2))
       }
+    }
+    // Window audit: query i lives in window i / ctlEvery, bounded by
+    // control samples (pre, mids..., post). A window is suspect when
+    // either bounding control exceeds driftMax × the MEDIAN of all
+    // control samples — a transient load spike confined to that window.
+    // Median, not min: single mid-run control shots carry the same
+    // ±50% scheduling noise as any sub-second timing, so the floor of
+    // the run would flag every window on an ordinary quiet box.
+    val bounds = (controlPre +: midCtls) :+ controlPost
+    val ctlBaseline = bounds.sorted.apply(bounds.size / 2)
+    val suspectQueries = results.zipWithIndex.collect {
+      case ((name, _), i)
+          if {
+            val w = math.min(i / ctlEvery, bounds.size - 2)
+            math.max(bounds(w), bounds(w + 1)) > driftMax * ctlBaseline
+          } => name
     }
     val qs = results.map {
       case (k, Right(v)) => s"${jstr(k)}:$v"
@@ -129,7 +161,11 @@ object Bench {
           f""","rerun":true,"first_control_pre_s":$p1%.3f,"first_control_post_s":$q1%.3f"""
         case None => ""
       }
-      base + rerun + s""","contaminated":$contaminated"""
+      val mids = midCtls.map(v => f"$v%.3f").mkString("[", ",", "]")
+      val susp = suspectQueries.map(jstr).mkString("[", ",", "]")
+      base + rerun +
+        s""","control_mid_s":$mids,"suspect_queries":$susp""" +
+        s""","contaminated":$contaminated"""
     }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir","reps":$reps,$ctl}"""
@@ -203,8 +239,11 @@ object Bench {
     // spark.stop() so no shutdown logging can follow it): the driver's
     // tail window truncated the full per-query line in r3 AND r4
     // ("parsed": null). This one is ~120 bytes and always fits.
+    val compactCtl =
+      f""""control_pre_s":$controlPre%.3f,"control_post_s":$controlPost%.3f""" +
+        s""","n_suspect":${suspectQueries.size},"contaminated":$contaminated"""
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nerr,"sf":"$sfDir","reps":$reps,"n_queries":${results.size},$ctl}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nerr,"sf":"$sfDir","reps":$reps,"n_queries":${results.size},$compactCtl}"""
     println(compact)
     System.out.flush()
   }

@@ -708,10 +708,29 @@ object LlmQueries {
 
     // sparse LEXICAL retrieval (tf-idf cosine over an inverted index) —
     // the search modality dense ANN can't express; quantized-integer
-    // weights make every sim bit-exact across engines
+    // weights make every sim bit-exact across engines. Full-vocabulary
+    // form: the LICENSED dense worst case on this corpus's 31-term
+    // vocabulary (every query-doc pair shares terms) — kept as the
+    // exact-semantics contrast; the production path is the pruned twin
     "knn_sparse_tfidf" -> ((s, dir) =>
       Similarity.sparseTfidfKnn(docs(s, dir), "doc_id", "text",
         queryPred = col("doc_id") % 50 === 0, k = 5)),
+
+    // the PRODUCTION sparse path: stop-term prune at the classic
+    // maxDfFraction = 0.5 — terms in more than half the corpus carry
+    // near-zero idf but dominate postings volume (quadratic in N on a
+    // Zipfian head without the prune; measured 360M → 5.6M candidate
+    // rows at 50k docs). The oracle replays the df gate exactly. On
+    // the testdata corpus the 30 head terms all sit at ~75-80% df and
+    // the one tail term at 5%, so at sf0.01's 10 queries the gated
+    // index usually matches nothing (0 rows, oracle-identical) while
+    // sf0.1's 100 queries retrieve through the tail term; the
+    // non-vacuous semantics (pruned == full-on-stripped-corpus, output
+    // non-empty) are spec-proved on a tailed corpus in PairCapSpec.
+    "knn_sparse_tfidf_pruned" -> ((s, dir) =>
+      Similarity.sparseTfidfKnn(docs(s, dir), "doc_id", "text",
+        queryPred = col("doc_id") % 50 === 0, k = 5,
+        maxDfFraction = 0.5)),
 
     "knn_lsh_bucketed" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -723,11 +742,18 @@ object LlmQueries {
         k = 5, nPlanes = Similarity.autoPlanes(e.count()), dim = 64)
     }),
 
+    // multi-probe at the SAME corpus-scaled plane count as the
+    // single-probe form (⌈log₂N⌉ planes → ~N buckets, O(1) expected
+    // candidates per probe): the query also searches every hamming-1
+    // bucket, so candidate volume is ×(nPlanes+1) on the query side
+    // only — the recall lever without the O(N²/2^p) wide-bucket cost a
+    // pinned small plane count would reintroduce at scale
     "knn_lsh_multiprobe" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshKnn(
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
-        k = 5, nPlanes = 4, dim = 64, multiProbe = true)
+        k = 5, nPlanes = Similarity.autoPlanes(e.count()), dim = 64,
+        multiProbe = true)
     }),
 
     // L independent tables — the recall lever: a neighbor is missed only
@@ -1459,21 +1485,24 @@ object LlmQueries {
          |WHERE rank <= 5""".stripMargin,
 
     // multi-probe: the query also searches every hamming-1 bucket
-    // (xor with each plane bit); corpus side single-bucketed as before
+    // (xor with each of the corpus-scaled p plane bits, p from the
+    // same integer scalar subquery as the single-probe oracle);
+    // corpus side single-bucketed as before
     "knn_lsh_multiprobe" ->
       s"""WITH v AS (SELECT vec_id,
          |             list_transform(embedding, x -> x::DOUBLE) AS v
          |           FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
-         |${bucketCtes(4)},
+         |$bucketCtesAuto,
          |nb AS (SELECT n.vec_id, n.v, n.nrm, bkt.bkt FROM n
          |       JOIN bkt ON n.vec_id = bkt.vec_id),
          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bkt FROM nb
          |      WHERE vec_id % 100 = 0),
          |probes AS (SELECT qid, qv, qn, bkt FROM q
-         |${(0 until 4).map(j =>
-              s"  UNION ALL SELECT qid, qv, qn, xor(bkt, ${1L << j}) FROM q")
-             .mkString("\n")}),
+         |  UNION ALL
+         |  SELECT q.qid, q.qv, q.qn, xor(q.bkt, 1::BIGINT << jj.j::INTEGER)
+         |  FROM q CROSS JOIN (SELECT unnest(range(0, 31)) AS j) jj
+         |  WHERE jj.j < (SELECT p FROM np)),
          |scored AS (
          |  SELECT p.qid, nb.vec_id AS nid,
          |         ${dotSql("p.qv", "nb.v")} / (p.qn * nb.nrm) AS sim
@@ -2011,6 +2040,41 @@ object LlmQueries {
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
          |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
          |nn AS (SELECT count(*) AS n FROM documents),
+         |wts AS (SELECT doc_id, term,
+         |          round(tf * ln(n::DOUBLE / df) * 1000)::BIGINT AS wt
+         |        FROM tf JOIN dfreq USING (term), nn
+         |        WHERE round(tf * ln(n::DOUBLE / df) * 1000)::BIGINT > 0),
+         |norms AS (SELECT doc_id, sum(wt*wt)::BIGINT AS nsq
+         |          FROM wts GROUP BY 1),
+         |q AS (SELECT wts.doc_id AS qid, term, wt AS qw, nsq AS qnsq
+         |      FROM wts JOIN norms USING (doc_id)
+         |      WHERE doc_id % 50 = 0),
+         |dots AS (SELECT qid, qnsq, d.doc_id AS nid,
+         |           sum(d.wt * q.qw)::BIGINT AS dot
+         |         FROM wts d JOIN q USING (term)
+         |         WHERE d.doc_id <> q.qid GROUP BY 1, 2, 3),
+         |scored AS (SELECT qid, nid,
+         |             dot::DOUBLE / (sqrt(qnsq::DOUBLE) * sqrt(nsq::DOUBLE))
+         |               AS sim
+         |           FROM dots JOIN norms ON nid = norms.doc_id),
+         |r AS (SELECT qid, nid, sim, row_number() OVER (
+         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM scored)
+         |SELECT qid, nid, rank, round(sim, 6) AS sim
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // the pruned production path: identical pipeline with the df gate
+    // df <= ceil(0.5·N) applied to the index — the Spark side's
+    // maxDfFraction filter replayed exactly (ceil of an integer-valued
+    // double is exact in both engines)
+    "knn_sparse_tfidf_pruned" ->
+      s"""WITH $DocsCte,
+         |t AS (SELECT doc_id, unnest(w) AS term FROM docs),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+         |          HAVING count(*) <=
+         |            (SELECT ceil(n * 0.5)::BIGINT FROM nn)),
          |wts AS (SELECT doc_id, term,
          |          round(tf * ln(n::DOUBLE / df) * 1000)::BIGINT AS wt
          |        FROM tf JOIN dfreq USING (term), nn
