@@ -197,13 +197,25 @@ object Bench {
       // pairs), and the median absorbs one-off JIT/GC spikes that a
       // single timed run reports as fake superlinearity (measured:
       // knn_lsh_multitable 3.6 s spike vs 0.85 s steady ⇒ "11.65").
-      val rows = ScaleProbe.family.filter(SparkEntry.queries.contains).map { q =>
-        ScaleProbe.time(spark, q, sfDir)
-        val (tb, nb) = ScaleProbe.timeMedian3(spark, q, sfDir)
-        ScaleProbe.time(spark, q, dir10)
-        val (tx, nx) = ScaleProbe.timeMedian3(spark, q, dir10)
+      val batchRows =
+        ScaleProbe.family.filter(SparkEntry.queries.contains).map { q =>
+          ScaleProbe.time(spark, q, sfDir)
+          val (tb, nb) = ScaleProbe.timeMedian3(spark, q, sfDir)
+          ScaleProbe.time(spark, q, dir10)
+          val (tx, nx) = ScaleProbe.timeMedian3(spark, q, dir10)
+          (q, tb, tx, nb, nx)
+        }
+      // streaming twins under the same warm + median-3 discipline (see
+      // ScaleProbe.streamFamily): real file-source streams drained to a
+      // memory sink, so watermarked state paths get scale rows too
+      val streamRows = ScaleProbe.streamFamily.map { q =>
+        ScaleProbe.timeStream(spark, q, sfDir)
+        val (tb, nb) = ScaleProbe.timeStreamMedian3(spark, q, sfDir)
+        ScaleProbe.timeStream(spark, q, dir10)
+        val (tx, nx) = ScaleProbe.timeStreamMedian3(spark, q, dir10)
         (q, tb, tx, nb, nx)
       }
+      val rows = batchRows ++ streamRows
       val qjson = rows.map { case (q, tb, tx, nb, nx) =>
         s"${jstr(q)}:{${jstr("base_s")}:${f"$tb%.3f"},${jstr("x10_s")}:${f"$tx%.3f"}," +
           s"${jstr("ratio")}:${f"${tx / tb}%.2f"},${jstr("base_rows")}:$nb,${jstr("x10_rows")}:$nx}"

@@ -77,17 +77,30 @@ object ScaleProbe {
     * (idempotent — skipped when the parquet already exists). Shared by
     * the standalone probe main and Bench's `SPARK_GRAFT_BENCH_10X`
     * standing-artifact mode. */
-  def ensureCorpus(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+  def ensureCorpus(spark: SparkSession, baseDir: String, outDir: String,
+      tables: Set[String] = Set.empty): Unit = {
     import spark.implicits._
-    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+    // `tables` non-empty restricts generation to the named tables — the
+    // PROBE1000 path only needs events + embeddings, and a full 1000×
+    // corpus would spend minutes (and ~15 GB) writing lineitem/orders
+    // nobody reads. Empty set (default) = everything.
+    def wanted(t: String): Boolean = tables.isEmpty || tables.contains(t)
+    if (wanted("documents") &&
+        !new java.io.File(s"$outDir/documents.parquet").exists()) {
       Tables.read(spark, baseDir, "documents").as[Doc]
         .flatMap(d => (0 until 10).map(mutate(d, _)))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+    if (wanted("embeddings") &&
+        !new java.io.File(s"$outDir/embeddings.parquet").exists()) {
       Tables.read(spark, baseDir, "embeddings").as[Emb]
         .flatMap(e => (0 until 10).map(jitter(e, _)))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+    if (wanted("events") &&
+        !new java.io.File(s"$outDir/events.parquet").exists()) {
       Tables.read(spark, baseDir, "events").as[Ev]
         .flatMap(e => (0 until 10).map(shift(e, _)))
         .repartition(32)
@@ -95,7 +108,8 @@ object ScaleProbe {
     }
     // separate guard: corpora generated before the sketch family existed
     // upgrade in place instead of silently missing the TPC-H tables
-    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+    if (wanted("lineitem") &&
+        !new java.io.File(s"$outDir/lineitem.parquet").exists()) {
       import spark.implicits._
       // TPC-H side for the sketch/quantile family: 10× orders and their
       // line items (new order keys, same customers and parts — key
@@ -118,21 +132,23 @@ object ScaleProbe {
     // (the broadcast dim — copied UNCHANGED: fact side grows, dimension
     // side doesn't, the shape broadcast joins exist for); corpora built
     // before this round upgrade in place
-    if (!new java.io.File(s"$outDir/part.parquet").exists()) {
+    if (wanted("part") &&
+        !new java.io.File(s"$outDir/part.parquet").exists()) {
       Tables.read(spark, baseDir, "part")
         .write.mode("overwrite").parquet(s"$outDir/part.parquet")
     }
     // round-8 continuation guard: the subquery/semi-anti family reads
     // `supplier` (another unchanged broadcast dim); corpora built before
     // it upgrade in place
-    if (!new java.io.File(s"$outDir/supplier.parquet").exists()) {
+    if (wanted("supplier") &&
+        !new java.io.File(s"$outDir/supplier.parquet").exists()) {
       Tables.read(spark, baseDir, "supplier")
         .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
     }
     // round-9 guard: the Q2/Q7/Q8/Q20 shapes read the `nation`/`region`
     // geography dims (tiny, broadcast, copied unchanged)
     Seq("nation", "region").foreach { t =>
-      if (!new java.io.File(s"$outDir/$t.parquet").exists()) {
+      if (wanted(t) && !new java.io.File(s"$outDir/$t.parquet").exists()) {
         Tables.read(spark, baseDir, t)
           .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       }
@@ -205,7 +221,73 @@ object ScaleProbe {
     "x_q2_min_cost", "x_q7_volume", "x_q8_market_share",
     "x_q11_important_parts", "x_q16_supplier_count",
     "x_q20_dominant_suppliers",
-    "x_q9_profit", "x_q10_returned", "x_q12_late_priority")
+    "x_q9_profit", "x_q10_returned", "x_q12_late_priority",
+    // round-11: the sampling family (per-row hash predicates over
+    // documents — expected ~1×/decade per-row cost) and the pruned
+    // sparse production path (the dense knn_sparse_tfidf row stays the
+    // licensed contrast, skipped at 100×)
+    "sample_bernoulli", "sample_stratified", "sample_uniform_k",
+    "sample_token_budget", "sample_pack_sequences", "sample_mixture",
+    "sample_split", "sample_weighted", "knn_sparse_tfidf_pruned")
+
+  /** Streaming-twin probe rows (r9 item #4): each runs the REAL
+    * streaming operator as a parquet file-source stream over the probe
+    * corpus ([[Tables.readStreamParquet]] — same NANOS repair and
+    * schema as the batch reader), drained with `processAllAvailable`
+    * into a memory sink across multiple micro-batches
+    * (maxFilesPerTrigger), so the 10×/100× tables cover the streaming
+    * STATE paths (watermarked windowed HLL state, dedup key state) and
+    * not just their batch twins. */
+  val streamFamily: Seq[String] = Seq("stream_hll_windowed", "stream_fp_dedup")
+
+  private def streamQuery(
+      spark: SparkSession, name: String, dir: String)
+      : org.apache.spark.sql.DataFrame = name match {
+    case "stream_hll_windowed" =>
+      // the sketch_hll_windowed twin: distinct users per hour with
+      // 256-register HLL state per open window
+      graft.streaming.StreamingOps.hllWindowedStream(
+        Tables.readStreamParquet(spark, s"$dir/events.parquet",
+          maxFilesPerTrigger = 8),
+        "ts", "user_id")
+    case "stream_fp_dedup" =>
+      // the mm_audio_dedup twin: fingerprint each synthesized clip
+      // statelessly, keep the first clip per 64-bit pairing key within
+      // the watermark horizon
+      val docs = Tables.readStreamParquet(spark, s"$dir/documents.parquet",
+        maxFilesPerTrigger = 8)
+      val clips = graft.llm.Multimodal
+        .synthesizeNearDupAudio(docs, "doc_id")
+        .withColumn("ts", timestamp_seconds(
+          lit(1700000000L) + pmod(col("doc_id"), lit(3600L))))
+      graft.streaming.StreamingOps.fingerprintDedupStream(clips)
+    case other =>
+      throw new IllegalArgumentException(s"unknown stream probe: $other")
+  }
+
+  /** Time one streaming probe: start → drain → stop; (seconds, rows
+    * emitted to the sink). */
+  def timeStream(
+      spark: SparkSession, name: String, dir: String): (Double, Long) = {
+    val qn = s"probe_$name"
+    val t0 = System.nanoTime()
+    val q = streamQuery(spark, name, dir).writeStream
+      .format("memory").queryName(qn)
+      .outputMode(if (name == "stream_fp_dedup") "append" else "update")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val n = spark.table(qn).count()
+    spark.catalog.dropTempView(qn)
+    (secs, n)
+  }
+
+  /** Median of three drains — same discipline as [[timeMedian3]]. */
+  def timeStreamMedian3(
+      spark: SparkSession, name: String, dir: String): (Double, Long) = {
+    val runs = (1 to 3).map(_ => timeStream(spark, name, dir))
+    (runs.map(_._1).sorted.apply(1), runs.head._2)
+  }
 
   /** Time one declared query against one SF dir: (seconds, rows). Same
     * `toRdd.count()` materialization as Bench (see Bench.scala on why
@@ -239,7 +321,15 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    ensureCorpus(spark, baseDir, outDir)
+    // SPARK_GRAFT_PROBE_TABLES: restrict corpus generation to the named
+    // tables — the PROBE1000 third-decade run only reads events +
+    // embeddings and must not spend ~15 GB on a 1000× lineitem
+    val probeTables = sys.env.getOrElse("SPARK_GRAFT_PROBE_TABLES", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    require(probeTables.subsetOf(Tables.names.toSet),
+      s"unknown table(s) in SPARK_GRAFT_PROBE_TABLES: " +
+        probeTables.diff(Tables.names.toSet).toSeq.sorted.mkString(", "))
+    ensureCorpus(spark, baseDir, outDir, probeTables)
 
     // SPARK_GRAFT_PROBE_SKIP: comma-separated query names to exclude —
     // used at the 100× decade for the LICENSED dense-worst-case rows
@@ -258,19 +348,36 @@ object ScaleProbe {
     // A typo'd name would silently produce an empty/partial probe run
     // that still exits 0 and looks like complete scale evidence — fail
     // loudly instead (same for a stale skip-list entry).
-    val familySet = family.toSet
+    val familySet = family.toSet ++ streamFamily
     val unknown = (only ++ skip).diff(familySet)
     require(unknown.isEmpty,
       s"unknown probe query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
-        s"known: ${family.mkString(", ")}")
+        s"known: ${(family ++ streamFamily).mkString(", ")}")
     val picked =
       if (only.nonEmpty) family.filter(only) else family.filterNot(skip)
+    val pickedStream =
+      if (only.nonEmpty) streamFamily.filter(only)
+      else streamFamily.filterNot(skip)
+    // SPARK_GRAFT_PROBE_REPS=1 switches to single-shot timing (no warm
+    // run, no median) — for third-decade SPOT probes whose per-run cost
+    // is minutes (JIT noise is then a negligible fraction and the
+    // median discipline would triple a ~10-minute row).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
+    def measure(q: String, dir: String): (Double, Long) =
+      if (reps <= 1) time(spark, q, dir)
+      else { time(spark, q, dir); timeMedian3(spark, q, dir) }
+    def measureStream(q: String, dir: String): (Double, Long) =
+      if (reps <= 1) timeStream(spark, q, dir)
+      else { timeStream(spark, q, dir); timeStreamMedian3(spark, q, dir) }
     println(f"${"query"}%-22s ${"base_s"}%8s ${"x10_s"}%8s ${"ratio"}%6s ${"base_rows"}%10s ${"x10_rows"}%10s")
     picked.foreach { q =>
-      time(spark, q, baseDir)
-      val (tb, nb) = timeMedian3(spark, q, baseDir)
-      time(spark, q, outDir)
-      val (tx, nx) = timeMedian3(spark, q, outDir)
+      val (tb, nb) = measure(q, baseDir)
+      val (tx, nx) = measure(q, outDir)
+      println(f"$q%-22s $tb%8.2f $tx%8.2f ${tx / tb}%6.1f $nb%10d $nx%10d")
+    }
+    pickedStream.foreach { q =>
+      val (tb, nb) = measureStream(q, baseDir)
+      val (tx, nx) = measureStream(q, outDir)
       println(f"$q%-22s $tb%8.2f $tx%8.2f ${tx / tb}%6.1f $nb%10d $nx%10d")
     }
     spark.stop()

@@ -52,9 +52,11 @@ object Tables {
     (SparkSession, String),
     (String, org.apache.spark.sql.types.StructType, Seq[String])]()
 
-  /** Read a parquet file/directory, transparently repairing any
-    * TIMESTAMP(NANOS) columns into microsecond timestamps. */
-  def readParquet(spark: SparkSession, path: String): DataFrame = {
+  /** Resolve (and memoize) the raw schema + NANOS column list for `path`.
+    * Shared by the batch and streaming readers so both see identical
+    * column types. */
+  private def resolveMeta(spark: SparkSession, path: String)
+      : (org.apache.spark.sql.types.StructType, Seq[String]) = {
     // Pin tz-naive parquet timestamps (isAdjustedToUTC=false) to LTZ
     // TIMESTAMP, not TIMESTAMP_NTZ. Spark 4 infers NTZ for such columns by
     // default, which poisons every downstream unix_micros/cast/interval
@@ -77,18 +79,61 @@ object Tables {
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         (fp, spark.read.parquet(path).schema, nanos)
       })
+    (rawSchema, nanosCols)
+  }
+
+  /** Apply the NANOS→µs repair columns to a (batch or streaming) scan. */
+  private def repairNanos(df: DataFrame, nanosCols: Seq[String]): DataFrame =
+    nanosCols.foldLeft(df) { (d, c) =>
+      // `div` (integer division) is essential: epoch-nanos ≈ 1.7e18
+      // exceeds the 2^53 exact-double range, so `/` would corrupt low bits.
+      d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+    }
+
+  /** Read a parquet file/directory, transparently repairing any
+    * TIMESTAMP(NANOS) columns into microsecond timestamps. */
+  def readParquet(spark: SparkSession, path: String): DataFrame = {
+    val (rawSchema, nanosCols) = resolveMeta(spark, path)
     if (nanosCols.isEmpty) spark.read.schema(rawSchema).parquet(path)
     else {
       // The conf must be live on EVERY read of a NANOS file (schema
       // conversion consults it at scan build), not just at cache fill.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.schema(rawSchema).parquet(path)
-      nanosCols.foldLeft(df) { (d, c) =>
-        // `div` (integer division) is essential: epoch-nanos ≈ 1.7e18
-        // exceeds the 2^53 exact-double range, so `/` would corrupt low bits.
-        d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
-      }
+      repairNanos(spark.read.schema(rawSchema).parquet(path), nanosCols)
     }
+  }
+
+  /** Streaming twin of [[read]]: a parquet FILE-SOURCE stream over the
+    * same table with the same NANOS repair and the same memoized schema
+    * resolution, so streaming twins see identical column types to their
+    * batch counterparts. */
+  def readStream(spark: SparkSession, dir: String, name: String): DataFrame =
+    readStreamParquet(spark, s"$dir/$name.parquet")
+
+  /** Streaming twin of [[readParquet]]. `maxFilesPerTrigger` bounds each
+    * micro-batch (0 = all available files in one batch). */
+  def readStreamParquet(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val (rawSchema, nanosCols) = resolveMeta(spark, path)
+    if (nanosCols.nonEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    var reader = spark.readStream.schema(rawSchema)
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    // FileStreamSource force-sets basePath to the load path whenever the
+    // path is NOT a glob, and then requires basePath to be a DIRECTORY —
+    // which rejects single-file tables (the driver testdata layout). A
+    // `{name}` brace-glob matches the file literally, suppresses that
+    // override, and lets the explicit parent-directory basePath below
+    // govern partition inference instead.
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val loadPath =
+      if (fs.exists(p) && !fs.getFileStatus(p).isDirectory) {
+        reader = reader.option("basePath", p.getParent.toString)
+        s"${p.getParent}/{${p.getName}}"
+      } else path
+    repairNanos(reader.parquet(loadPath), nanosCols)
   }
 
   /** Explicitly drop memoized metadata for `path` (every session) — the
