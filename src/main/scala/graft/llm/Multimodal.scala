@@ -435,15 +435,25 @@ object Multimodal {
 
   /** NEAR-DUPLICATE audio fixture payloads — the audio analogue of
     * [[synthesizeNearDupImages]]: 160-sample mono WAVs (16 windows × 10
-    * frames) whose energy fingerprint is a planted 16-bit pattern.
-    * Family f = doc_id/4 draws its pattern from 4 hex chars of
-    * md5("aud"+f) (guarded away from the degenerate all-0/all-1
-    * patterns the mean threshold cannot represent); window w is LOUD
-    * (amplitude 1000+m) iff pattern bit w is set, else quiet (10+m) —
-    * the member index m = 1..3 shifts amplitudes WITHOUT changing any
-    * energy comparison, so members are true near-duplicates (different
-    * bytes, identical fingerprint). Loud windows always clear the
-    * integer mean, quiet never do, for any popcount in [1,15]. */
+    * frames) whose per-window amplitude is a planted NIBBLE profile.
+    * Family f = doc_id/4 reads 16 hex digits of md5("aud"+f); window w
+    * has amplitude 200 + 100·nib_w (+m), where the member index
+    * m = 1..3 shifts every sample by the same constant WITHOUT changing
+    * any energy comparison (windows are equal-length, so the mean
+    * shifts by exactly the same amount) — members are true
+    * near-duplicates (different bytes, identical 16-bit family fp AND
+    * identical 64-bit energy-order pairing key).
+    *
+    * Why nibbles and not a binary loud/quiet pattern: with only two
+    * amplitude levels the 64-bit energy-ORDER key collapses onto the
+    * ≤ 2¹⁶ underlying patterns, and past ~10k families the FIXTURE
+    * itself birthday-saturates (measured: the 10× probe's pair graph
+    * grew 26× and dedup went quadratic — a fixture artifact, not an
+    * operator one). Sixteen 16-level amplitudes span 16¹⁶ ≈ 2⁶⁴
+    * profiles, so the planted keys have the full diversity the real
+    * operator sees on real audio, while every energy comparison is
+    * still a plain nibble comparison the DuckDB oracle replays
+    * analytically. */
   def synthesizeNearDupAudio(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -455,11 +465,10 @@ object Multimodal {
           val m = (id % 4).toInt
           val hex = md.digest(s"aud$f".getBytes("UTF-8"))
             .map(b => f"$b%02x").mkString
-          val p0 = java.lang.Integer.parseInt(hex.substring(0, 4), 16)
-          val pat = if (p0 == 0) 1 else if (p0 == 0xffff) 0xfffe else p0
           val samples = Array.tabulate(160) { i =>
             val w = i / 10
-            (if (((pat >> w) & 1) == 1) 1000 + m else 10 + m).toShort
+            val nib = Character.digit(hex.charAt(w), 16)
+            (200 + 100 * nib + m).toShort
           }
           (id, AudioCodec.encodeWav(samples, 8000f))
         }

@@ -83,6 +83,45 @@ object LlmQueries {
     })
   }
 
+  /** The VIDEO shared-frame near-dup pair graph for `dir`'s documents —
+    * demux (no pixel decode) → md5(frame_bytes) inverted index →
+    * count-distinct-shared-frames equi-join, persisted once per
+    * (session, content fingerprint) and shared by `mm_video_near_dup`
+    * and `mm_video_dedup` (VERDICT r10: the dedup consumer re-demuxed
+    * and re-joined the graph its sibling had just built — at 100× the
+    * pair build is the dominant cost of both queries; same
+    * build-once-amortize lifecycle and eviction discipline as
+    * [[jaccardPairs]]). */
+  private val videoPairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def videoPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = tableFingerprint(dir, "documents")
+    import scala.jdk.CollectionConverters._
+    videoPairsCache.keySet.asScala
+      .filter(k => (k._1 eq s) && k._2 != fp)
+      .foreach(k =>
+        Option(videoPairsCache.remove(k)).foreach(_.unpersist(false)))
+    videoPairsCache.computeIfAbsent((s, fp), _ => {
+      val fr = Multimodal.demuxFrames(
+        Multimodal.synthesizeNearDupVideos(docs(s, dir), "doc_id"))
+        .toDF()
+        .select(col("doc_id"), md5(col("frame_bytes")).as("frame_md5"))
+        .distinct()
+        // both sides of the hash self-join — demux once
+        .localCheckpoint()
+      val p = fr.as("a").join(fr.as("b"),
+          col("a.frame_md5") === col("b.frame_md5") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared_frames"))
+        .filter(col("shared_frames") >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize eagerly so consumers never race the build
+      p
+    })
+  }
+
   /** Contamination scores of `dir`'s documents vs the bench-contract
     * benchmark stand-in (the `doc_id % 97` slice), persisted once per
     * (session, content fingerprint, n) and shared by the score query AND
@@ -1217,28 +1256,16 @@ object LlmQueries {
     // equi-join on the hash, count distinct shared frames per video
     // pair, keep pairs sharing ≥ 2 — bucket-keyed candidates, never
     // all-pairs, and the pixel decoder never runs on this path.
-    // Completes the image/audio/video near-dup triad.
-    "mm_video_near_dup" -> ((s, dir) => {
-      val fr = Multimodal.demuxFrames(
-        Multimodal.synthesizeNearDupVideos(docs(s, dir), "doc_id"))
-        .toDF()
-        .select(col("doc_id"), md5(col("frame_bytes")).as("frame_md5"))
-        .distinct()
-        // both sides of the hash self-join — demux once
-        .localCheckpoint()
-      fr.as("a").join(fr.as("b"),
-          col("a.frame_md5") === col("b.frame_md5") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("shared_frames"))
-        .filter(col("shared_frames") >= 2)
-    }),
+    // Completes the image/audio/video near-dup triad. The pair graph
+    // itself is session-cached ([[videoPairs]]) so the dedup consumer
+    // below doesn't re-demux and re-join (the jaccardPairs lifecycle).
+    "mm_video_near_dup" -> ((s, dir) => videoPairs(s, dir)),
 
     // the dedup consumer: shared-frame pairs → connected components →
     // drop every non-minimum member (the mm_image_dedup skeleton on the
     // video pair graph)
     "mm_video_dedup" -> ((s, dir) => {
-      val pairs = queries("mm_video_near_dup")(s, dir)
+      val pairs = videoPairs(s, dir)
       val all = docs(s, dir).select(col("doc_id"))
       val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("doc_id") =!= col("cluster_id"))
@@ -2482,30 +2509,26 @@ object LlmQueries {
         |       (8 * 8 * 3 * (doc_id % 256))::BIGINT AS px_sum
         |FROM documents""".stripMargin,
 
-    // planted 16-bit pattern (4 md5 hex chars, degenerate-guarded):
-    // loud window ⟺ pattern bit set, so the energy-ORDER bit 4w+k of
-    // the 64-bit pairing key is exactly pat_w=1 ∧ pat_{(w+δ_k)%16}=0 —
+    // planted per-window amplitude NIBBLES (16 md5 hex digits; 16¹⁶
+    // profiles — no 2¹⁶ fixture saturation): amplitude is strictly
+    // monotone in the nibble, so the energy-ORDER bit 4w+k of the
+    // 64-bit pairing key is exactly nib_w > nib_{(w+δ_k)%16} —
     // analytic for every doc; pairs are all-pairs hamming ≤ 3 over the
     // analytic keys (the mm_image_near_dup oracle pattern)
     "mm_audio_near_dup" ->
-      """WITH pat AS (
-        |  SELECT doc_id,
-        |         CASE WHEN p0 = 0 THEN 1 WHEN p0 = 65535 THEN 65534
-        |              ELSE p0 END AS pat
-        |  FROM (SELECT doc_id,
-        |          ('0x' || substr(md5('aud' || (doc_id // 4)), 1, 4))
-        |            ::BIGINT AS p0
-        |        FROM documents)),
+      """WITH nib AS (
+        |  SELECT d.doc_id, w.w,
+        |         ('0x' || substr(md5('aud' || (d.doc_id // 4)),
+        |                         (w.w + 1)::INTEGER, 1))::BIGINT AS nib
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS w) w),
         |dk AS (SELECT unnest([1, 2, 3, 7]) AS delta,
         |              unnest([0, 1, 2, 3]) AS k),
-        |ob AS (SELECT p.doc_id, 4 * w.w + dk.k AS j,
-        |         CASE WHEN ((p.pat >> w.w::INTEGER) & 1) = 1
-        |               AND ((p.pat >> ((w.w + dk.delta) % 16)::INTEGER)
-        |                    & 1) = 0
-        |              THEN 1 ELSE 0 END AS bit
-        |       FROM pat p
-        |       CROSS JOIN (SELECT unnest(range(0, 16)) AS w) w
-        |       CROSS JOIN dk),
+        |ob AS (SELECT a.doc_id, 4 * a.w + dk.k AS j,
+        |         CASE WHEN a.nib > b.nib THEN 1 ELSE 0 END AS bit
+        |       FROM nib a CROSS JOIN dk
+        |       JOIN nib b ON b.doc_id = a.doc_id
+        |                 AND b.w = (a.w + dk.delta) % 16),
         |fp AS (SELECT doc_id,
         |         sum(CASE WHEN j < 32 THEN bit::BIGINT << j::INTEGER
         |                  ELSE 0 END)::BIGINT AS lo,
@@ -2521,34 +2544,39 @@ object LlmQueries {
         .stripMargin,
 
     // same analytic keys → all-pairs hamming ≤ 3 → recursive
-    // reachability → survivors carry the 16-bit family fp (= the
-    // pattern on this fixture) beside the 64-bit halves
+    // reachability → survivors carry the 16-bit family fp beside the
+    // 64-bit halves. The family bit w replays the integer mean
+    // threshold nibble-only: E_w = 2000 + 1000·nib_w + 10m and
+    // mean = 2000 + 10m + (1000·Σnib)//16 (the member shift 160m is
+    // divisible by 16, so it cancels exactly), hence
+    // E_w > mean ⟺ 1000·nib_w > (1000·Σnib)//16.
     "mm_audio_dedup" ->
-      """WITH RECURSIVE pat AS (
-        |  SELECT doc_id,
-        |         CASE WHEN p0 = 0 THEN 1 WHEN p0 = 65535 THEN 65534
-        |              ELSE p0 END AS pat
-        |  FROM (SELECT doc_id,
-        |          ('0x' || substr(md5('aud' || (doc_id // 4)), 1, 4))
-        |            ::BIGINT AS p0
-        |        FROM documents)),
+      """WITH RECURSIVE nib AS (
+        |  SELECT d.doc_id, w.w,
+        |         ('0x' || substr(md5('aud' || (d.doc_id // 4)),
+        |                         (w.w + 1)::INTEGER, 1))::BIGINT AS nib
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS w) w),
         |dk AS (SELECT unnest([1, 2, 3, 7]) AS delta,
         |              unnest([0, 1, 2, 3]) AS k),
-        |ob AS (SELECT p.doc_id, 4 * w.w + dk.k AS j,
-        |         CASE WHEN ((p.pat >> w.w::INTEGER) & 1) = 1
-        |               AND ((p.pat >> ((w.w + dk.delta) % 16)::INTEGER)
-        |                    & 1) = 0
-        |              THEN 1 ELSE 0 END AS bit
-        |       FROM pat p
-        |       CROSS JOIN (SELECT unnest(range(0, 16)) AS w) w
-        |       CROSS JOIN dk),
-        |fp AS (SELECT ob.doc_id, p.pat,
+        |ob AS (SELECT a.doc_id, 4 * a.w + dk.k AS j,
+        |         CASE WHEN a.nib > b.nib THEN 1 ELSE 0 END AS bit
+        |       FROM nib a CROSS JOIN dk
+        |       JOIN nib b ON b.doc_id = a.doc_id
+        |                 AND b.w = (a.w + dk.delta) % 16),
+        |nsum AS (SELECT doc_id, sum(nib)::BIGINT AS s FROM nib GROUP BY 1),
+        |fam AS (SELECT nib.doc_id,
+        |          sum(CASE WHEN 1000 * nib.nib > (1000 * n.s) // 16
+        |                   THEN 1::BIGINT << nib.w::INTEGER
+        |                   ELSE 0 END)::BIGINT AS fp
+        |        FROM nib JOIN nsum n USING (doc_id) GROUP BY 1),
+        |fp AS (SELECT ob.doc_id, fam.fp,
         |         sum(CASE WHEN j < 32 THEN bit::BIGINT << j::INTEGER
         |                  ELSE 0 END)::BIGINT AS lo,
         |         sum(CASE WHEN j >= 32
         |                  THEN bit::BIGINT << (j - 32)::INTEGER
         |                  ELSE 0 END)::BIGINT AS hi
-        |       FROM ob JOIN pat p USING (doc_id) GROUP BY 1, 2),
+        |       FROM ob JOIN fam USING (doc_id) GROUP BY 1, 2),
         |jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |       WHERE bit_count(xor(a.lo, b.lo))
@@ -2562,7 +2590,7 @@ object LlmQueries {
         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
         |losers AS (SELECT id FROM reach GROUP BY id
         |           HAVING min(lbl) != id)
-        |SELECT doc_id, pat AS fp, lo, hi FROM fp
+        |SELECT doc_id, fp, lo, hi FROM fp
         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     // WAV: n = 100 + id%400 frames of the ramp (id+i)%2000 - 1000 at
