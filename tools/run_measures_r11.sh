@@ -19,7 +19,16 @@ $J graft.Bench >> /tmp/r11_bench.log 2>/tmp/r11_bench.err
 echo "bench rc=$? $(date)" >> /tmp/r11_bench.log
 
 echo "=== probe100 start $(date)" | tee /tmp/r11_probe100.log
-SPARK_GRAFT_PROBE_SKIP=knn_sparse_tfidf \
+# knn_sparse_tfidf_pruned joins the dense row on the 100x skip list:
+# the probe corpus's word-mutation vocabulary is a FLAT 50k-term tail
+# whose per-term df grows linearly with the corpus (unlike a real
+# Zipfian tail where tail df is O(1)), so with the query set also
+# growing 10x/decade even the pruned path is quadratic BY CORPUS
+# CONSTRUCTION at the second decade (~3.6e10 candidate rows — filled
+# the disk with shuffle spill). The realistic-vocabulary scaling
+# evidence for the pruned path is the Zipfian contrast table
+# (graft.VocabProbe), same as for the dense row.
+SPARK_GRAFT_PROBE_SKIP=knn_sparse_tfidf,knn_sparse_tfidf_pruned \
 $J graft.ScaleProbe tmp_bench10x tmp_scale100 >> /tmp/r11_probe100.log 2>/tmp/r11_probe100.err
 echo "probe100 rc=$? $(date)" >> /tmp/r11_probe100.log
 
