@@ -228,7 +228,10 @@ object ScaleProbe {
     // licensed contrast, skipped at 100×)
     "sample_bernoulli", "sample_stratified", "sample_uniform_k",
     "sample_token_budget", "sample_pack_sequences", "sample_mixture",
-    "sample_split", "sample_weighted", "knn_sparse_tfidf_pruned")
+    "sample_split", "sample_weighted", "knn_sparse_tfidf_pruned",
+    // round-11: ISO-BMFF sample-table demux dedup (the codec-agnostic
+    // video dedup path — H.264/H.265 containers without pixel decode)
+    "mm_mp4_near_dup", "mm_mp4_dedup")
 
   /** Streaming-twin probe rows (r9 item #4): each runs the REAL
     * streaming operator as a parquet file-source stream over the probe

@@ -122,6 +122,38 @@ object LlmQueries {
     })
   }
 
+  /** The MP4 shared-sample near-dup pair graph — [[videoPairs]] for the
+    * ISO-BMFF sample-table demux ([[Multimodal.demuxMp4Samples]]); same
+    * build-once-amortize lifecycle and eviction discipline. */
+  private val mp4PairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def mp4Pairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = tableFingerprint(dir, "documents")
+    import scala.jdk.CollectionConverters._
+    mp4PairsCache.keySet.asScala
+      .filter(k => (k._1 eq s) && k._2 != fp)
+      .foreach(k =>
+        Option(mp4PairsCache.remove(k)).foreach(_.unpersist(false)))
+    mp4PairsCache.computeIfAbsent((s, fp), _ => {
+      val sm = Multimodal.demuxMp4Samples(
+        Multimodal.synthesizeNearDupMp4(docs(s, dir), "doc_id"))
+        .toDF()
+        .select(col("doc_id"), md5(col("frame_bytes")).as("sample_md5"))
+        .distinct()
+        .localCheckpoint() // both sides of the hash self-join — demux once
+      val p = sm.as("a").join(sm.as("b"),
+          col("a.sample_md5") === col("b.sample_md5") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared_samples"))
+        .filter(col("shared_samples") >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize eagerly so consumers never race the build
+      p
+    })
+  }
+
   /** Contamination scores of `dir`'s documents vs the bench-contract
     * benchmark stand-in (the `doc_id % 97` slice), persisted once per
     * (session, content fingerprint, n) and shared by the score query AND
@@ -1266,6 +1298,40 @@ object LlmQueries {
     // video pair graph)
     "mm_video_dedup" -> ((s, dir) => {
       val pairs = videoPairs(s, dir)
+      val all = docs(s, dir).select(col("doc_id"))
+      val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("__graft_loser"))
+      all.join(broadcast(losers),
+          col("doc_id") === col("__graft_loser"), "left_anti")
+    }),
+
+    // ISO-BMFF SAMPLE-TABLE demux over real MP4 containers (ftyp/mdat/
+    // moov with stsd/stts/stsc/stsz/stco): every codec sample located
+    // through the stsc run walk + stsz sizes + stco offsets and emitted
+    // as opaque bytes — the demux work a video pipeline does before any
+    // decode, and the whole input the content-hash dedup path needs for
+    // codecs the JDK cannot decode (H.264/H.265). Output states each
+    // sample's position, length, and md5 — all oracle-replayable
+    // because the fixture's sample bytes are string-constructible.
+    "mm_mp4_demux" -> ((s, dir) =>
+      Multimodal.demuxMp4Samples(
+        Multimodal.synthesizeNearDupMp4(docs(s, dir), "doc_id"))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx").as("sample_idx"),
+          length(col("frame_bytes")).cast("long").as("sample_len"),
+          md5(col("frame_bytes")).as("sample_md5"))),
+
+    // MP4 NEAR-DUP by shared-sample containment: md5(sample_bytes)
+    // inverted-index equi-join, count distinct shared samples, keep
+    // pairs sharing ≥ 2 — the mm_video_near_dup skeleton running on the
+    // sample-table demux, proving the dedup path is codec-agnostic
+    "mm_mp4_near_dup" -> ((s, dir) => mp4Pairs(s, dir)),
+
+    // the dedup consumer: shared-sample pairs → connected components →
+    // drop non-minimum members (same pair graph, session-cached)
+    "mm_mp4_dedup" -> ((s, dir) => {
+      val pairs = mp4Pairs(s, dir)
       val all = docs(s, dir).select(col("doc_id"))
       val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("doc_id") =!= col("cluster_id"))
@@ -2642,6 +2708,67 @@ object LlmQueries {
     "mm_video_dedup" ->
       """WITH RECURSIVE keys AS (
         |  SELECT doc_id, 'vf' || (doc_id // 4) || '_' || j.j AS k
+        |  FROM documents, (SELECT unnest(range(0, 3)) AS j) j
+        |  UNION ALL
+        |  SELECT doc_id, 'vu' || doc_id || '_' || j.j AS k
+        |  FROM documents, (SELECT unnest(range(0, 2)) AS j) j),
+        |jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM keys a JOIN keys b
+        |         ON a.k = b.k AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+        |          UNION ALL SELECT id_b, id_a FROM jp),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+        |losers AS (SELECT id FROM reach GROUP BY id
+        |           HAVING min(lbl) != id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    // the fixture's sample bytes are the ASCII of key ':' md5(key), so
+    // the oracle reconstructs each demuxed sample as a STRING and
+    // states its length and digest directly — a demux bug (stsc run
+    // walk, stsz sizing, stco offsets, sample order) breaks the match
+    "mm_mp4_demux" ->
+      """WITH k AS (
+        |  SELECT d.doc_id, p.i,
+        |         CASE p.i
+        |           WHEN 0 THEN 'vs' || (d.doc_id // 4) || '_0'
+        |           WHEN 1 THEN 'vu' || d.doc_id || '_0'
+        |           WHEN 2 THEN 'vs' || (d.doc_id // 4) || '_1'
+        |           WHEN 3 THEN 'vu' || d.doc_id || '_1'
+        |           ELSE 'vs' || (d.doc_id // 4) || '_2' END AS key
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(0, 5)) AS i) p),
+        |s AS (SELECT doc_id, i, key || ':' || md5(key) AS payload FROM k)
+        |SELECT doc_id, i::INTEGER AS sample_idx,
+        |       length(payload)::BIGINT AS sample_len,
+        |       md5(payload) AS sample_md5
+        |FROM s""".stripMargin,
+
+    // shared-sample containment over the analytic key structure: family
+    // members share the 3 'vs' keys, nothing else ever matches (the
+    // mm_video_near_dup oracle shape on the sample-table fixture)
+    "mm_mp4_near_dup" ->
+      """WITH keys AS (
+        |  SELECT doc_id, 'vs' || (doc_id // 4) || '_' || j.j AS k
+        |  FROM documents, (SELECT unnest(range(0, 3)) AS j) j
+        |  UNION ALL
+        |  SELECT doc_id, 'vu' || doc_id || '_' || j.j AS k
+        |  FROM documents, (SELECT unnest(range(0, 2)) AS j) j)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       count(*) AS shared_samples
+        |FROM keys a JOIN keys b
+        |  ON a.k = b.k AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
+
+    "mm_mp4_dedup" ->
+      """WITH RECURSIVE keys AS (
+        |  SELECT doc_id, 'vs' || (doc_id // 4) || '_' || j.j AS k
         |  FROM documents, (SELECT unnest(range(0, 3)) AS j) j
         |  UNION ALL
         |  SELECT doc_id, 'vu' || doc_id || '_' || j.j AS k

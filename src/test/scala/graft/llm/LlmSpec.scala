@@ -922,6 +922,72 @@ class LlmSpec extends SparkSpec {
     assert(!meta.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("MP4 sample table: encode→demux round-trips every sample; " +
+    "chunk-run walk exact; lying tables fail loudly") {
+    // byte-exact round trip at sizes that exercise the stsc run logic:
+    // 1 sample (single run), 2 (exactly the first chunk), 3..9 (2-then-3
+    // layout with partial last chunks), 11 (three full later chunks)
+    for (n <- Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 11)) {
+      val samples = (0 until n).map(i =>
+        Array.tabulate(10 + 7 * i)(j => ((i * 31 + j) % 251).toByte))
+      val mp4 = Multimodal.Mp4Box.encodeWithSampleTable(samples)
+      val back = Multimodal.Mp4Box.samples(mp4)
+      assert(back.length == n, s"n=$n: got ${back.length} samples")
+      (0 until n).foreach(i => assert(back(i).sameElements(samples(i)),
+        s"n=$n: sample $i bytes diverge"))
+    }
+    // structural realism: the container still walks as top-level boxes
+    val mp4 = Multimodal.Mp4Box.encodeWithSampleTable(
+      Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5)))
+    val (types, mdat) = Multimodal.Mp4Box.parse(mp4)
+    assert(types == Seq("ftyp", "mdat", "moov") && mdat == 5)
+    // malformed tables must throw, never return garbage bytes:
+    // (a) truncated file (stbl gone), (b) a corrupted stco offset that
+    // points past the file
+    intercept[IllegalArgumentException] {
+      Multimodal.Mp4Box.samples(mp4.take(40))
+    }
+    val corrupt = mp4.clone()
+    // stco is the LAST leaf the encoder writes: corrupt its final u32
+    // (the last chunk offset) to an absurd value
+    corrupt(corrupt.length - 1) = 0x7f.toByte
+    corrupt(corrupt.length - 2) = 0x7f.toByte
+    corrupt(corrupt.length - 3) = 0x7f.toByte
+    corrupt(corrupt.length - 4) = 0x7f.toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.Mp4Box.samples(corrupt)
+    }
+  }
+
+  test("MP4 shared-sample near-dup: pair graph equals the analytic " +
+    "family cliques; equi-join only") {
+    import spark.implicits._
+    val n = 48L
+    val ids = (0L until n).toDF("doc_id")
+    val sm = Multimodal.demuxMp4Samples(
+      Multimodal.synthesizeNearDupMp4(ids, "doc_id")).toDF()
+      .select(col("doc_id"), md5(col("frame_bytes")).as("sample_md5"))
+      .distinct().localCheckpoint()
+    val hp = sm.as("a").join(sm.as("b"),
+        col("a.sample_md5") === col("b.sample_md5") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    val got = hp.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // family members share exactly the 3 'vs' samples; unique 'vu'
+    // samples never collide (distinct key strings → distinct bytes)
+    val expect = (for {
+      ia <- 0L until n; ib <- ia + 1 until n if ia / 4 == ib / 4
+    } yield (ia, ib, 3L)).toSet
+    assert(got == expect)
+    val plan = hp.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"sample-hash join must stay an equi-join:\n${plan.take(1200)}")
+  }
+
   test("stub decoder emits deterministic typed metadata, no shuffle") {
     // filter (not limit): limit injects a SinglePartition exchange of its
     // own, which would mask the property under test
