@@ -153,6 +153,33 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nerr = results.count(_._2.isLeft)
+    // CACHE-AMORTIZED rows + their COLD build cost (ADVICE r11 medium):
+    // mm_video_near_dup / mm_mp4_near_dup read the session-cached pair
+    // graph priced inside their *_dedup siblings, so their per-query
+    // medians are cached-scan timings, not operator cost. The artifact
+    // now (a) names them, and (b) carries the pair-graph build timed
+    // COLD (cache evicted first) as its own rows — run AFTER the timed
+    // loop so the eviction can't perturb any per-query median.
+    val cacheAmortized = Seq("mm_mp4_near_dup", "mm_video_near_dup")
+    // (label, cold seconds, pair rows); the trailing .count() reads the
+    // just-persisted relation, so the timing is build + materialization
+    // — exactly what the cached *_near_dup rows skip
+    def coldBuild(label: String, build: () => Long): (String, Double, Long) = {
+      graft.queries.LlmQueries.evictPairGraphs(spark)
+      val t0 = System.nanoTime()
+      val n = build()
+      (label, (System.nanoTime() - t0) / 1e9, n)
+    }
+    def coldBuilds(dir: String): Seq[(String, Double, Long)] = Seq(
+      coldBuild("mm_video_pairs_build",
+        () => graft.queries.LlmQueries.videoPairs(spark, dir).count()),
+      coldBuild("mm_mp4_pairs_build",
+        () => graft.queries.LlmQueries.mp4Pairs(spark, dir).count()))
+    val coldMain = coldBuilds(sfDir)
+    val coldJson = coldMain
+      .map { case (k, v, _) => s"${jstr(k)}:${f"$v%.3f"}" }
+      .mkString("{", ",", "}")
+    val amortJson = cacheAmortized.map(jstr).mkString("[", ",", "]")
     val ctl = {
       val base =
         f""""control_pre_s":$controlPre%.3f,"control_post_s":$controlPost%.3f"""
@@ -168,7 +195,8 @@ object Bench {
         s""","contaminated":$contaminated"""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir","reps":$reps,$ctl}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir","reps":$reps,""" +
+        s""""cache_amortized":$amortJson,"cold_builds":$coldJson,$ctl}"""
     // The metric JSON ALSO goes to a file: the driver captures only the
     // tail of stdout, and r3's line was truncated mid-object by sbt noise
     // ("parsed": null in BENCH_r03.json). A file can't be truncated by a
@@ -215,7 +243,15 @@ object Bench {
         val (tx, nx) = ScaleProbe.timeStreamMedian3(spark, q, dir10)
         (q, tb, tx, nb, nx)
       }
-      val rows = batchRows ++ streamRows
+      // the pair-graph BUILD at both scales, timed cold (single-shot:
+      // a cold build is by definition unrepeatable in one session, and
+      // at seconds-scale JIT noise is a small fraction) — the scale
+      // evidence the cache-amortized *_near_dup rows cannot carry
+      val coldScaleRows = Seq(sfDir, dir10).map(coldBuilds)
+      val coldRows = coldScaleRows(0).zip(coldScaleRows(1)).map {
+        case ((q, tb, nb), (_, tx, nx)) => (q, tb, tx, nb, nx)
+      }
+      val rows = batchRows ++ streamRows ++ coldRows
       val qjson = rows.map { case (q, tb, tx, nb, nx) =>
         s"${jstr(q)}:{${jstr("base_s")}:${f"$tb%.3f"},${jstr("x10_s")}:${f"$tx%.3f"}," +
           s"${jstr("ratio")}:${f"${tx / tb}%.2f"},${jstr("base_rows")}:$nb,${jstr("x10_rows")}:$nx}"
@@ -235,7 +271,12 @@ object Bench {
           Seq(s"| query | base (s) | 10× (s) | ratio | rows base → 10× |",
               "|---|---|---|---|---|") ++
           rows.map { case (q, tb, tx, nb, nx) =>
-            f"| $q | $tb%.2f | $tx%.2f | ${tx / tb}%.1f | $nb%,d → $nx%,d |" }
+            val label = if (cacheAmortized.contains(q)) s"$q †" else q
+            f"| $label | $tb%.2f | $tx%.2f | ${tx / tb}%.1f | $nb%,d → $nx%,d |" }
+          ++ Seq("",
+            "† reads the session-cached pair graph priced in its " +
+              "`*_dedup` sibling — the operator's true cost and scale " +
+              "evidence are the `mm_*_pairs_build` cold rows above.")
           ).mkString("\n")
         val md = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         val (b, e) = (md.indexOf(begin), md.indexOf(end))

@@ -108,23 +108,31 @@ object ScaleProbe {
     }
     // separate guard: corpora generated before the sketch family existed
     // upgrade in place instead of silently missing the TPC-H tables
+    // TPC-H side for the sketch/quantile family: 10× orders and their
+    // line items (new order keys, same customers and parts — key
+    // cardinality on the probe side grows, dimension sides don't,
+    // which is exactly the shape Bloom/CMS exist for); customers
+    // copied unchanged as the constant build side. Each table gated on
+    // its OWN name (ADVICE r11: SPARK_GRAFT_PROBE_TABLES=orders passed
+    // validation but generated nothing while everything hid behind the
+    // lineitem gate).
     if (wanted("lineitem") &&
         !new java.io.File(s"$outDir/lineitem.parquet").exists()) {
-      import spark.implicits._
-      // TPC-H side for the sketch/quantile family: 10× orders and their
-      // line items (new order keys, same customers and parts — key
-      // cardinality on the probe side grows, dimension sides don't,
-      // which is exactly the shape Bloom/CMS exist for); customers
-      // copied unchanged as the constant build side.
       Tables.read(spark, baseDir, "lineitem").as[Li]
         .flatMap(l => (0 until 10).map(liRep(l, _)))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
+    if (wanted("orders") &&
+        !new java.io.File(s"$outDir/orders.parquet").exists()) {
       Tables.read(spark, baseDir, "orders").as[Ord]
         .flatMap(o => (0 until 10).map(r =>
           o.copy(o_orderkey = o.o_orderkey * 10 + r)))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    }
+    if (wanted("customer") &&
+        !new java.io.File(s"$outDir/customer.parquet").exists()) {
       Tables.read(spark, baseDir, "customer")
         .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     }
@@ -280,7 +288,15 @@ object ScaleProbe {
       .start()
     try q.processAllAvailable() finally q.stop()
     val secs = (System.nanoTime() - t0) / 1e9
-    val n = spark.table(qn).count()
+    // DETERMINISTIC row metric: in update mode the memory sink holds one
+    // row PER STATE UPDATE, so the raw count depends on micro-batch
+    // boundaries (file listing order under maxFilesPerTrigger) — not a
+    // data property (ADVICE r11). Counting distinct final-state KEYS
+    // (window start, hll bucket) is stable across any batching.
+    val n =
+      if (name == "stream_hll_windowed")
+        spark.table(qn).select("window", "bucket").distinct().count()
+      else spark.table(qn).count()
     spark.catalog.dropTempView(qn)
     (secs, n)
   }

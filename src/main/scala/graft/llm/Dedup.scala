@@ -855,4 +855,53 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= hammingMax)
   }
+
+  /** Shared-item containment pair graph with a HOT-ITEM document-frequency
+    * gate — the candidate-generation core of content-hash video/MP4
+    * near-dup (`items` = one row per distinct (document, frame/sample
+    * hash)). Emits `(id_a, id_b, <sharedCol>)` for every document pair
+    * sharing ≥ `minShared` distinct items, via an inverted-index
+    * equi-join on the item key — bucket-keyed candidates, never
+    * all-pairs.
+    *
+    * The df gate is the stop-term prune of lexical retrieval
+    * ([[graft.llm.Similarity.sparseTfidfKnn]]'s `maxDfFraction`) applied
+    * to the posting-list join: an item present in more than
+    * `maxDfFraction` of the corpus (a black frame, a station ident, a
+    * silence sample) carries no dedup signal — near-dup evidence is
+    * SHARED RARE content — but its posting list alone emits df² candidate
+    * rows before the groupBy, the one quadratic hazard of the inverted
+    * index. Items with df > ceil(nDocs·maxDfFraction) are dropped before
+    * the self-join and the drop is reported through `onDrop(nHot,
+    * maxDf)` (the builder logs it), so at 100 TB a ubiquitous frame
+    * costs one aggregate row, not k² join rows. The hot set is
+    * structurally tiny — at most (total item rows)/(nDocs·maxDfFraction)
+    * distinct items ≈ items-per-doc/maxDfFraction — so it broadcasts.
+    *
+    * Semantics note: pairs connected ONLY through hot items disappear —
+    * the documented approximation that buys the bound, exactly as in
+    * [[capPairsPerDoc]]; the oracle replays the gate, and
+    * PairCapSpec proves the blowup on a planted ubiquitous frame. */
+  def sharedItemPairs(
+      items: DataFrame, idCol: String, itemCol: String, nDocs: Long,
+      sharedCol: String, minShared: Int = 2, maxDfFraction: Double = 0.5,
+      onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    val it = items.select(col(idCol).as("__id"), col(itemCol).as("__item"))
+    val maxDf = math.max(1L, math.ceil(nDocs * maxDfFraction).toLong)
+    val hot = it.groupBy("__item")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("__item")
+    // one bounded-small action per build (the callers cache the graph per
+    // corpus fingerprint) so the drop is observable, not silent
+    val nHot = hot.count()
+    if (nHot > 0) onDrop(nHot, maxDf)
+    val kept = it.join(broadcast(hot), Seq("__item"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.__item") === col("b.__item") &&
+          col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as(sharedCol))
+      .filter(col(sharedCol) >= minShared)
+  }
 }

@@ -200,6 +200,9 @@ object Multimodal {
           val app0Len = ((jpeg(4) & 0xff) << 8) | (jpeg(5) & 0xff)
           4 + app0Len // SOI(2) + marker(2) + payload(app0Len incl. len)
         } else 2
+      // a truncated/corrupt APP0 length would otherwise surface as an
+      // ArrayIndexOutOfBounds from arraycopy instead of this contract
+      require(cut <= jpeg.length, "APP0 length overflows file")
       val out = new Array[Byte](jpeg.length + 4 + comment.length)
       System.arraycopy(jpeg, 0, out, 0, cut)
       out(cut) = 0xff.toByte; out(cut + 1) = 0xfe.toByte

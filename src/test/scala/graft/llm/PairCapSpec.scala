@@ -83,6 +83,51 @@ class PairCapSpec extends SparkSpec {
     assert(pruned != run(docs, 1.0))
   }
 
+  test("sharedItemPairs hot-item gate: a planted ubiquitous frame blows " +
+    "up the uncapped join quadratically; the df gate restores the " +
+    "stripped-corpus semantics and logs the drop") {
+    import spark.implicits._
+    // 100 docs in families of 4: members share 3 family frames (the real
+    // near-dup signal), carry 2 unique frames, and EVERY doc contains
+    // the same two ubiquitous frames (black frame + station ident — the
+    // 100 TB scale killer VERDICT r11 flagged: df = N ⇒ N² candidate
+    // rows from those two posting lists alone)
+    val n = 100
+    val items = (0 until n).flatMap { id =>
+      (Seq("black_frame", "station_ident") ++
+        (0 until 3).map(j => s"fam${id / 4}_$j") ++
+        (0 until 2).map(j => s"uniq${id}_$j"))
+        .map(item => (id.toLong, item))
+    }.toDF("doc_id", "frame_md5")
+    def run(df: org.apache.spark.sql.DataFrame, mdf: Double,
+        onDrop: (Long, Long) => Unit = (_, _) => ()) =
+      Dedup.sharedItemPairs(df, "doc_id", "frame_md5", nDocs = n,
+        sharedCol = "shared", maxDfFraction = mdf, onDrop = onDrop)
+    // UNCAPPED: the two ubiquitous frames alone connect every doc pair
+    // (shared ≥ 2) — all N(N−1)/2 pairs, the measurable quadratic blowup
+    val uncapped = run(items, 1.0).count()
+    assert(uncapped == n.toLong * (n - 1) / 2,
+      s"expected all-pairs blowup without the gate, got $uncapped")
+    // CAPPED at the 0.5 default: both hot frames dropped (df = 100 > 50),
+    // drop observable, and the result EQUALS the pair graph of the
+    // corpus with the ubiquitous frames stripped — family pairs only
+    var dropped = Option.empty[(Long, Long)]
+    val capped = run(items, 0.5, (nh, cap) => dropped = Some((nh, cap)))
+      .select("id_a", "id_b", "shared").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(dropped.contains((2L, 50L)),
+      s"expected 2 hot frames dropped at cap 50, got $dropped")
+    val stripped = items.filter(
+      !col("frame_md5").isin("black_frame", "station_ident"))
+    val expected = run(stripped, 1.0)
+      .select("id_a", "id_b", "shared").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(capped == expected,
+      "gated semantics must equal full semantics on the stripped corpus")
+    // structure check: 25 families × C(4,2) edges, all with shared = 3
+    assert(capped.size == 150 && capped.forall(_._3 == 3L))
+  }
+
   test("pair cap keeps each doc's strongest edges (cluster connectivity)") {
     import spark.implicits._
     // two saturated cliques far apart: the cap must never emit a

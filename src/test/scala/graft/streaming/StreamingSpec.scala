@@ -236,10 +236,18 @@ class StreamingSpec extends SparkSpec {
       .synthesizeNearDupAudio(ids, "doc_id")
       .select("doc_id", "payload")
       .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    // group by (fp_hi, fp_lo) ONLY — the stream's exact dedup key; fp is
+    // the family column, NOT part of the key, so it rides along via
+    // min_by (the fp of the kept min-doc_id row). Grouping by fp too
+    // would let a 64-bit collision across families keep two rows where
+    // the stream keeps one, silently weakening the twin (ADVICE r11).
     val batchKeep = graft.llm.Multimodal.audioFingerprint(
       graft.llm.Multimodal.synthesizeNearDupAudio(ids, "doc_id"))
-      .toDF().groupBy("fp_hi", "fp_lo", "fp")
-      .agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
+      .toDF().groupBy("fp_hi", "fp_lo")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"),
+        org.apache.spark.sql.functions.min_by(
+          org.apache.spark.sql.functions.col("fp"),
+          org.apache.spark.sql.functions.col("doc_id")).as("fp"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toSet
     val in = MemoryStream[(Long, Timestamp, Array[Byte])]
     val q = StreamingOps.fingerprintDedupStream(
