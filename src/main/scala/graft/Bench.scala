@@ -161,20 +161,14 @@ object Bench {
     // COLD (cache evicted first) as its own rows — run AFTER the timed
     // loop so the eviction can't perturb any per-query median.
     val cacheAmortized = Seq("mm_mp4_near_dup", "mm_video_near_dup")
-    // (label, cold seconds, pair rows); the trailing .count() reads the
-    // just-persisted relation, so the timing is build + materialization
-    // — exactly what the cached *_near_dup rows skip
-    def coldBuild(label: String, build: () => Long): (String, Double, Long) = {
-      graft.queries.LlmQueries.evictPairGraphs(spark)
-      val t0 = System.nanoTime()
-      val n = build()
-      (label, (System.nanoTime() - t0) / 1e9, n)
-    }
-    def coldBuilds(dir: String): Seq[(String, Double, Long)] = Seq(
-      coldBuild("mm_video_pairs_build",
-        () => graft.queries.LlmQueries.videoPairs(spark, dir).count()),
-      coldBuild("mm_mp4_pairs_build",
-        () => graft.queries.LlmQueries.mp4Pairs(spark, dir).count()))
+    // (label, cold seconds, pair rows) via ScaleProbe.timeBuild (evict →
+    // build → eager materialization) — the same rows the scale probe
+    // emits, so BENCH and PROBE tables price the build identically
+    def coldBuilds(dir: String): Seq[(String, Double, Long)] =
+      ScaleProbe.buildFamily.map { q =>
+        val (t, n) = ScaleProbe.timeBuild(spark, q, dir)
+        (q, t, n)
+      }
     val coldMain = coldBuilds(sfDir)
     val coldJson = coldMain
       .map { case (k, v, _) => s"${jstr(k)}:${f"$v%.3f"}" }

@@ -241,6 +241,37 @@ object ScaleProbe {
     // video dedup path — H.264/H.265 containers without pixel decode)
     "mm_mp4_near_dup", "mm_mp4_dedup")
 
+  /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
+    * probe rows read the session-cached pair graph priced in their dedup
+    * siblings, so the demux → hash → inverted-index join build gets its
+    * own scale rows — cache evicted, then the build (including eager
+    * materialization) timed. Row count = pairs in the built graph. */
+  val buildFamily: Seq[String] =
+    Seq("mm_video_pairs_build", "mm_mp4_pairs_build")
+
+  def timeBuild(
+      spark: SparkSession, name: String, dir: String): (Double, Long) = {
+    graft.queries.LlmQueries.evictPairGraphs(spark)
+    val t0 = System.nanoTime()
+    val n = name match {
+      case "mm_video_pairs_build" =>
+        graft.queries.LlmQueries.videoPairs(spark, dir).count()
+      case "mm_mp4_pairs_build" =>
+        graft.queries.LlmQueries.mp4Pairs(spark, dir).count()
+      case other =>
+        throw new IllegalArgumentException(s"unknown build probe: $other")
+    }
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  /** Median of three cold builds ([[timeBuild]] evicts per run, so every
+    * rep pays the full build — the median absorbs JIT/GC spikes only). */
+  def timeBuildMedian3(
+      spark: SparkSession, name: String, dir: String): (Double, Long) = {
+    val runs = (1 to 3).map(_ => timeBuild(spark, name, dir))
+    (runs.map(_._1).sorted.apply(1), runs.head._2)
+  }
+
   /** Streaming-twin probe rows (r9 item #4): each runs the REAL
     * streaming operator as a parquet file-source stream over the probe
     * corpus ([[Tables.readStreamParquet]] — same NANOS repair and
@@ -367,16 +398,19 @@ object ScaleProbe {
     // A typo'd name would silently produce an empty/partial probe run
     // that still exits 0 and looks like complete scale evidence — fail
     // loudly instead (same for a stale skip-list entry).
-    val familySet = family.toSet ++ streamFamily
+    val familySet = family.toSet ++ streamFamily ++ buildFamily
     val unknown = (only ++ skip).diff(familySet)
     require(unknown.isEmpty,
       s"unknown probe query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
-        s"known: ${(family ++ streamFamily).mkString(", ")}")
+        s"known: ${(family ++ streamFamily ++ buildFamily).mkString(", ")}")
     val picked =
       if (only.nonEmpty) family.filter(only) else family.filterNot(skip)
     val pickedStream =
       if (only.nonEmpty) streamFamily.filter(only)
       else streamFamily.filterNot(skip)
+    val pickedBuild =
+      if (only.nonEmpty) buildFamily.filter(only)
+      else buildFamily.filterNot(skip)
     // SPARK_GRAFT_PROBE_REPS=1 switches to single-shot timing (no warm
     // run, no median) — for third-decade SPOT probes whose per-run cost
     // is minutes (JIT noise is then a negligible fraction and the
@@ -397,6 +431,14 @@ object ScaleProbe {
     pickedStream.foreach { q =>
       val (tb, nb) = measureStream(q, baseDir)
       val (tx, nx) = measureStream(q, outDir)
+      println(f"$q%-22s $tb%8.2f $tx%8.2f ${tx / tb}%6.1f $nb%10d $nx%10d")
+    }
+    def measureBuild(q: String, dir: String): (Double, Long) =
+      if (reps <= 1) timeBuild(spark, q, dir)
+      else { timeBuild(spark, q, dir); timeBuildMedian3(spark, q, dir) }
+    pickedBuild.foreach { q =>
+      val (tb, nb) = measureBuild(q, baseDir)
+      val (tx, nx) = measureBuild(q, outDir)
       println(f"$q%-22s $tb%8.2f $tx%8.2f ${tx / tb}%6.1f $nb%10d $nx%10d")
     }
     spark.stop()
