@@ -239,7 +239,10 @@ object ScaleProbe {
     "sample_split", "sample_weighted", "knn_sparse_tfidf_pruned",
     // round-11: ISO-BMFF sample-table demux dedup (the codec-agnostic
     // video dedup path — H.264/H.265 containers without pixel decode)
-    "mm_mp4_near_dup", "mm_mp4_dedup")
+    "mm_mp4_near_dup", "mm_mp4_dedup",
+    // round-12: web-crawl URL canonicalization family — per-row string
+    // surgery + one canonical-key (resp. host-key) aggregation
+    "web_url_canonical", "web_url_dedup", "web_host_stats")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextOps}
+import graft.llm.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextOps, Web}
 
 /** Driver-contract queries for the LLM-data-pipeline operators (dedup,
   * similarity search, text analysis, multimodal), each with an exact
@@ -307,6 +307,50 @@ object LlmQueries {
   // whitespace class spelled explicitly — see TextOps.WhitespaceClass
   private val NormSql =
     "lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))"
+
+  /** The messy-URL fixture ([[graft.llm.Web.syntheticUrl]]) rebuilt as a
+    * CASE expression, then the canonicalization chain
+    * ([[graft.llm.Web.canonicalizeUrl]]) replayed regex-for-regex — the
+    * patterns live in the Java-regex ∩ RE2 common subset, and DuckDB's
+    * first-match-only default gets an explicit 'g' exactly where the
+    * Spark side's replace-all semantics can match more than once
+    * (tracking params, duplicate slashes); every other pattern is
+    * anchored, where all≡first. */
+  private val WebCanonSql =
+    """u AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'https://www.site' || ((doc_id // 4) % 50) ||
+      |        '.example/articles/a' || (doc_id // 4) || '/'
+      |      WHEN 1 THEN 'HTTP://SITE' || ((doc_id // 4) % 50) ||
+      |        '.EXAMPLE:80/articles/a' || (doc_id // 4) || '?utm_source=feed'
+      |      WHEN 2 THEN 'https://site' || ((doc_id // 4) % 50) ||
+      |        '.example:443/articles//a' || (doc_id // 4) || '#sec'
+      |      ELSE 'http://site' || ((doc_id // 4) % 50) ||
+      |        '.example/articles/a' || (doc_id // 4) || '?utm_campaign=c' ||
+      |        CASE WHEN (doc_id // 4) % 3 > 0
+      |          THEN '&page=' || ((doc_id // 4) % 3) ELSE '' END
+      |    END AS url
+      |  FROM documents),
+      |ht AS (SELECT doc_id, url,
+      |    lower(regexp_extract(url,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS head,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS tail
+      |  FROM u),
+      |cn AS (SELECT doc_id, url,
+      |    regexp_replace(regexp_replace(regexp_replace(head,
+      |      ':(80|443)$', ''), '^http://', 'https://'),
+      |      '^https://www\.', 'https://') ||
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(tail,
+      |      '#.*$', ''),
+      |      '(utm_[a-z0-9_]*|fbclid|gclid)=[^&#]*&', '', 'g'),
+      |      '[?&](utm_[a-z0-9_]*|fbclid|gclid)=[^&#]*$', ''),
+      |      '\?$', ''),
+      |      '/{2,}', '/', 'g'),
+      |      '/$', '') AS canon
+      |  FROM ht)""".stripMargin
   private val DocsCte =
     s"docs AS (SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents)"
   /** Hashed-shingle variant: shingles become 32-bit md5-derived longs (the
@@ -1377,7 +1421,46 @@ object LlmQueries {
         .select(col("doc_id").as("__graft_loser"))
       all.join(broadcast(losers),
           col("doc_id") === col("__graft_loser"), "left_anti")
-    })
+    }),
+
+    // WEB-CRAWL URL canonicalization (round 12): the normalization pass
+    // a crawl pipeline runs BEFORE text dedup — scheme/host lowering,
+    // default-port strip, http→https fold, www-strip, fragment drop,
+    // tracking-param removal with separator repair (non-tracking params
+    // PRESERVED in order), slash normalization. Pure codegen'd string
+    // expressions, per-row constant cost; the messy-URL fixture plants
+    // four crawl variants per page (Web.syntheticUrl), oracle-identical
+    // by CASE reconstruction.
+    "web_url_canonical" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), Web.syntheticUrl(col("doc_id")).as("url"))
+        .withColumn("canon", Web.canonicalizeUrl(col("url")))
+        .withColumn("host", Web.hostOf(col("canon")))),
+
+    // crawl dedup: group by canonical URL, keep the smallest doc id —
+    // the canonical-key shuffle is the ONLY shuffle (dedup_exact's
+    // shape on the URL key); variants that keep a real `page=` param
+    // correctly stay distinct
+    "web_url_dedup" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          Web.canonicalizeUrl(Web.syntheticUrl(col("doc_id"))).as("canon"))
+        .groupBy("canon")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .select("keep_id", "n_dups", "canon")),
+
+    // per-host corpus stats (the domain mixing/quality table): docs,
+    // distinct canonical pages, total chars per registrable host — one
+    // map-side-combinable aggregation over the canonical key's host
+    "web_host_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          Web.canonicalizeUrl(Web.syntheticUrl(col("doc_id"))).as("canon"))
+        .withColumn("host", Web.hostOf(col("canon")))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("canon").as("n_urls"),
+          sum("n_chars").as("total_chars")))
   )
 
   // ───────────────────────────── oracles ─────────────────────────────
@@ -2869,6 +2952,26 @@ object LlmQueries {
         |       3::INTEGER AS channels,
         |       ((8 + doc_id % 5) * (8 + doc_id % 7) * 3
         |        * ((doc_id * 7 + i * 31) % 256))::BIGINT AS px_sum
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    "web_url_canonical" ->
+      s"""WITH $WebCanonSql
+         |SELECT doc_id, url, canon,
+         |       regexp_extract(canon, '^https://([^/]*)', 1) AS host
+         |FROM cn""".stripMargin,
+
+    "web_url_dedup" ->
+      s"""WITH $WebCanonSql
+         |SELECT min(doc_id) AS keep_id, count(*) AS n_dups, canon
+         |FROM cn GROUP BY canon""".stripMargin,
+
+    "web_host_stats" ->
+      s"""WITH $WebCanonSql
+         |SELECT regexp_extract(canon, '^https://([^/]*)', 1) AS host,
+         |       count(*) AS n_docs,
+         |       count(DISTINCT canon) AS n_urls,
+         |       sum(d.n_chars)::BIGINT AS total_chars
+         |FROM cn JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** URL canonicalization semantics ([[Web.canonicalizeUrl]]): the four
+  * planted crawl variants collapse to one canonical URL, real query
+  * params survive tracking removal, and the transform is idempotent —
+  * the property that makes it safe to run at ingest AND again at merge
+  * (re-canonicalizing already-clean URLs in an incremental crawl must
+  * never move the key). */
+class WebSpec extends SparkSpec {
+
+  private def canon(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("u")
+      .select(Web.canonicalizeUrl(col("u")).as("c"))
+      .as[String].head()
+  }
+
+  test("the four crawl variants of one page share a canonical URL; " +
+    "a real page= param keeps its variant distinct") {
+    import spark.implicits._
+    val ids = (0L until 24L).toDF("doc_id")
+    val c = ids
+      .select(col("doc_id"),
+        Web.canonicalizeUrl(Web.syntheticUrl(col("doc_id"))).as("canon"))
+      .as[(Long, String)].collect().toMap
+    (0L until 24L by 4L).foreach { base =>
+      val g = base / 4
+      val expected = s"https://site${g % 50}.example/articles/a$g"
+      // m = 0,1,2 always collapse to the clean canonical form
+      (0L to 2L).foreach { m =>
+        assert(c(base + m) == expected, s"doc ${base + m}: ${c(base + m)}")
+      }
+      // m = 3 keeps the REAL page= param for g % 3 > 0 groups (tracking
+      // removed, page preserved); collapses fully otherwise
+      val want3 =
+        if (g % 3 > 0) s"$expected?page=${g % 3}" else expected
+      assert(c(base + 3) == want3, s"doc ${base + 3}: ${c(base + 3)}")
+    }
+  }
+
+  test("non-tracking params are preserved in original order; tracking " +
+    "params are stripped wherever they sit") {
+    assert(canon("https://a.example/p?b=2&a=1") ==
+      "https://a.example/p?b=2&a=1")
+    assert(canon("https://a.example/p?utm_source=x&b=2&fbclid=y&a=1&gclid=z")
+      == "https://a.example/p?b=2&a=1")
+    assert(canon("https://a.example/p?utm_a=1&utm_b=2") ==
+      "https://a.example/p")
+  }
+
+  test("head normalization: case, default ports, scheme fold, www strip, " +
+    "slash and fragment cleanup") {
+    assert(canon("HTTP://WWW.A.EXAMPLE:80//x//y/#frag") ==
+      "https://a.example/x/y")
+    assert(canon("https://a.example:443/") == "https://a.example")
+    // non-default port survives
+    assert(canon("https://a.example:8443/p") == "https://a.example:8443/p")
+  }
+
+  test("canonicalization is idempotent on the fixture corpus") {
+    import spark.implicits._
+    val ids = (0L until 200L).toDF("doc_id")
+    val once = Web.canonicalizeUrl(Web.syntheticUrl(col("doc_id")))
+    val n = ids
+      .select(once.as("c1"), Web.canonicalizeUrl(once).as("c2"))
+      .filter(col("c1") =!= col("c2"))
+      .count()
+    assert(n == 0, s"$n fixture URLs moved under re-canonicalization")
+  }
+}
