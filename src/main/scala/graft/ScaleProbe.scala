@@ -241,8 +241,11 @@ object ScaleProbe {
     // video dedup path — H.264/H.265 containers without pixel decode)
     "mm_mp4_near_dup", "mm_mp4_dedup",
     // round-12: web-crawl URL canonicalization family — per-row string
-    // surgery + one canonical-key (resp. host-key) aggregation
-    "web_url_canonical", "web_url_dedup", "web_host_stats")
+    // surgery + one canonical-key (resp. host-key) aggregation — and
+    // host-scoped boilerplate removal (line df + anti-join + ordered
+    // reassembly, exchange-reused (host, line) shuffles)
+    "web_url_canonical", "web_url_dedup", "web_host_stats",
+    "web_boilerplate_strip")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

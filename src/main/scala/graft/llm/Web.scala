@@ -34,10 +34,12 @@ object Web {
 
   private val Tracking = "(utm_[a-z0-9_]*|fbclid|gclid)"
 
+  // scheme://host[:port] — everything up to the first /, ? or #
+  private val SchemeHost = "[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
   def canonicalizeUrl(url: Column): Column = {
-    // head = scheme://host[:port] (up to the first /, ? or #); tail = rest
-    val head = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
-    val tail = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val head = lower(regexp_extract(url, s"^($SchemeHost)", 1))
+    val tail = regexp_extract(url, s"^$SchemeHost(.*)$$", 1)
     val h = regexp_replace(
       regexp_replace(head, ":(80|443)$", ""), "^http://", "https://")
     val h2 = regexp_replace(h, "^https://www\\.", "https://")
@@ -49,13 +51,85 @@ object Web {
     val t4 = regexp_replace(t3, "\\?$", "")
     val t5 = regexp_replace(t4, "/{2,}", "/")
     val t6 = regexp_replace(t5, "/$", "")
-    concat(h2, t6)
+    // inputs with no recognizable scheme://host head (relative links,
+    // garbage) pass through UNCHANGED — both extracts return '' on a
+    // non-match, and silently canonicalizing everything unparseable to
+    // '' would merge the whole junk tail of a crawl into one key
+    when(url.rlike(s"^$SchemeHost"), concat(h2, t6)).otherwise(url)
   }
 
   /** Registrable host of a canonical URL (already lowercased,
     * port-stripped, www-stripped by [[canonicalizeUrl]]). */
   def hostOf(canon: Column): Column =
     regexp_extract(canon, "^https://([^/]*)", 1)
+
+  /** Host-scoped BOILERPLATE REMOVAL (the CCNet/RefinedWeb-style line
+    * prune): a line that recurs across more than `maxDfFraction` of a
+    * host's documents is navigation/footer chrome, not content — drop
+    * it from every page, preserving the remaining lines in their
+    * original order. The same document-frequency stop-key idea as
+    * [[graft.llm.Dedup.sharedItemPairs]], applied WITHIN each host and
+    * to reconstruction rather than pair generation.
+    *
+    * Scale shape: explode to (host, doc, pos, line) → line df by
+    * (host, line) and host sizes by two map-side-combinable aggregates
+    * → anti-join lines against the (small) boilerplate set → regroup by
+    * doc with an array_sort on (pos, line) structs for deterministic
+    * in-order reassembly. The df aggregate and the anti-join shuffle on
+    * the SAME (host, line) key, so Catalyst's exchange reuse avoids a
+    * second full shuffle of the line relation; nothing collects.
+    * Documents whose every line is boilerplate survive with an empty
+    * `clean_text` (the doc row set is preserved — a curation decision
+    * belongs to a later stage, not to a text transform). */
+  def stripBoilerplate(
+      df: org.apache.spark.sql.DataFrame, idCol: String, hostCol: String,
+      textCol: String, maxDfFraction: Double = 0.5)
+      : org.apache.spark.sql.DataFrame = {
+    val lines = df.select(col(idCol).as("__id"), col(hostCol).as("__host"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val hostN = df.groupBy(col(hostCol).as("__host"))
+      .agg(countDistinct(col(idCol)).as("__n"))
+    val dfreq = lines.select("__host", "__id", "__line").distinct()
+      .groupBy("__host", "__line").agg(count(lit(1)).as("__df"))
+    val boiler = dfreq.join(hostN, "__host")
+      .filter(col("__df") > ceil(col("__n") * lit(maxDfFraction)))
+      .select("__host", "__line")
+    val kept = lines.join(boiler, Seq("__host", "__line"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val tot = lines.groupBy(col("__id")).agg(count(lit(1)).as("__tot"))
+    tot.join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__tot") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Deterministic page fixture for [[stripBoilerplate]]: the document
+    * text wrapped in host-wide chrome — a header and footer identical
+    * across the host's pages (df = host size ⇒ dropped) and a `promo`
+    * line shared by exactly the id pair (2k, 2k+1) (same host by
+    * construction; df = 2 ⇒ kept wherever the host has > 4 documents).
+    * Mirrored line-for-line by the oracle's UNION ALL CTE. */
+  def syntheticPage(id: Column, host: Column, text: Column): Column =
+    concat_ws("\n",
+      concat(lit("home | about | contact - "), host),
+      concat(lit("promo "), shiftright(id.cast("long"), 1).cast("string")),
+      text,
+      concat(lit("(c) "), host, lit(" all rights reserved")))
+
+  /** The fixture host of a document id — the registrable host of
+    * [[syntheticUrl]]'s group (id//4 mod 50), stated directly. */
+  def syntheticHost(id: Column): Column =
+    concat(lit("site"),
+      pmod(shiftright(id.cast("long"), 2), lit(50L)).cast("string"),
+      lit(".example"))
 
   /** Deterministic messy-URL fixture over a document id (the planted-
     * fixture pattern of the multimodal family): four crawl variants of

@@ -1460,7 +1460,21 @@ object LlmQueries {
         .groupBy("host")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct("canon").as("n_urls"),
-          sum("n_chars").as("total_chars")))
+          sum("n_chars").as("total_chars"))),
+
+    // host-scoped boilerplate removal (CCNet/RefinedWeb line prune):
+    // lines recurring across > half a host's pages are chrome — drop
+    // them everywhere, reassemble the rest in order. The planted page
+    // fixture wraps each document in host-wide header/footer chrome
+    // plus a df=2 promo line the prune must KEEP; oracle replays the
+    // line table, the per-host df gate, and the ordered reassembly.
+    "web_boilerplate_strip" -> ((s, dir) => {
+      val host = Web.syntheticHost(col("doc_id"))
+      Web.stripBoilerplate(
+        docs(s, dir).select(col("doc_id"), host.as("host"),
+          Web.syntheticPage(col("doc_id"), host, col("text")).as("page")),
+        "doc_id", "host", "page")
+    })
   )
 
   // ───────────────────────────── oracles ─────────────────────────────
@@ -2972,6 +2986,43 @@ object LlmQueries {
          |       count(DISTINCT canon) AS n_urls,
          |       sum(d.n_chars)::BIGINT AS total_chars
          |FROM cn JOIN documents d USING (doc_id)
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    // the line table is stated positionally (UNION ALL, one arm per
+    // fixture line), the per-host df gate replayed, and reassembly is
+    // an ORDER BY pos string_agg — the Spark side's array_sort on
+    // (pos, line) structs must produce the identical joined text
+    "web_boilerplate_strip" ->
+      """WITH h AS (SELECT doc_id, text,
+        |            'site' || ((doc_id // 4) % 50) || '.example' AS host
+        |          FROM documents),
+        |pg AS (SELECT doc_id, host,
+        |         'home | about | contact - ' || host AS l0,
+        |         'promo ' || (doc_id // 2) AS l1,
+        |         text AS l2,
+        |         '(c) ' || host || ' all rights reserved' AS l3
+        |       FROM h),
+        |ln AS (SELECT doc_id, host, 0 AS pos, l0 AS line FROM pg
+        |       UNION ALL SELECT doc_id, host, 1, l1 FROM pg
+        |       UNION ALL SELECT doc_id, host, 2, l2 FROM pg
+        |       UNION ALL SELECT doc_id, host, 3, l3 FROM pg),
+        |hn AS (SELECT host, count(DISTINCT doc_id) AS n FROM h GROUP BY 1),
+        |dfq AS (SELECT host, line, count(DISTINCT doc_id) AS df
+        |        FROM ln GROUP BY 1, 2),
+        |boiler AS (SELECT d.host, d.line FROM dfq d JOIN hn USING (host)
+        |           WHERE d.df > ceil(n * 0.5)),
+        |kept AS (SELECT ln.* FROM ln LEFT JOIN boiler b
+        |           ON ln.host = b.host AND ln.line = b.line
+        |         WHERE b.line IS NULL),
+        |tot AS (SELECT doc_id, count(*) AS tot FROM ln GROUP BY 1),
+        |ka AS (SELECT doc_id,
+        |         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |         count(*) AS n_kept
+        |       FROM kept GROUP BY 1)
+        |SELECT t.doc_id,
+        |       coalesce(ka.clean_text, '') AS clean_text,
+        |       coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+        |       (t.tot - coalesce(ka.n_kept, 0))::BIGINT AS n_dropped
+        |FROM tot t LEFT JOIN ka USING (doc_id)""".stripMargin
   )
 }

@@ -61,6 +61,42 @@ class WebSpec extends SparkSpec {
     assert(canon("https://a.example:8443/p") == "https://a.example:8443/p")
   }
 
+  test("unparseable inputs pass through unchanged — a crawl's junk tail " +
+    "must never merge into one '' key") {
+    assert(canon("not a url") == "not a url")
+    assert(canon("/relative/path?utm_source=x") == "/relative/path?utm_source=x")
+    assert(canon("") == "")
+  }
+
+  test("stripBoilerplate: host-wide chrome dropped, rare lines kept in " +
+    "order, fully-boilerplate docs survive with empty text, hosts don't " +
+    "bleed into each other") {
+    import spark.implicits._
+    // host A: 6 docs sharing "nav" (df 6 > cap 3 — dropped) and a pair
+    // line "deal" in docs 0,1 (df 2 — kept); each doc has a unique body.
+    // doc 5's page is ONLY chrome. Host B: 2 docs that BOTH contain
+    // "nav" — but B's cap is 1, so "nav" is dropped for B independently;
+    // B's "only-b" line (df 1 of 2 ≤ cap) is kept.
+    val rows =
+      (0 until 6).map { i =>
+        val deal = if (i < 2) "deal\n" else ""
+        val body = if (i == 5) "" else s"body-$i\n"
+        (i.toLong, "a.example", s"nav\n$deal${body}nav")
+      } ++ Seq(
+        (10L, "b.example", "nav\nonly-b"),
+        (11L, "b.example", "nav\nbody-11"))
+    val out = Web.stripBoilerplate(
+      rows.toDF("doc_id", "host", "page"), "doc_id", "host", "page")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == (("deal\nbody-0", 2L, 2L)))
+    assert(out(1L) == (("deal\nbody-1", 2L, 2L)))
+    assert(out(2L) == (("body-2", 1L, 2L)))
+    assert(out(5L) == (("", 0L, 2L))) // chrome-only doc survives, empty
+    assert(out(10L) == (("only-b", 1L, 1L)))
+    assert(out(11L) == (("body-11", 1L, 1L)))
+  }
+
   test("canonicalization is idempotent on the fixture corpus") {
     import spark.implicits._
     val ids = (0L until 200L).toDF("doc_id")
