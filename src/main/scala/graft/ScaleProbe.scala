@@ -242,8 +242,8 @@ object ScaleProbe {
     "mm_mp4_near_dup", "mm_mp4_dedup",
     // round-12: web-crawl URL canonicalization family — per-row string
     // surgery + one canonical-key (resp. host-key) aggregation — and
-    // host-scoped boilerplate removal (line df + anti-join + ordered
-    // reassembly, exchange-reused (host, line) shuffles)
+    // host-scoped boilerplate removal (two-pass line-df prune: small
+    // boiler set joined back, one per-doc groupBy reassembles)
     "web_url_canonical", "web_url_dedup", "web_host_stats",
     "web_boilerplate_strip")
 

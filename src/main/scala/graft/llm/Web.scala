@@ -71,16 +71,20 @@ object Web {
     * [[graft.llm.Dedup.sharedItemPairs]], applied WITHIN each host and
     * to reconstruction rather than pair generation.
     *
-    * Scale shape: explode to (host, doc, pos, line) → line df by
-    * (host, line) and host sizes by two map-side-combinable aggregates
-    * → anti-join lines against the (small) boilerplate set → regroup by
-    * doc with an array_sort on (pos, line) structs for deterministic
-    * in-order reassembly. The df aggregate and the anti-join shuffle on
-    * the SAME (host, line) key, so Catalyst's exchange reuse avoids a
-    * second full shuffle of the line relation; nothing collects.
-    * Documents whose every line is boilerplate survive with an empty
-    * `clean_text` (the doc row set is preserved — a curation decision
-    * belongs to a later stage, not to a text transform). */
+    * Scale shape — the canonical TWO-PASS prune, no branch recomputed:
+    * pass 1 aggregates line df by (host, line) (map-side combinable)
+    * and joins it to per-host doc counts (a pruned 2-column scan) to
+    * yield the BOILERPLATE set — structurally small: only lines that
+    * recur across most of a host. Pass 2 left-joins the exploded lines
+    * against that set (no broadcast hint — AQE broadcasts it when it
+    * fits, which is the common case) and ONE per-doc groupBy computes
+    * everything at once: `collect_list(when(kept, struct(pos, line)))`
+    * (collect_list skips nulls, so dropped lines vanish), `array_sort`
+    * for deterministic in-order reassembly, and kept/total counts —
+    * no second shuffle of the corpus, no tot-vs-kept join, nothing
+    * collects. Documents whose every line is boilerplate survive with
+    * an empty `clean_text` (the doc row set is preserved — a curation
+    * decision belongs to a later stage, not to a text transform). */
   def stripBoilerplate(
       df: org.apache.spark.sql.DataFrame, idCol: String, hostCol: String,
       textCol: String, maxDfFraction: Double = 0.5)
@@ -93,22 +97,20 @@ object Web {
       .groupBy("__host", "__line").agg(count(lit(1)).as("__df"))
     val boiler = dfreq.join(hostN, "__host")
       .filter(col("__df") > ceil(col("__n") * lit(maxDfFraction)))
-      .select("__host", "__line")
-    val kept = lines.join(boiler, Seq("__host", "__line"), "left_anti")
+      .select("__host", "__line").withColumn("__bp", lit(true))
+    lines.join(boiler, Seq("__host", "__line"), "left")
       .groupBy(col("__id"))
       .agg(
         array_join(
           transform(
-            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            array_sort(collect_list(
+              when(col("__bp").isNull, struct(col("__pos"), col("__line"))))),
             x => x.getField("__line")),
           "\n").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    val tot = lines.groupBy(col("__id")).agg(count(lit(1)).as("__tot"))
-    tot.join(kept, Seq("__id"), "left")
+        count(when(col("__bp").isNull, lit(1))).as("n_kept"),
+        count(when(col("__bp").isNotNull, lit(1))).as("n_dropped"))
       .select(col("__id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__tot") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        col("clean_text"), col("n_kept"), col("n_dropped"))
   }
 
   /** Deterministic page fixture for [[stripBoilerplate]]: the document
