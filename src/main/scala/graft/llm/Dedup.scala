@@ -886,7 +886,13 @@ object Dedup {
       items: DataFrame, idCol: String, itemCol: String, nDocs: Long,
       sharedCol: String, minShared: Int = 2, maxDfFraction: Double = 0.5,
       onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    // distinct() up front makes the contract self-enforcing: df below is
+    // then distinct-doc frequency (what the oracle counts) and the
+    // shared-count agg can't double-count, even for a caller that passes
+    // non-distinct (doc, item) rows. On contract-respecting input the
+    // distinct is a cheap pre-shuffle combine on the same key as the join.
     val it = items.select(col(idCol).as("__id"), col(itemCol).as("__item"))
+      .distinct()
     val maxDf = math.max(1L, math.ceil(nDocs * maxDfFraction).toLong)
     val hot = it.groupBy("__item")
       .agg(count(lit(1)).as("__df"))

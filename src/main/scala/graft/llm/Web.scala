@@ -25,10 +25,15 @@ import org.apache.spark.sql.functions._
   *      pair as one resource);
   *   4. strip a leading `www.`;
   *   5. drop the `#fragment`;
-  *   6. drop tracking parameters (`utm_*`, `fbclid`, `gclid`), fixing
-  *      the `?`/`&` separators; other parameters are preserved in
-  *      their original order;
-  *   7. collapse duplicate slashes; strip one trailing slash.
+  *   6. drop tracking parameters (`utm_*`, `fbclid`, `gclid`) — each
+  *      match ANCHORED to its own `?`/`&` separator (so a param whose
+  *      name merely ENDS in a tracking name, e.g. `xfbclid`, is never
+  *      clipped mid-string), removed together with that separator, and
+  *      the first survivor's separator repaired back to `?`; other
+  *      parameters are preserved in their original order;
+  *   7. collapse duplicate slashes and strip one trailing slash IN THE
+  *      PATH only — query-parameter VALUES containing slashes (e.g.
+  *      `?next=//foo/`) pass through byte-identical.
   * Idempotent by construction (WebSpec asserts canon∘canon = canon). */
 object Web {
 
@@ -44,18 +49,25 @@ object Web {
       regexp_replace(head, ":(80|443)$", ""), "^http://", "https://")
     val h2 = regexp_replace(h, "^https://www\\.", "https://")
     val t1 = regexp_replace(tail, "#.*$", "")
-    // tracking param followed by another param: drop it AND its '&'
-    val t2 = regexp_replace(t1, s"$Tracking=[^&#]*&", "")
-    // trailing tracking param: drop it AND its leading '?'/'&'
-    val t3 = regexp_replace(t2, s"[?&]$Tracking=[^&#]*$$", "")
-    val t4 = regexp_replace(t3, "\\?$", "")
-    val t5 = regexp_replace(t4, "/{2,}", "/")
-    val t6 = regexp_replace(t5, "/$", "")
+    // split the (fragment-free) tail at the first '?': slash surgery is
+    // path-only, param surgery is query-only — running either on the
+    // whole tail mutates the other half's bytes (a '?next=//foo' value
+    // must survive, and a '?xfbclid=1' param must not be clipped)
+    val path0 = regexp_extract(t1, "^([^?]*)", 1)
+    val qry0 = regexp_extract(t1, "^[^?]*(\\?.*)$", 1)
+    // every tracking param is removed WITH its own leading separator —
+    // the [?&] anchor is what stops 'xfbclid=1&' from matching inside a
+    // non-tracking param name
+    val q1 = regexp_replace(qry0, s"[?&]$Tracking=[^&#]*", "")
+    // if the FIRST param was tracking, the survivors now lead with '&';
+    // repair it to '?' (a fully-emptied or bare '?' query vanishes)
+    val q2 = regexp_replace(regexp_replace(q1, "^&", "?"), "^\\?$", "")
+    val p1 = regexp_replace(regexp_replace(path0, "/{2,}", "/"), "/$", "")
     // inputs with no recognizable scheme://host head (relative links,
     // garbage) pass through UNCHANGED — both extracts return '' on a
     // non-match, and silently canonicalizing everything unparseable to
     // '' would merge the whole junk tail of a crawl into one key
-    when(url.rlike(s"^$SchemeHost"), concat(h2, t6)).otherwise(url)
+    when(url.rlike(s"^$SchemeHost"), concat(h2, p1, q2)).otherwise(url)
   }
 
   /** Registrable host of a canonical URL (already lowercased,
@@ -123,7 +135,11 @@ object Web {
     concat_ws("\n",
       concat(lit("home | about | contact - "), host),
       concat(lit("promo "), shiftright(id.cast("long"), 1).cast("string")),
-      text,
+      // the body is ONE page line by construction: fold any newlines the
+      // corpus text may carry to spaces, matching the oracle's single
+      // UNION-ALL arm at pos 2 (the invariant was previously implicit in
+      // the testdata being newline-free)
+      regexp_replace(text, "\\n", " "),
       concat(lit("(c) "), host, lit(" all rights reserved")))
 
   /** The fixture host of a document id — the registrable host of

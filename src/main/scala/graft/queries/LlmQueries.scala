@@ -338,19 +338,24 @@ object LlmQueries {
       |    regexp_extract(url,
       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS tail
       |  FROM u),
-      |cn AS (SELECT doc_id, url,
+      |pq AS (SELECT doc_id, url,
       |    regexp_replace(regexp_replace(regexp_replace(head,
       |      ':(80|443)$', ''), '^http://', 'https://'),
-      |      '^https://www\.', 'https://') ||
-      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |      regexp_replace(regexp_replace(tail,
-      |      '#.*$', ''),
-      |      '(utm_[a-z0-9_]*|fbclid|gclid)=[^&#]*&', '', 'g'),
-      |      '[?&](utm_[a-z0-9_]*|fbclid|gclid)=[^&#]*$', ''),
-      |      '\?$', ''),
-      |      '/{2,}', '/', 'g'),
-      |      '/$', '') AS canon
-      |  FROM ht)""".stripMargin
+      |      '^https://www\.', 'https://') AS h2,
+      |    regexp_extract(regexp_replace(tail, '#.*$', ''),
+      |      '^([^?]*)', 1) AS path0,
+      |    regexp_extract(regexp_replace(tail, '#.*$', ''),
+      |      '^[^?]*(\?.*)$', 1) AS qry0
+      |  FROM ht),
+      |cn AS (SELECT doc_id, url,
+      |    h2 ||
+      |    regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'),
+      |      '/$', '') ||
+      |    regexp_replace(regexp_replace(regexp_replace(qry0,
+      |      '[?&](utm_[a-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+      |      '^&', '?'),
+      |      '^\?$', '') AS canon
+      |  FROM pq)""".stripMargin
   private val DocsCte =
     s"docs AS (SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents)"
   /** Hashed-shingle variant: shingles become 32-bit md5-derived longs (the
@@ -2999,7 +3004,7 @@ object LlmQueries {
         |pg AS (SELECT doc_id, host,
         |         'home | about | contact - ' || host AS l0,
         |         'promo ' || (doc_id // 2) AS l1,
-        |         text AS l2,
+        |         regexp_replace(text, '\n', ' ', 'g') AS l2,
         |         '(c) ' || host || ' all rights reserved' AS l3
         |       FROM h),
         |ln AS (SELECT doc_id, host, 0 AS pos, l0 AS line FROM pg

@@ -128,6 +128,35 @@ class PairCapSpec extends SparkSpec {
     assert(capped.size == 150 && capped.forall(_._3 == 3L))
   }
 
+  test("sharedItemPairs is caller-discipline-proof: duplicated (doc, " +
+    "item) rows change neither the df gate nor the shared counts") {
+    import spark.implicits._
+    // 8 docs in 2 families sharing 3 frames each; "hot" sits in all 8
+    // docs (df 8 > cap 4 — must drop). The dirty variant repeats every
+    // row 3× — a raw row count would see df 24 and triple the shared
+    // counts; distinct-doc semantics must be unchanged.
+    val clean = (0 until 8).flatMap { id =>
+      (Seq("hot") ++ (0 until 3).map(j => s"fam${id / 4}_$j"))
+        .map(item => (id.toLong, item))
+    }.toDF("doc_id", "frame_md5")
+    val dirty = clean.union(clean).union(clean)
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      var drop = Option.empty[(Long, Long)]
+      val out = Dedup.sharedItemPairs(df, "doc_id", "frame_md5", nDocs = 8,
+          sharedCol = "shared", onDrop = (nh, cap) => drop = Some((nh, cap)))
+        .select("id_a", "id_b", "shared").as[(Long, Long, Long)]
+        .collect().toSet
+      (out, drop)
+    }
+    val (cleanOut, cleanDrop) = run(clean)
+    val (dirtyOut, dirtyDrop) = run(dirty)
+    assert(cleanDrop.contains((1L, 4L)) && dirtyDrop == cleanDrop,
+      s"df must be distinct-doc frequency: $cleanDrop vs $dirtyDrop")
+    assert(dirtyOut == cleanOut,
+      "duplicated input rows must not change the pair graph")
+    assert(cleanOut.size == 2 * 6 && cleanOut.forall(_._3 == 3L))
+  }
+
   test("pair cap keeps each doc's strongest edges (cluster connectivity)") {
     import spark.implicits._
     // two saturated cliques far apart: the cap must never emit a

@@ -52,6 +52,27 @@ class WebSpec extends SparkSpec {
       "https://a.example/p")
   }
 
+  test("a param whose NAME merely ends in a tracking name is not a " +
+    "tracking param — the [?&] anchor keeps it byte-identical") {
+    // pre-fix, 'fbclid=1&' matched INSIDE 'xfbclid=1&' and its removal
+    // merged 'x' into the next param ('?xa=2')
+    assert(canon("https://a.example/p?xfbclid=1&a=2") ==
+      "https://a.example/p?xfbclid=1&a=2")
+    assert(canon("https://a.example/p?a=1&myutm_source=x") ==
+      "https://a.example/p?a=1&myutm_source=x")
+    // ...while a REAL tracking param in the same positions still goes
+    assert(canon("https://a.example/p?fbclid=1&a=2") ==
+      "https://a.example/p?a=2")
+  }
+
+  test("slash surgery is path-only: query values carrying slashes pass " +
+    "through byte-identical") {
+    assert(canon("https://a.example/p?next=//foo/") ==
+      "https://a.example/p?next=//foo/")
+    assert(canon("https://a.example//p/?next=//foo//bar/") ==
+      "https://a.example/p?next=//foo//bar/")
+  }
+
   test("head normalization: case, default ports, scheme fold, www strip, " +
     "slash and fragment cleanup") {
     assert(canon("HTTP://WWW.A.EXAMPLE:80//x//y/#frag") ==
