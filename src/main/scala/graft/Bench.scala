@@ -240,9 +240,12 @@ object Bench {
       // the pair-graph BUILD at both scales, timed cold (single-shot:
       // a cold build is by definition unrepeatable in one session, and
       // at seconds-scale JIT noise is a small fraction) — the scale
-      // evidence the cache-amortized *_near_dup rows cannot carry
-      val coldScaleRows = Seq(sfDir, dir10).map(coldBuilds)
-      val coldRows = coldScaleRows(0).zip(coldScaleRows(1)).map {
+      // evidence the cache-amortized *_near_dup rows cannot carry.
+      // coldMain already timed the base dir cold (evict-first) above;
+      // re-running it here would evict and rebuild both graphs a second
+      // time for an identical number (ADVICE r12 low) — only the 10×
+      // column needs fresh timing.
+      val coldRows = coldMain.zip(coldBuilds(dir10)).map {
         case ((q, tb, nb), (_, tx, nx)) => (q, tb, tx, nb, nx)
       }
       val rows = batchRows ++ streamRows ++ coldRows
