@@ -245,7 +245,11 @@ object ScaleProbe {
     // host-scoped boilerplate removal (two-pass line-df prune: small
     // boiler set joined back, one per-doc groupBy reassembles)
     "web_url_canonical", "web_url_dedup", "web_host_stats",
-    "web_boilerplate_strip")
+    "web_boilerplate_strip",
+    // round-13: HTML extraction (per-row regex chain), outlink → host
+    // link graph (explode + one map-side-combinable groupBy; edge
+    // cardinality hosts², not pages²), and integer PageRank over it
+    "web_text_extract", "web_link_graph", "web_host_rank")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

@@ -75,6 +75,40 @@ object Web {
   def hostOf(canon: Column): Column =
     regexp_extract(canon, "^https://([^/]*)", 1)
 
+  /** HTML → visible text (the EXTRACTION stage a crawl pipeline runs
+    * before boilerplate removal and dedup): drop `<script>`/`<style>`
+    * blocks wholesale (their CONTENT is code, and it legally contains
+    * bare `<`/`>` that would corrupt a naive tag strip — so blocks go
+    * first), replace every remaining tag with a space (tags glued to
+    * words must not fuse them: `a</h1><p>b` → `a b`, not `ab`), decode
+    * the five ubiquitous entities, and normalize whitespace. Entity
+    * order matters: `&amp;` decodes LAST, so double-encoded text
+    * (`&amp;lt;`) correctly yields the literal `&lt;`, never a `<`.
+    * A chain of codegen'd per-row regex replaces — constant cost per
+    * byte, no shuffle, the shape that survives a 100 TB scan. */
+  def extractText(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(html,
+      "(?i)<script[\\s\\S]*?</script>", " "),
+      "(?i)<style[\\s\\S]*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val ent = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+        "&#39;", "'"), "&nbsp;", " "), "&amp;", "&")
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** The `<title>` of an HTML page ('' when absent). */
+  def titleOf(html: Column): Column =
+    regexp_extract(html, "(?i)<title>([^<]*)</title>", 1)
+
+  /** All `href` values (array<string>, document order): both quote
+    * styles, raw — canonicalization/host resolution is the CALLER's
+    * stage, so relative links and junk survive extraction and are
+    * dropped (or kept) by [[canonicalizeUrl]]/[[hostOf]] downstream. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("href=[\"']([^\"']*)[\"']"), lit(1))
+
   /** Host-scoped BOILERPLATE REMOVAL (the CCNet/RefinedWeb-style line
     * prune): a line that recurs across more than `maxDfFraction` of a
     * host's documents is navigation/footer chrome, not content — drop
@@ -141,6 +175,48 @@ object Web {
       // the testdata being newline-free)
       regexp_replace(text, "\\n", " "),
       concat(lit("(c) "), host, lit(" all rights reserved")))
+
+  /** Minimal HTML escape for embedding corpus text in [[syntheticHtml]]
+    * — `&` FIRST (so a literal `&lt;` in the corpus double-encodes to
+    * `&amp;lt;` and survives [[extractText]]'s decode round-trip). */
+  def htmlEscape(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** Deterministic HTML page fixture for the extraction stage: the
+    * document text (newline-folded, HTML-escaped) wrapped in a page
+    * whose script/style blocks carry hostile bare `<`/`>`/quotes, whose
+    * entity paragraph exercises all five decodes, and whose three links
+    * are (a) a cross-host "partner" link dressed in every mess
+    * [[canonicalizeUrl]] undoes (www, trailing slash, tracking param),
+    * (b) a "hub" link to one of seven high-in-degree hosts (SHOUTED
+    * scheme/host, `:80`, fragment) — the skewed in-degree that makes
+    * host PageRank non-uniform — and (c) a relative `/about` that must
+    * survive extraction and then be DROPPED by host resolution.
+    * [[extractText]] over this page recovers an analytically stated
+    * string, so the oracle asserts the answer without replaying any
+    * regex. */
+  def syntheticHtml(id: Column, host: Column, text: Column): Column = {
+    val g = shiftright(id.cast("long"), 2)
+    val gs = g.cast("string")
+    val partner = concat(lit("site"),
+      pmod(g + lit(7L), lit(50L)).cast("string"), lit(".example"))
+    val hub = concat(lit("site"),
+      pmod(g, lit(7L)).cast("string"), lit(".example"))
+    concat(
+      lit("<html><head><title>doc "), id.cast("long").cast("string"),
+      lit("</title><style>body{margin:0} p>a{color:red}</style>"),
+      lit("<script>if (a<b && c>\"d\") { x = '</'; }</script></head>"),
+      lit("<body><h1>Article "), gs, lit("</h1><p>"),
+      htmlEscape(regexp_replace(text, "\\n", " ")),
+      lit("</p><ul><li><a href=\"https://www."), partner,
+      lit("/from/a"), gs, lit("/?utm_source=link\">partner</a></li>"),
+      lit("<li><a href='HTTP://"), upper(hub),
+      lit(":80/hub#top'>hub</a></li>"),
+      lit("<li><a href=\"/about\">about</a></li></ul>"),
+      lit("<p>Q&amp;A &lt;tags&gt; &quot;ok&quot; &#39;s&nbsp;end</p>"),
+      lit("</body></html>"))
+  }
 
   /** The fixture host of a document id — the registrable host of
     * [[syntheticUrl]]'s group (id//4 mod 50), stated directly. */

@@ -1479,6 +1479,61 @@ object LlmQueries {
         docs(s, dir).select(col("doc_id"), host.as("host"),
           Web.syntheticPage(col("doc_id"), host, col("text")).as("page")),
         "doc_id", "host", "page")
+    }),
+
+    // HTML → text EXTRACTION (round 13, the stage before boilerplate/
+    // dedup): script/style block drop, tag strip, entity decode,
+    // whitespace normalization — a chain of codegen'd per-row regex
+    // replaces over the planted HTML fixture (hostile bare </>/quotes
+    // inside blocks, all five entities, escaped corpus text). The
+    // oracle states the extracted text ANALYTICALLY (title + heading +
+    // round-tripped body + decoded entity line), so extraction bugs
+    // cannot round-trip through a replayed regex.
+    "web_text_extract" -> ((s, dir) => {
+      val html = Web.syntheticHtml(col("doc_id"),
+        Web.syntheticHost(col("doc_id")), col("text"))
+      docs(s, dir).select(col("doc_id"),
+        Web.titleOf(html).as("title"),
+        Web.extractText(html).as("clean_text"),
+        size(Web.extractLinks(html)).as("n_links"))
+    }),
+
+    // outlink extraction → canonicalization → HOST LINK GRAPH: explode
+    // hrefs, canonicalize each (the same normalization the URL-dedup
+    // key uses, so link targets and crawl keys agree), resolve hosts,
+    // DROP unresolvable targets (relative links — hostOf = ''), and
+    // aggregate (src, dst) edge weights. One explode + one map-side-
+    // combinable groupBy; edge cardinality is hosts², not pages².
+    "web_link_graph" -> ((s, dir) => {
+      val html = Web.syntheticHtml(col("doc_id"),
+        Web.syntheticHost(col("doc_id")), col("text"))
+      docs(s, dir)
+        .select(Web.syntheticHost(col("doc_id")).as("src_host"),
+          explode(Web.extractLinks(html)).as("link"))
+        .select(col("src_host"),
+          Web.hostOf(Web.canonicalizeUrl(col("link"))).as("dst_host"))
+        .filter(col("dst_host") =!= "")
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("n_links"))
+    }),
+
+    // host-authority ranking over the extracted link graph (the
+    // Common-Crawl-style domain rank used as a corpus quality prior):
+    // fixed-point integer PageRank (Graph.pageRank — bit-identical
+    // across engines and partitionings) on the distinct host edges.
+    // The hub fixture skews in-degree (seven hosts absorb every hub
+    // link) so the ranking is non-uniform by construction.
+    "web_host_rank" -> ((s, dir) => {
+      val html = Web.syntheticHtml(col("doc_id"),
+        Web.syntheticHost(col("doc_id")), col("text"))
+      val edges = docs(s, dir)
+        .select(Web.syntheticHost(col("doc_id")).as("src_host"),
+          explode(Web.extractLinks(html)).as("link"))
+        .select(col("src_host"),
+          Web.hostOf(Web.canonicalizeUrl(col("link"))).as("dst_host"))
+        .filter(col("dst_host") =!= "")
+      graft.llm.Graph.pageRank(edges, "src_host", "dst_host", iters = 3)
+        .select(col("node").as("host"), col("rank_scaled"))
     })
   )
 
@@ -3028,6 +3083,50 @@ object LlmQueries {
         |       coalesce(ka.clean_text, '') AS clean_text,
         |       coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
         |       (t.tot - coalesce(ka.n_kept, 0))::BIGINT AS n_dropped
-        |FROM tot t LEFT JOIN ka USING (doc_id)""".stripMargin
+        |FROM tot t LEFT JOIN ka USING (doc_id)""".stripMargin,
+
+    // the extracted text is stated ANALYTICALLY — the visible token
+    // sequence of the fixture page (title, heading, round-tripped body,
+    // link anchors, decoded entity line) with one whitespace collapse
+    // over the whole — so a block-strip / entity-order / tag-fusion bug
+    // in extractText cannot round-trip through a replayed regex
+    "web_text_extract" ->
+      """SELECT doc_id, 'doc ' || doc_id AS title,
+        |       trim(regexp_replace(
+        |         'doc ' || doc_id || ' Article ' || (doc_id // 4) ||
+        |         ' ' || text ||
+        |         ' partner hub about Q&A <tags> "ok" ''s end',
+        |         '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean_text,
+        |       3::INTEGER AS n_links
+        |FROM documents""".stripMargin,
+
+    // host edges stated from the fixture's link arithmetic: partner =
+    // (g+7) % 50 (bijective — connectivity), hub = g % 7 (seven high-
+    // in-degree hosts), the relative /about link resolves to no host
+    // and contributes nothing
+    "web_link_graph" ->
+      """WITH gg AS (SELECT doc_id // 4 AS g FROM documents),
+        |e AS (SELECT 'site' || (g % 50) || '.example' AS src_host,
+        |             'site' || ((g + 7) % 50) || '.example' AS dst_host
+        |      FROM gg
+        |      UNION ALL
+        |      SELECT 'site' || (g % 50) || '.example',
+        |             'site' || (g % 7) || '.example' FROM gg)
+        |SELECT src_host, dst_host, count(*) AS n_links
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "web_host_rank" -> {
+      val edgesCte =
+        """WITH edges_in AS (
+          |  SELECT 'site' || ((doc_id // 4) % 50) || '.example' AS src,
+          |         'site' || (((doc_id // 4) + 7) % 50) || '.example' AS dst
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT 'site' || ((doc_id // 4) % 50) || '.example',
+          |         'site' || ((doc_id // 4) % 7) || '.example'
+          |  FROM documents)""".stripMargin
+      s"""${graft.llm.Graph.pageRankSql(edgesCte, iters = 3)}
+         |SELECT node AS host, r AS rank_scaled FROM r3""".stripMargin
+    }
   )
 }

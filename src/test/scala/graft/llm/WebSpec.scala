@@ -118,6 +118,74 @@ class WebSpec extends SparkSpec {
     assert(out(11L) == (("body-11", 1L, 1L)))
   }
 
+  test("extractText: script/style blocks with hostile bare angle " +
+    "brackets drop wholesale; tags never fuse words; entity decode is " +
+    "single-pass (double-encoded text stays encoded once)") {
+    import spark.implicits._
+    def extract(html: String): String =
+      Seq(html).toDF("h")
+        .select(Web.extractText(col("h")).as("t")).as[String].head()
+    // a naive tag strip would turn "a<b" into a tag open and eat the
+    // rest of the script; the block drop must win
+    assert(extract("<script>if (a<b && c>\"d\") { x = '</'; }</script>ok")
+      == "ok")
+    assert(extract("<style>p>a{color:red}</style>kept") == "kept")
+    // tags replaced by spaces, never by '': words don't fuse
+    assert(extract("one</h1><p>two") == "one two")
+    // &amp; decodes LAST: double-encoded &amp;lt; yields literal &lt;
+    assert(extract("Q&amp;A &lt;b&gt; &quot;q&quot; &#39;s&nbsp;x " +
+      "&amp;lt;raw&amp;gt;") == "Q&A <b> \"q\" 's x &lt;raw&gt;")
+  }
+
+  test("extractText ∘ syntheticHtml round-trips corpus text carrying " +
+    "raw HTML metacharacters (the escape/decode inverse pair)") {
+    import spark.implicits._
+    val nasty = "x < y & y > z \"quoted\" 's &lt;already&gt; &amp; end"
+    val out = Seq((7L, nasty)).toDF("doc_id", "text")
+      .select(Web.extractText(Web.syntheticHtml(col("doc_id"),
+        Web.syntheticHost(col("doc_id")), col("text"))).as("t"))
+      .as[String].head()
+    assert(out ==
+      s"""doc 7 Article 1 $nasty partner hub about Q&A <tags> "ok" 's end""")
+  }
+
+  test("link extraction and host resolution: both quote styles, the " +
+    "relative link survives extraction but resolves to no host") {
+    import spark.implicits._
+    val links = Seq(5L).toDF("doc_id")
+      .select(explode(Web.extractLinks(Web.syntheticHtml(col("doc_id"),
+        Web.syntheticHost(col("doc_id")), lit("t")))).as("link"))
+      .select(col("link"),
+        Web.hostOf(Web.canonicalizeUrl(col("link"))).as("host"))
+      .as[(String, String)].collect()
+    assert(links.map(_._1).toSeq == Seq(
+      "https://www.site8.example/from/a1/?utm_source=link",
+      "HTTP://SITE1.EXAMPLE:80/hub#top",
+      "/about"))
+    assert(links.map(_._2).toSeq == Seq(
+      "site8.example", "site1.example", ""))
+  }
+
+  test("host rank: the seven hub hosts (g % 7 in-links from every " +
+    "group) outrank every non-hub host") {
+    import spark.implicits._
+    val html = Web.syntheticHtml(col("doc_id"),
+      Web.syntheticHost(col("doc_id")), lit("t"))
+    val edges = (0L until 2000L).toDF("doc_id")
+      .select(Web.syntheticHost(col("doc_id")).as("src"),
+        explode(Web.extractLinks(html)).as("link"))
+      .select(col("src"),
+        Web.hostOf(Web.canonicalizeUrl(col("link"))).as("dst"))
+      .filter(col("dst") =!= "")
+    val ranks = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .as[(String, Long)].collect().toMap
+    val (hubs, rest) = ranks.partition(kv =>
+      (0 until 7).map(i => s"site$i.example").contains(kv._1))
+    assert(hubs.size == 7 && rest.nonEmpty)
+    assert(hubs.values.min > rest.values.max,
+      "every hub must outrank every non-hub")
+  }
+
   test("canonicalization is idempotent on the fixture corpus") {
     import spark.implicits._
     val ids = (0L until 200L).toDF("doc_id")
