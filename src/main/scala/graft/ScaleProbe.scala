@@ -249,7 +249,10 @@ object ScaleProbe {
     // round-13: HTML extraction (per-row regex chain), outlink → host
     // link graph (explode + one map-side-combinable groupBy; edge
     // cardinality hosts², not pages²), and integer PageRank over it
-    "web_text_extract", "web_link_graph", "web_host_rank")
+    "web_text_extract", "web_link_graph", "web_host_rank",
+    // recrawl merge (one canonical-key aggregate) and snapshot diff
+    // (digest-only full-outer join — keys + md5 move, never bodies)
+    "web_crawl_merge", "web_crawl_delta")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

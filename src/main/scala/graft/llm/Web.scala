@@ -176,6 +176,60 @@ object Web {
       regexp_replace(text, "\\n", " "),
       concat(lit("(c) "), host, lit(" all rights reserved")))
 
+  /** RECRAWL MERGE: collapse any number of crawl snapshots (unioned
+    * fetches of the same URL space) to the latest fetch per canonical
+    * URL. The pick is `max(struct(ts, text))` — deterministic even
+    * under a (url, ts) tie (lexicographic on the text tiebreaker),
+    * unlike a bare `max_by` whose tie choice is partitioning-dependent.
+    * One map-side-combinable aggregate on the canonical key: the shape
+    * that merges a fresh crawl into a 100 TB corpus with a single
+    * shuffle, no join against the existing corpus. */
+  def crawlMerge(
+      fetches: org.apache.spark.sql.DataFrame, urlCol: String,
+      tsCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    fetches
+      .groupBy(col(urlCol).as("url"))
+      .agg(
+        max(struct(col(tsCol).as("ts"), col(textCol).as("text")))
+          .as("latest"),
+        count(lit(1)).as("n_fetches"))
+      .select(col("url"), col("latest.ts").as("last_fetch_ts"),
+        col("latest.text").as("text"), col("n_fetches"))
+
+  /** RECRAWL DELTA: classify every canonical URL across two snapshots
+    * as `added` (new crawl only), `gone` (old crawl only), `changed`
+    * (both, content hash differs) or `unchanged`. Content equality is
+    * md5-of-text so the full-outer join carries 32-byte digests, not
+    * document bodies — at crawl scale the shuffle moves keys + hashes
+    * only. Each side must be one row per URL (run [[crawlMerge]] first
+    * on multi-fetch snapshots). */
+  def crawlDelta(
+      oldSnap: org.apache.spark.sql.DataFrame,
+      newSnap: org.apache.spark.sql.DataFrame, urlCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val o = oldSnap.select(col(urlCol).as("url"),
+      md5(col(textCol)).as("__old_h"))
+    val n = newSnap.select(col(urlCol).as("url"),
+      md5(col(textCol)).as("__new_h"))
+    o.join(n, Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("__old_h").isNull, lit("added"))
+          .when(col("__new_h").isNull, lit("gone"))
+          .when(col("__old_h") =!= col("__new_h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** Per-doc messy recrawl URL fixture (unique per document, unlike
+    * [[syntheticUrl]]'s 4-variant groups): www + trailing slash +
+    * tracking param, so the merge/delta keys only agree ACROSS
+    * snapshots because [[canonicalizeUrl]] normalizes them. Canonical
+    * form: `https://site{g%50}.example/p/{id}`. */
+  def syntheticRecrawlUrl(id: Column): Column =
+    concat(lit("https://www.site"),
+      pmod(shiftright(id.cast("long"), 2), lit(50L)).cast("string"),
+      lit(".example/p/"), id.cast("long").cast("string"),
+      lit("/?utm_source=recrawl"))
+
   /** Minimal HTML escape for embedding corpus text in [[syntheticHtml]]
     * — `&` FIRST (so a literal `&lt;` in the corpus double-encodes to
     * `&amp;lt;` and survives [[extractText]]'s decode round-trip). */

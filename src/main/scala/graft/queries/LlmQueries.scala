@@ -1517,6 +1517,47 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_links"))
     }),
 
+    // INCREMENTAL RECRAWL: two planted crawl snapshots of the corpus —
+    // the old crawl misses docs with id%10 = 1 (added later), the new
+    // crawl misses id%10 = 0 (gone) and rewrites id%10 ∈ {2,3}
+    // (changed); fetch keys only agree across snapshots because each
+    // side's messy per-doc URL is canonicalized first. Merge = ONE
+    // map-side-combinable aggregate on the canonical key (latest fetch
+    // wins, deterministic under ties via max(struct)) — no join against
+    // the standing corpus.
+    "web_crawl_merge" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = Web.canonicalizeUrl(Web.syntheticRecrawlUrl(id))
+      val d = docs(s, dir)
+      val snap1 = d.filter(pmod(id, lit(10L)) =!= 1)
+        .select(url.as("url"), (id + lit(1000000000L)).as("fetch_ts"),
+          col("text"))
+      val snap2 = d.filter(pmod(id, lit(10L)) =!= 0)
+        .select(url.as("url"),
+          (id + lit(1000086400L)).as("fetch_ts"),
+          when(pmod(id, lit(10L)).isin(2L, 3L),
+            concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text"))
+      Web.crawlMerge(snap1.union(snap2), "url", "fetch_ts", "text")
+    }),
+
+    // snapshot DIFF over the same two planted crawls: full-outer join
+    // on the canonical key carrying md5 digests (never bodies), each
+    // URL classified added / gone / changed / unchanged
+    "web_crawl_delta" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = Web.canonicalizeUrl(Web.syntheticRecrawlUrl(id))
+      val d = docs(s, dir)
+      val snap1 = d.filter(pmod(id, lit(10L)) =!= 1)
+        .select(url.as("url"), col("text"))
+      val snap2 = d.filter(pmod(id, lit(10L)) =!= 0)
+        .select(url.as("url"),
+          when(pmod(id, lit(10L)).isin(2L, 3L),
+            concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text"))
+      Web.crawlDelta(snap1, snap2, "url", "text")
+    }),
+
     // host-authority ranking over the extracted link graph (the
     // Common-Crawl-style domain rank used as a corpus quality prior):
     // fixed-point integer PageRank (Graph.pageRank — bit-identical
@@ -3114,6 +3155,43 @@ object LlmQueries {
         |             'site' || (g % 7) || '.example' FROM gg)
         |SELECT src_host, dst_host, count(*) AS n_links
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // the canonical key is stated analytically (the clean form the
+    // messy per-doc fixture URL must normalize to); latest-fetch pick
+    // replayed as arg_max — exact because (url, fetch_ts) is unique
+    // by construction, and Spark's max(struct) tiebreaker never fires
+    "web_crawl_merge" ->
+      """WITH s1 AS (SELECT 'https://site' || ((doc_id // 4) % 50) ||
+        |             '.example/p/' || doc_id AS url,
+        |             doc_id + 1000000000 AS fetch_ts, text
+        |           FROM documents WHERE doc_id % 10 <> 1),
+        |s2 AS (SELECT 'https://site' || ((doc_id // 4) % 50) ||
+        |         '.example/p/' || doc_id AS url,
+        |         doc_id + 1000086400 AS fetch_ts,
+        |         CASE WHEN doc_id % 10 IN (2, 3) THEN text || ' updated'
+        |              ELSE text END AS text
+        |       FROM documents WHERE doc_id % 10 <> 0),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |SELECT url, max(fetch_ts)::BIGINT AS last_fetch_ts,
+        |       arg_max(text, fetch_ts) AS text,
+        |       count(*) AS n_fetches
+        |FROM u GROUP BY url""".stripMargin,
+
+    "web_crawl_delta" ->
+      """WITH s1 AS (SELECT 'https://site' || ((doc_id // 4) % 50) ||
+        |             '.example/p/' || doc_id AS url, md5(text) AS h
+        |           FROM documents WHERE doc_id % 10 <> 1),
+        |s2 AS (SELECT 'https://site' || ((doc_id // 4) % 50) ||
+        |         '.example/p/' || doc_id AS url,
+        |         md5(CASE WHEN doc_id % 10 IN (2, 3)
+        |                  THEN text || ' updated' ELSE text END) AS h
+        |       FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT coalesce(s1.url, s2.url) AS url,
+        |       CASE WHEN s1.url IS NULL THEN 'added'
+        |            WHEN s2.url IS NULL THEN 'gone'
+        |            WHEN s1.h <> s2.h THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM s1 FULL OUTER JOIN s2 ON s1.url = s2.url""".stripMargin,
 
     "web_host_rank" -> {
       val edgesCte =

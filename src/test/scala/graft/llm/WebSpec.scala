@@ -186,6 +186,31 @@ class WebSpec extends SparkSpec {
       "every hub must outrank every non-hub")
   }
 
+  test("crawlMerge keeps the latest fetch per URL with a deterministic " +
+    "tie-break; crawlDelta classifies added/gone/changed/unchanged") {
+    import spark.implicits._
+    val fetches = Seq(
+      ("u1", 10L, "old"), ("u1", 20L, "new"),     // later fetch wins
+      ("u2", 5L, "only"),
+      ("u3", 7L, "b"), ("u3", 7L, "a")            // (url, ts) TIE
+    ).toDF("url", "ts", "text")
+    val merged = Web.crawlMerge(fetches, "url", "ts", "text")
+      .as[(String, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(merged("u1") == ((20L, "new", 2L)))
+    assert(merged("u2") == ((5L, "only", 1L)))
+    // max(struct(ts, text)) — the lexicographically LARGER text wins a
+    // ts tie, on every partitioning
+    assert(merged("u3") == ((7L, "b", 2L)))
+
+    val oldS = Seq(("a", "x"), ("b", "y"), ("c", "z")).toDF("url", "text")
+    val newS = Seq(("b", "y"), ("c", "z2"), ("d", "w")).toDF("url", "text")
+    val delta = Web.crawlDelta(oldS, newS, "url", "text")
+      .as[(String, String)].collect().toMap
+    assert(delta == Map("a" -> "gone", "b" -> "unchanged",
+      "c" -> "changed", "d" -> "added"))
+  }
+
   test("canonicalization is idempotent on the fixture corpus") {
     import spark.implicits._
     val ids = (0L until 200L).toDF("doc_id")
