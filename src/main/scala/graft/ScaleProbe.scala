@@ -293,7 +293,8 @@ object ScaleProbe {
     * (maxFilesPerTrigger), so the 10×/100× tables cover the streaming
     * STATE paths (watermarked windowed HLL state, dedup key state) and
     * not just their batch twins. */
-  val streamFamily: Seq[String] = Seq("stream_hll_windowed", "stream_fp_dedup")
+  val streamFamily: Seq[String] =
+    Seq("stream_hll_windowed", "stream_fp_dedup", "stream_crawl_merge")
 
   private def streamQuery(
       spark: SparkSession, name: String, dir: String)
@@ -316,6 +317,29 @@ object ScaleProbe {
         .withColumn("ts", timestamp_seconds(
           lit(1700000000L) + pmod(col("doc_id"), lit(3600L))))
       graft.streaming.StreamingOps.fingerprintDedupStream(clips)
+    case "stream_crawl_merge" =>
+      // the web_crawl_merge twin: both recrawl snapshots' fetch rows
+      // emitted per document (explode, no second source scan), merged
+      // incrementally — one state row per canonical URL
+      val id = col("doc_id")
+      val d = Tables.readStreamParquet(spark, s"$dir/documents.parquet",
+        maxFilesPerTrigger = 8)
+      val fetches = d
+        .select(graft.llm.Web.canonicalizeUrl(
+          graft.llm.Web.syntheticRecrawlUrl(id)).as("url"), id, col("text"))
+        .select(col("url"), explode(array(
+          when(pmod(id, lit(10L)) =!= 1, struct(
+            (id + lit(1000000000L)).as("fetch_ts"),
+            col("text").as("text"))),
+          when(pmod(id, lit(10L)) =!= 0, struct(
+            (id + lit(1000086400L)).as("fetch_ts"),
+            when(pmod(id, lit(10L)).isin(2L, 3L),
+              concat(col("text"), lit(" updated")))
+              .otherwise(col("text")).as("text"))))).as("f"))
+        .filter(col("f").isNotNull)
+        .select(col("url"), col("f.fetch_ts").as("fetch_ts"),
+          col("f.text").as("text"))
+      graft.streaming.StreamingOps.crawlMergeStream(fetches)
     case other =>
       throw new IllegalArgumentException(s"unknown stream probe: $other")
   }
@@ -337,10 +361,15 @@ object ScaleProbe {
     // boundaries (file listing order under maxFilesPerTrigger) — not a
     // data property (ADVICE r11). Counting distinct final-state KEYS
     // (window start, hll bucket) is stable across any batching.
-    val n =
-      if (name == "stream_hll_windowed")
+    val n = name match {
+      // update-mode sinks hold one row PER STATE UPDATE (micro-batch-
+      // boundary-dependent) — count distinct final-state keys instead
+      case "stream_hll_windowed" =>
         spark.table(qn).select("window", "bucket").distinct().count()
-      else spark.table(qn).count()
+      case "stream_crawl_merge" =>
+        spark.table(qn).select("url").distinct().count()
+      case _ => spark.table(qn).count()
+    }
     spark.catalog.dropTempView(qn)
     (secs, n)
   }

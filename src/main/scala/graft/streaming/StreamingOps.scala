@@ -234,6 +234,21 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("fp_hi", "fp_lo")
   }
 
+  /** STREAMING recrawl merge — the streaming twin of
+    * [[graft.llm.Web.crawlMerge]], and deliberately the SAME declarative
+    * plan: a groupBy-aggregate on the canonical URL key runs
+    * incrementally under Structured Streaming with one state row per
+    * URL (the standing merged corpus — feed update mode to an upsert
+    * sink and every URL converges to its latest fetch). Replay
+    * semantics are split by field, which is why the twin is worth
+    * stating: the `max(struct(ts, text))` pick is IDEMPOTENT under
+    * at-least-once re-delivery of the same fetch (max of a re-seen
+    * element is a no-op), while `n_fetches` is a count and diverges by
+    * exactly the re-emitted rows — the CMS-not-HLL contract, proved in
+    * WebStreamSpec. */
+  def crawlMergeStream(fetches: DataFrame): DataFrame =
+    graft.llm.Web.crawlMerge(fetches, "url", "fetch_ts", "text")
+
   /** STREAMING point-in-time enrichment — the streaming counterpart of
     * the flagship batch as-of join ([[graft.PointInTime]]): each
     * streaming entity row is attached the latest STATIC feature row with
