@@ -252,7 +252,14 @@ object ScaleProbe {
     "web_text_extract", "web_link_graph", "web_host_rank",
     // recrawl merge (one canonical-key aggregate) and snapshot diff
     // (digest-only full-outer join — keys + md5 move, never bodies)
-    "web_crawl_merge", "web_crawl_delta")
+    "web_crawl_merge", "web_crawl_delta",
+    // round-13 session 2: drift monitors (one scan + (type, bin)/(type,
+    // cents) map-side-combinable aggregation; the KS window runs over
+    // the aggregated distinct-cents relation, bounded by value
+    // cardinality) and hybrid RRF fusion (two k-bounded retrievals +
+    // a ≤2k-rows-per-query fuse)
+    "mon_drift_bins", "mon_drift_stats", "mon_ks_value",
+    "mon_new_categories", "rag_fusion_rrf")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup
@@ -294,7 +301,8 @@ object ScaleProbe {
     * STATE paths (watermarked windowed HLL state, dedup key state) and
     * not just their batch twins. */
   val streamFamily: Seq[String] =
-    Seq("stream_hll_windowed", "stream_fp_dedup", "stream_crawl_merge")
+    Seq("stream_hll_windowed", "stream_fp_dedup", "stream_crawl_merge",
+      "stream_drift_bins")
 
   private def streamQuery(
       spark: SparkSession, name: String, dir: String)
@@ -340,6 +348,17 @@ object ScaleProbe {
         .select(col("url"), col("f.fetch_ts").as("fetch_ts"),
           col("f.text").as("text"))
       graft.streaming.StreamingOps.crawlMergeStream(fetches)
+    case "stream_drift_bins" =>
+      // the mon_drift_bins current-window twin: live (type, $25-bin)
+      // histogram with one state row per (group, bin) — state bounded
+      // by |groups|·nBins, never by stream length
+      graft.streaming.StreamingOps.driftBinCountsStream(
+        Tables.readStreamParquet(spark, s"$dir/events.parquet",
+          maxFilesPerTrigger = 8)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "event_type", "cents", stepCents = 2500L, nBins = 20)
     case other =>
       throw new IllegalArgumentException(s"unknown stream probe: $other")
   }
@@ -368,6 +387,8 @@ object ScaleProbe {
         spark.table(qn).select("window", "bucket").distinct().count()
       case "stream_crawl_merge" =>
         spark.table(qn).select("url").distinct().count()
+      case "stream_drift_bins" =>
+        spark.table(qn).select("event_type", "bin").distinct().count()
       case _ => spark.table(qn).count()
     }
     spark.catalog.dropTempView(qn)

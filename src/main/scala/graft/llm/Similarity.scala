@@ -65,6 +65,97 @@ object Similarity {
         round(col("col.score"), 6).as("sim"))
   }
 
+  /** RECIPROCAL-RANK FUSION of two retrieval rank lists (the hybrid
+    * dense+sparse RAG stack). Inputs are (qid, nid, rank) relations —
+    * each already k-bounded by its retriever — fused with union
+    * semantics via a full-outer join on (qid, nid):
+    *
+    *   score_scaled = Σ_lists round(1e9 / (c + rank))
+    *
+    * The classic RRF `Σ 1/(c+r)` made EXACT-integer: each term is ONE
+    * correctly-rounded IEEE division followed by a round-to-long (no
+    * denominator 1e9/(c+r) with c=60, r≥1 lands on .5 — that would
+    * need (c+r) | 2e9 with an odd quotient, and 61..70 has only 64,
+    * whose quotient is even), and the sum is a 2-term long add — so
+    * ranks, scores, and the re-ranked output are bit-identical across
+    * engines and partitionings. Scale: the fused relation is ≤ 2k rows
+    * per query (both inputs are k-bounded), so the per-query re-rank
+    * window is O(k log k) on KB-sized partitions regardless of corpus
+    * size; all heavy lifting stays inside the two retrievers' own
+    * scale paths. */
+  def rrfFuse(dense: DataFrame, sparse: DataFrame, k: Int,
+      c: Int = 60): DataFrame = {
+    val d = dense.select(col("qid"), col("nid"),
+      col("rank").cast("int").as("r_dense"))
+    val s = sparse.select(col("qid"), col("nid"),
+      col("rank").cast("int").as("r_sparse"))
+    def term(r: Column): Column =
+      coalesce(round(lit(1e9) / (lit(c) + r)).cast("long"), lit(0L))
+    val fused = d.join(s, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf_scaled",
+        term(col("r_dense")) + term(col("r_sparse")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rrf_scaled").desc, col("nid"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "rrf_scaled", "r_dense", "r_sparse")
+  }
+
+  /** MMR DIVERSIFICATION RE-RANK (Carbonell & Goldstein, SIGIR'98): the
+    * post-retrieval pass that keeps the k passages handed to a model
+    * from being k near-copies of one source. Three stages, each keeping
+    * its own scale path:
+    *
+    *  1. candidate generation — [[bruteForceKnn]] top-`kCand` here (the
+    *     exact baseline; swap in the LSH/IVF retrievers for the
+    *     sub-linear path, the re-rank stages are retriever-agnostic);
+    *  2. the candidate×candidate cosine matrix — a qid-equi-join of the
+    *     candidate list against itself (`a < b` upper triangle):
+    *     ≤ kCand²/2 rows PER QUERY, linear in query count, never
+    *     corpus×corpus;
+    *  3. greedy λ-selection — the all-integer [[graft.functions.MmrSelect]]
+    *     over the per-query collected arrays (k-bounded, KB-sized rows).
+    *
+    * Relevance and pair similarities are 1e6-scaled longs
+    * (`round(sim,6)·1e6`), so selection is exact-integer and
+    * bit-identical to the oracle's unrolled greedy replay. Output:
+    * (qid, nid, sel_rank, mmr_scaled). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, kCand: Int, k: Int,
+      lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    val cands = bruteForceKnn(corpus, queries, idCol, vecCol, kCand)
+      .select(col("qid"), col("nid"),
+        round(col("sim") * 1e6).cast("long").as("rel"))
+    val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("nn", norm(col("nv")))
+    val cv = cands.join(v, "nid")
+    val pairs = cv.select(col("qid"), col("nid").as("a"),
+        col("nv").as("av"), col("nn").as("an"))
+      .join(cv.select(col("qid"), col("nid").as("b"),
+        col("nv").as("bv"), col("nn").as("bn")), Seq("qid"))
+      .filter(col("a") < col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        round(round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+          * 1e6).cast("long").as("s"))
+    val cg = cands.groupBy("qid")
+      .agg(sort_array(collect_list(struct(col("nid"), col("rel")))).as("c"))
+    val pg = pairs.groupBy("qid")
+      .agg(collect_list(struct(col("a"), col("b"), col("s"))).as("p"))
+    // a 1-candidate query has no pairs: left join + typed empty array
+    val emptyPairs = expr(
+      "cast(array() as array<struct<a:bigint,b:bigint,s:bigint>>)")
+    val sel = GraftSql.column(graft.functions.MmrSelect(
+      GraftSql.expression(col("c")),
+      GraftSql.expression(coalesce(col("p"), emptyPairs)),
+      k, lamNum, lamDen))
+    cg.join(pg, Seq("qid"), "left")
+      .select(col("qid"), explode(sel).as("m"))
+      .select(col("qid"), col("m.nid").as("nid"),
+        col("m.sel_rank").as("sel_rank"),
+        col("m.mmr_scaled").as("mmr_scaled"))
+  }
+
   /** Sparse lexical kNN: TF-IDF cosine over the corpus vocabulary via a
     * term-keyed inverted index — the retrieval modality the dense-ANN
     * family (LSH/IVF/PQ) cannot express: exact lexical-overlap search

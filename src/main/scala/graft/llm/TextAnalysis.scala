@@ -345,6 +345,45 @@ object TextAnalysis {
         col("c.ct").as("chunk_text"), col("c.nt").as("n_tokens"))
   }
 
+  /** SLIDING-WINDOW chunking with overlap — the RAG retrieval layout
+    * (windows of `chunkTokens` starting every `stride` tokens, so
+    * adjacent chunks share `chunkTokens − stride` tokens and a fact
+    * spanning a fixed-chunk boundary is always fully inside SOME
+    * window). Output one row per window
+    * `(doc_id, chunk_idx, start_tok, chunk_text, n_tokens)` —
+    * `start_tok` is the 0-based token offset the retriever needs to
+    * map a hit back into the source document.
+    *
+    * Window count is the INTEGER form
+    * `⌊max(n − k + s − 1, 0) / s⌋ + 1` (⌈(n−k)/s⌉+1 clamped to ≥1):
+    * every token is covered, the last window starts < n, and a
+    * document shorter than one window still emits exactly one row.
+    * Same plan shape as [[chunkDocuments]]: pure per-row array
+    * expressions + one `explode` — no shuffle, no UDF, overlap
+    * multiplies output size by ~k/s (2× at the default 64/32), never
+    * the shuffle volume, because there is no shuffle. */
+  def chunkDocumentsOverlap(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, stride: Int = 32): DataFrame = {
+    val k = chunkTokens
+    val s = stride
+    require(k > 0 && s > 0 && s <= k,
+      "need 0 < stride <= chunkTokens")
+    val pre = df.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("__w"))
+    val chunks = expr(
+      s"""element_at(transform(array(__w), arr ->
+         |  transform(sequence(0,
+         |      CAST(greatest(size(arr) - $k + $s - 1, 0) div $s AS INT)),
+         |    i -> struct(i AS ci, i * $s AS st,
+         |                concat_ws(' ', slice(arr, i * $s + 1, $k)) AS ct,
+         |                least(size(arr) - i * $s, $k) AS nt))),
+         |  1)""".stripMargin)
+    pre.select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.ci").as("chunk_idx"),
+        col("c.st").as("start_tok"), col("c.ct").as("chunk_text"),
+        col("c.nt").as("n_tokens"))
+  }
+
   /** BM25 query-relevance ranking (Robertson/Sparck Jones weights,
     * k1 = 1.2, b = 0.75): top-`k` documents for a fixed term set.
     *

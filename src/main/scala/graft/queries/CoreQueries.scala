@@ -1548,8 +1548,64 @@ object CoreQueries {
         .groupBy("event_type", "type_n")
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))
-    })
+    }),
+
+    // ── drift monitoring (graft.Monitor) — the retrain-trigger side of
+    // a feature store: reference window = first half of the stream
+    // (exact integer midpoint split), current = second half, value
+    // quantized to cents like every monetary path in this repo. ──
+
+    // per-(type, $25-bin) contingency detail with the exact integer
+    // cross-product mass shift diff_scaled = n_cur·N_ref − n_ref·N_cur
+    "mon_drift_bins" -> ((s, dir) =>
+      Monitor.driftBins(
+        Monitor.binnedCounts(
+          Monitor.midpointSplit(monEvents(s, dir), "ts"),
+          "event_type", "cents", "__is_ref", stepCents = 2500L, nBins = 20),
+        "event_type")),
+
+    // per-type drift summary: exact-integer scaled TVD (one terminal
+    // division), Laplace-smoothed PSI under the repo's FP protocol
+    "mon_drift_stats" -> ((s, dir) =>
+      Monitor.driftStats(
+        Monitor.binnedCounts(
+          Monitor.midpointSplit(monEvents(s, dir), "ts"),
+          "event_type", "cents", "__is_ref", stepCents = 2500L, nBins = 20),
+        "event_type")),
+
+    // two-sample Kolmogorov–Smirnov per type, exact-integer form; the
+    // cumulative window runs over the aggregated distinct-cents
+    // relation (bounded by value cardinality, not event count)
+    "mon_ks_value" -> ((s, dir) => {
+      val tagged = Monitor.midpointSplit(monEvents(s, dir), "ts")
+      val vc = tagged
+        .groupBy(col("event_type"), col("cents").as("value"))
+        .agg(sum(col("__is_ref")).cast("long").as("n_ref"),
+          sum(lit(1) - col("__is_ref")).cast("long").as("n_cur"))
+      Monitor.ksStat(vc, "event_type")
+    }),
+
+    // vocabulary drift: (event_type, props) combinations first seen
+    // after the 1-day bootstrap reference window — non-empty exactly
+    // when the reference is too short to cover the category space
+    // (sf0.01: 229 new combos; a week-long reference would be silent)
+    "mon_new_categories" -> ((s, dir) =>
+      Monitor.newCategories(
+        Monitor.headDaysSplit(
+          events(s, dir).select(
+            concat(col("event_type"), lit(":"), col("props"))
+              .as("category"),
+            col("ts")),
+          "ts", days = 1),
+        "category", "__is_ref", "ts"))
   )
+
+  /** Shared projection of the drift-monitor queries: non-null values
+    * quantized to cents (the x_anomaly_zscore convention). */
+  private def monEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
 
   // ───────────────────────────── oracles ─────────────────────────────
 
@@ -2552,6 +2608,91 @@ object CoreQueries {
         |SELECT e.event_type, count(*) AS n,
         |       sum(d.cents)::BIGINT AS total_cents
         |FROM events e JOIN dim d USING (user_id)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // drift monitors: the tagged-and-binned CTE chain replays the
+    // Spark plan exactly — integer midpoint split (tus·2 < lo+hi),
+    // cents clamp, truncating integer division (non-negative domain ⇒
+    // Spark div == DuckDB //), open top bin
+    "mon_drift_bins" ->
+      s"""WITH $MonBinsCtes
+         |SELECT g.event_type AS event_type, bin, n_ref, n_cur,
+         |       n_cur*nr - n_ref*nc AS diff_scaled
+         |FROM g JOIN tot ON g.event_type = tot.event_type""".stripMargin,
+
+    "mon_drift_stats" ->
+      s"""WITH $MonBinsCtes,
+         |d AS (SELECT g.event_type AS event_type, n_ref, n_cur,
+         |        nr, nc, nb,
+         |        abs(n_cur*nr - n_ref*nc) AS adiff,
+         |        round(((n_cur+1)::DOUBLE/(nc+nb)::DOUBLE
+         |               - (n_ref+1)::DOUBLE/(nr+nb)::DOUBLE)
+         |          * ln(((n_cur+1)::DOUBLE/(nc+nb)::DOUBLE)
+         |             / ((n_ref+1)::DOUBLE/(nr+nb)::DOUBLE)), 9) AS contrib
+         |      FROM g JOIN tot ON g.event_type = tot.event_type)
+         |SELECT event_type, max(nr) AS n_ref, max(nc) AS n_cur,
+         |       sum(adiff)::BIGINT AS tvd_scaled,
+         |       sum(adiff)::DOUBLE
+         |         / (2.0 * max(nr)::DOUBLE * max(nc)::DOUBLE) AS tvd,
+         |       round(sum(contrib), 6) AS psi
+         |FROM d GROUP BY 1""".stripMargin,
+
+    "mon_ks_value" ->
+      s"""WITH $MonTaggedCtes,
+         |g AS (SELECT event_type, c AS value,
+         |        sum(is_ref)::BIGINT AS n_ref,
+         |        sum(1-is_ref)::BIGINT AS n_cur
+         |      FROM t GROUP BY 1, 2),
+         |w AS (SELECT event_type,
+         |        sum(n_ref) OVER (PARTITION BY event_type
+         |          ORDER BY value) AS cr,
+         |        sum(n_cur) OVER (PARTITION BY event_type
+         |          ORDER BY value) AS cc,
+         |        sum(n_ref) OVER (PARTITION BY event_type) AS nr,
+         |        sum(n_cur) OVER (PARTITION BY event_type) AS nc
+         |      FROM g)
+         |SELECT event_type, max(nr)::BIGINT AS n_ref,
+         |       max(nc)::BIGINT AS n_cur,
+         |       max(abs(cr*nc - cc*nr))::BIGINT AS ks_scaled,
+         |       max(abs(cr*nc - cc*nr))::DOUBLE
+         |         / (max(nr)::DOUBLE * max(nc)::DOUBLE) AS ks
+         |FROM w GROUP BY 1""".stripMargin,
+
+    "mon_new_categories" ->
+      """WITH e AS (SELECT event_type || ':' || props AS category, ts,
+        |             epoch_us(ts) AS tus
+        |           FROM events),
+        |b AS (SELECT min(tus) AS lo FROM e),
+        |t AS (SELECT category, ts,
+        |        CASE WHEN tus < lo + 86400000000 THEN 1 ELSE 0 END
+        |          AS is_ref
+        |      FROM e, b)
+        |SELECT category, sum(1-is_ref)::BIGINT AS n_cur,
+        |       min(CASE WHEN is_ref = 0 THEN ts END) AS first_seen
+        |FROM t GROUP BY 1
+        |HAVING sum(is_ref) = 0 AND sum(1-is_ref) > 0""".stripMargin
   )
+
+  /** Shared oracle CTEs for the drift monitors: quantize → clamp →
+    * integer midpoint tag (`t`), then bin counts (`g`) and per-type
+    * totals (`tot`). */
+  private val MonTaggedCtes =
+    """e AS (SELECT event_type,
+      |        greatest(round(value*100)::BIGINT, 0) AS c,
+      |        epoch_us(ts) AS tus
+      |      FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT min(tus) AS lo, max(tus) AS hi FROM e),
+      |t AS (SELECT event_type, c,
+      |        CASE WHEN tus*2 < lo+hi THEN 1 ELSE 0 END AS is_ref
+      |      FROM e, b)""".stripMargin
+
+  private val MonBinsCtes =
+    s"""$MonTaggedCtes,
+       |g AS (SELECT event_type, least(c // 2500, 19) AS bin,
+       |        sum(is_ref)::BIGINT AS n_ref,
+       |        sum(1-is_ref)::BIGINT AS n_cur
+       |      FROM t GROUP BY 1, 2),
+       |tot AS (SELECT event_type, sum(n_ref)::BIGINT AS nr,
+       |          sum(n_cur)::BIGINT AS nc, count(*)::BIGINT AS nb
+       |        FROM g GROUP BY 1)""".stripMargin
 }

@@ -1182,6 +1182,14 @@ object LlmQueries {
       TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
         chunkTokens = 64)),
 
+    // RAG retrieval layout: sliding 64-token windows every 32 tokens
+    // (adjacent chunks share 32 tokens, so a fact spanning a fixed-chunk
+    // boundary is always fully inside SOME window); start_tok maps a
+    // retrieval hit back into the source document
+    "text_chunks_overlap" -> ((s, dir) =>
+      TextAnalysis.chunkDocumentsOverlap(docs(s, dir), "doc_id", "text",
+        chunkTokens = 64, stride = 32)),
+
     // self-scored corpus quality: every doc's nll under the corpus's own
     // bigram model (outliers = least corpus-like text)
     "text_lm_score" -> ((s, dir) =>
@@ -1575,6 +1583,28 @@ object LlmQueries {
         .filter(col("dst_host") =!= "")
       graft.llm.Graph.pageRank(edges, "src_host", "dst_host", iters = 3)
         .select(col("node").as("host"), col("rank_scaled"))
+    }),
+
+    // HYBRID RETRIEVAL — reciprocal-rank fusion of the dense (brute
+    // cosine over embeddings) and sparse (TF-IDF inverted index over
+    // documents) top-10 lists for the shared id%100 query set, the
+    // standard RAG retrieval stack. RRF is made EXACT-integer:
+    // score_scaled = Σ round(1e9/(60+rank)) over the lists the doc
+    // appears in (denominators 61..70 never land on .5, so the single
+    // correctly-rounded division+round is bit-identical across
+    // engines; the sum is a 2-term long add). Union semantics via a
+    // full-outer join of two k-bounded rank lists — the fused relation
+    // is ≤ 2k rows per query, so the final per-query window is tiny
+    // regardless of corpus size; both sub-retrievals keep their own
+    // scale paths (broadcast query side, term-keyed inverted index).
+    "rag_fusion_rrf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dense = Similarity.bruteForceKnn(
+        e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10)
+      val sparse = Similarity.sparseTfidfKnn(docs(s, dir), "doc_id",
+        "text", queryPred = col("doc_id") % 100 === 0, k = 10)
+      Similarity.rrfFuse(dense, sparse, k = 10)
     })
   )
 
@@ -2498,6 +2528,24 @@ object LlmQueries {
          |       CAST(c.nt AS INT) AS n_tokens
          |FROM ch""".stripMargin,
 
+    // overlap windows: count = ⌊max(n−64+32−1, 0)/32⌋ + 1 (integer form
+    // of ⌈(n−64)/32⌉+1 clamped to ≥1) — the clamp runs BEFORE the
+    // division so both engines divide a non-negative
+    "text_chunks_overlap" ->
+      s"""WITH $DocsCte,
+         |ch AS (SELECT doc_id, unnest(list_transform(
+         |         range(0, greatest(len(w) - 64 + 32 - 1, 0) // 32 + 1),
+         |         i -> struct_pack(
+         |           ci := i,
+         |           st := i*32,
+         |           ct := array_to_string(w[CAST(i*32+1 AS BIGINT):CAST(i*32+64 AS BIGINT)], ' '),
+         |           nt := least(len(w) - i*32, 64)))) AS c
+         |       FROM docs)
+         |SELECT doc_id, CAST(c.ci AS INT) AS chunk_idx,
+         |       CAST(c.st AS INT) AS start_tok, c.ct AS chunk_text,
+         |       CAST(c.nt AS INT) AS n_tokens
+         |FROM ch""".stripMargin,
+
     // the per-doc log-prob sum is a QUANTIZED INTEGER sum in BOTH
     // engines (round(lnp * 1e9)::BIGINT then sum) — commutative and
     // exact, so it is hash-stable without any ordering; an order-free
@@ -3205,6 +3253,67 @@ object LlmQueries {
           |  FROM documents)""".stripMargin
       s"""${graft.llm.Graph.pageRankSql(edgesCte, iters = 3)}
          |SELECT node AS host, r AS rank_scaled FROM r3""".stripMargin
-    }
+    },
+
+    // RRF fusion: both sub-retrieval chains replayed (dense brute
+    // cosine, sparse tf-idf — the knn_cosine_brute / knn_sparse_tfidf
+    // oracles with the %100 query set and k=10), then the exact-integer
+    // reciprocal-rank score and a per-query re-rank
+    "rag_fusion_rrf" ->
+      s"""WITH $DocsCte,
+         |vd AS (SELECT vec_id,
+         |         list_transform(embedding, x -> x::DOUBLE) AS v
+         |       FROM embeddings),
+         |nd AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm
+         |       FROM vd),
+         |qd AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nd
+         |       WHERE vec_id % 100 = 0),
+         |sd AS (SELECT qd.qid, nd.vec_id AS nid,
+         |         ${dotSql("qd.qv", "nd.v")} / (qd.qn * nd.nrm) AS sim
+         |       FROM qd JOIN nd ON nd.vec_id != qd.qid),
+         |rd AS (SELECT qid, nid, row_number() OVER (
+         |         PARTITION BY qid ORDER BY sim DESC, nid) AS r
+         |       FROM sd),
+         |dense AS (SELECT qid, nid, r AS r_dense FROM rd WHERE r <= 10),
+         |ts_ AS (SELECT doc_id, unnest(w) AS term FROM docs),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM ts_
+         |       GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |wts AS (SELECT doc_id, term,
+         |          round(tf * ln(n::DOUBLE / df) * 1000)::BIGINT AS wt
+         |        FROM tf JOIN dfreq USING (term), nn
+         |        WHERE round(tf * ln(n::DOUBLE / df) * 1000)::BIGINT > 0),
+         |norms AS (SELECT doc_id, sum(wt*wt)::BIGINT AS nsq
+         |          FROM wts GROUP BY 1),
+         |qs AS (SELECT wts.doc_id AS qid, term, wt AS qw, nsq AS qnsq
+         |       FROM wts JOIN norms USING (doc_id)
+         |       WHERE doc_id % 100 = 0),
+         |dots AS (SELECT qid, qnsq, d.doc_id AS nid,
+         |           sum(d.wt * q.qw)::BIGINT AS dot
+         |         FROM wts d JOIN qs q USING (term)
+         |         WHERE d.doc_id <> q.qid GROUP BY 1, 2, 3),
+         |ss AS (SELECT qid, nid,
+         |         dot::DOUBLE / (sqrt(qnsq::DOUBLE) * sqrt(nsq::DOUBLE))
+         |           AS sim
+         |       FROM dots JOIN norms ON nid = norms.doc_id),
+         |rs AS (SELECT qid, nid, row_number() OVER (
+         |         PARTITION BY qid ORDER BY sim DESC, nid) AS r
+         |       FROM ss),
+         |sparse AS (SELECT qid, nid, r AS r_sparse FROM rs
+         |           WHERE r <= 10),
+         |f AS (SELECT coalesce(d.qid, s.qid) AS qid,
+         |        coalesce(d.nid, s.nid) AS nid, r_dense, r_sparse,
+         |        coalesce(round(1e9/(60+r_dense))::BIGINT, 0)
+         |          + coalesce(round(1e9/(60+r_sparse))::BIGINT, 0)
+         |          AS rrf_scaled
+         |      FROM dense d FULL OUTER JOIN sparse s
+         |        ON d.qid = s.qid AND d.nid = s.nid),
+         |fr AS (SELECT qid, nid, row_number() OVER (
+         |         PARTITION BY qid ORDER BY rrf_scaled DESC, nid) AS rank,
+         |         rrf_scaled, r_dense, r_sparse
+         |       FROM f)
+         |SELECT qid, nid, rank, rrf_scaled, r_dense, r_sparse
+         |FROM fr WHERE rank <= 10""".stripMargin
   )
 }

@@ -249,6 +249,26 @@ object StreamingOps {
   def crawlMergeStream(fetches: DataFrame): DataFrame =
     graft.llm.Web.crawlMerge(fetches, "url", "fetch_ts", "text")
 
+  /** STREAMING drift-monitor counts — the streaming twin of the
+    * current-window side of [[graft.Monitor.binnedCounts]], and
+    * deliberately the SAME declarative plan: the (group, bin) groupBy
+    * aggregate runs incrementally with ONE state row per (group, bin)
+    * — a histogram whose size is bounded by |groups|·nBins regardless
+    * of stream length. Each micro-batch's output joins against a FIXED
+    * reference histogram (the batch bootstrap window) to produce the
+    * live TVD/PSI — that join is downstream of the state and needs no
+    * replay reasoning. The contract worth stating is the state's own:
+    * bin counts are COUNTS, so at-least-once re-delivery diverges them
+    * by exactly the re-emitted rows (the n_fetches/CMS side of the
+    * field-split contract; there is no idempotent max-pick field here
+    * — proved both ways in MonitorStreamSpec). */
+  def driftBinCountsStream(events: DataFrame, groupCol: String,
+      centsCol: String, stepCents: Long, nBins: Int): DataFrame =
+    graft.Monitor.binnedCounts(
+      events.withColumn("__is_ref", lit(0)),
+      groupCol, centsCol, "__is_ref", stepCents, nBins)
+      .drop("n_ref")
+
   /** STREAMING point-in-time enrichment — the streaming counterpart of
     * the flagship batch as-of join ([[graft.PointInTime]]): each
     * streaming entity row is attached the latest STATIC feature row with

@@ -54,10 +54,15 @@ class PlanAuditSpec extends SparkSpec {
     *  - project+rerank's stage 1, the same flat-scan-over-compressed
     *    family (JL-projected 16-of-64 dims against the broadcast query
     *    side — linear in corpus, 4× fewer bytes per comparison); its
-    *    stage 2 re-rank joins back by id and stays equi-join-audited. */
+    *    stage 2 re-rank joins back by id and stays equi-join-audited;
+    *  - RRF fusion, whose DENSE leg is exactly the licensed
+    *    knn_cosine_brute shape (all-pairs against the broadcast sampled
+    *    query side — swap in an LSH/IVF retriever and the exemption is
+    *    unneeded); the fusion full-outer join itself is an audited
+    *    equi-join on (qid, nid). */
   private val nlJoinAllowed =
     Set("pit_dummy_entity", "knn_cosine_brute", "knn_recall_lsh",
-      "knn_sq8", "knn_pq", "knn_project_rerank")
+      "knn_sq8", "knn_pq", "knn_project_rerank", "rag_fusion_rrf")
 
   /** True iff `p` provably produces at most one row: a grouping-less
     * global aggregate, or any row-count-preserving/reducing chain above

@@ -231,6 +231,39 @@ class LlmSpec extends SparkSpec {
     assert(joined.filter(col("max_nt") > k).count() == 0)
   }
 
+  test("overlap chunking: exact slices, full coverage, stride spacing") {
+    import spark.implicits._
+    val (k, s) = (7, 3) // awkward: windows share 4 tokens, tails ragged
+    val chunks = TextAnalysis.chunkDocumentsOverlap(
+      docs, "doc_id", "text", chunkTokens = k, stride = s)
+    val withWords = chunks.join(
+      docs.select(col("doc_id"),
+        TextOps.words(col("text")).as("w"),
+        size(TextOps.words(col("text"))).as("nw")), "doc_id")
+    // every window is the EXACT slice of the tokenized doc it claims
+    assert(withWords.filter(col("chunk_text") =!=
+      concat_ws(" ", slice(col("w"), col("start_tok") + 1, lit(k))))
+      .count() == 0, "window text must be the exact token slice")
+    // offsets are 0, s, 2s, …; n_tokens = min(k, nw − start)
+    assert(withWords.filter(col("start_tok") =!= col("chunk_idx") * s)
+      .count() == 0)
+    assert(withWords.filter(col("n_tokens") =!=
+      least(lit(k), col("nw") - col("start_tok"))).count() == 0)
+    // window-count formula and coverage: last window reaches the end,
+    // starts before it, and short docs still emit exactly one window
+    val per = withWords.groupBy("doc_id", "nw")
+      .agg(count(lit(1)).as("n_win"), max("start_tok").as("last_st"),
+        max(col("start_tok") + col("n_tokens")).as("covered"))
+    assert(per.filter(col("n_win") =!=
+      floor(greatest(col("nw") - k + s - 1, lit(0)) / s) + 1).count() == 0)
+    assert(per.filter(col("covered") =!= col("nw")).count() == 0,
+      "every token must be inside some window")
+    assert(per.filter(col("nw") > k)
+      .filter(col("last_st") >= col("nw")).count() == 0)
+    assert(per.filter(col("nw") <= k).filter(col("n_win") =!= 1)
+      .count() == 0)
+  }
+
   test("exact dedup drop keeps one row per normalized text") {
     import spark.implicits._
     val df = Seq(
