@@ -80,9 +80,14 @@ object Bench {
     // One full timed pass, bracketed and interleaved by the control
     // query: (pre, results, post, mid-run samples).
     def runLoop(): (Double, Seq[(String, Either[String, Double])], Double,
-        Seq[Double]) = {
+        Seq[Double], Seq[(String, Double, Double, Double)]) = {
       val pre = controlMedian3()
       val mids = scala.collection.mutable.ArrayBuffer[Double]()
+      // per-query (min, max, median) across reps — the dispersion
+      // detector's input (a spike confined to one query's reps never
+      // shows in the bracketing control samples)
+      val spreads =
+        scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double)]()
       val rs: Seq[(String, Either[String, Double])] =
         SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
           case ((name, fn), i) =>
@@ -104,11 +109,14 @@ object Bench {
           }
           val runs = (1 to reps).map(_ => once())
           val times = runs.collect { case Right(t) => t }.sorted
+          if (times.nonEmpty)
+            spreads += ((name, times.head, times.last,
+              times(times.size / 2)))
           name -> (if (times.isEmpty) runs.head
                    else Right(times(times.size / 2)))
         }
       val post = controlMedian3()
-      (pre, rs, post, mids.toSeq)
+      (pre, rs, post, mids.toSeq, spreads.toSeq)
     }
     // SELF-PROTECTION: the control query's cost is data-independent, so a
     // drifting pre/post pair means the BOX slowed mid-run (r8's official
@@ -123,30 +131,50 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_CONTROL_DRIFT", "1.5").toDouble
     def drifted(pre: Double, post: Double): Boolean =
       post / pre > driftMax || pre / post > driftMax
-    val (controlPre, results, controlPost, midCtls, rerunCtl, contaminated) = {
-      val (p1, r1, q1, m1) = runLoop()
-      if (!drifted(p1, q1)) (p1, r1, q1, m1, None, false)
+    val (controlPre, results, controlPost, midCtls, repSpread, rerunCtl,
+        contaminated) = {
+      val (p1, r1, q1, m1, s1) = runLoop()
+      if (!drifted(p1, q1)) (p1, r1, q1, m1, s1, None, false)
       else {
-        val (p2, r2, q2, m2) = runLoop()
-        (p2, r2, q2, m2, Some((p1, q1)), drifted(p2, q2))
+        val (p2, r2, q2, m2, s2) = runLoop()
+        (p2, r2, q2, m2, s2, Some((p1, q1)), drifted(p2, q2))
       }
     }
     // Window audit: query i lives in window i / ctlEvery, bounded by
     // control samples (pre, mids..., post). A window is suspect when
-    // either bounding control exceeds driftMax × the MEDIAN of all
-    // control samples — a transient load spike confined to that window.
-    // Median, not min: single mid-run control shots carry the same
-    // ±50% scheduling noise as any sub-second timing, so the floor of
-    // the run would flag every window on an ordinary quiet box.
+    // either bounding control exceeds driftMax × the ENDPOINT baseline.
+    // Baseline = max(pre, post), NOT the median of all samples (the
+    // r13 failure: a load window spanning MOST of the run put 7 of 9
+    // samples at 2-3× the endpoints, the all-samples median tracked the
+    // contamination itself, and zero windows flagged while three dedup
+    // queries ran 3-8× slow). The endpoints are median-of-3 (robust);
+    // max-of-the-two so an ordinary pre/post wobble can't flag half the
+    // run — and if BOTH endpoints drift, the pre/post re-run +
+    // "contaminated" path above already owns that case.
     val bounds = (controlPre +: midCtls) :+ controlPost
-    val ctlBaseline = bounds.sorted.apply(bounds.size / 2)
-    val suspectQueries = results.zipWithIndex.collect {
+    val ctlBaseline = math.max(controlPre, controlPost)
+    val windowSuspect = results.zipWithIndex.collect {
       case ((name, _), i)
           if {
             val w = math.min(i / ctlEvery, bounds.size - 2)
             math.max(bounds(w), bounds(w + 1)) > driftMax * ctlBaseline
           } => name
     }
+    // Second detector — per-query rep dispersion: three reps of the
+    // same query on identical data should agree; a max/min spread
+    // beyond repSpreadMax on a non-trivial query (median ≥ 0.5 s, where
+    // scheduling noise is a small fraction) means the box load moved
+    // DURING the query's reps — finer-grained than the window audit,
+    // and the only signal when a spike lives entirely between two
+    // clean control samples. Requires the per-rep times, so it is
+    // computed inside the run loop via repSpread below.
+    val repSpreadMax =
+      sys.env.getOrElse("SPARK_GRAFT_REP_SPREAD", "3.0").toDouble
+    val dispersionSuspect = repSpread.collect {
+      case (name, lo, hi, med)
+        if med >= 0.5 && lo > 0 && hi / lo > repSpreadMax => name
+    }
+    val suspectQueries = (windowSuspect ++ dispersionSuspect).distinct
     val qs = results.map {
       case (k, Right(v)) => s"${jstr(k)}:$v"
       case (k, Left(m))  => s"${jstr(k)}:{${jstr("err")}:${jstr(m)}}"

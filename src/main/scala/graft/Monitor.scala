@@ -113,6 +113,14 @@ object Monitor {
       (col("__nr") + col("__nb")).cast("double")
     val pc = (col("n_cur") + 1).cast("double") /
       (col("__nc") + col("__nb")).cast("double")
+    // Degenerate-split guard (ADVICE r13): a group whose rows all land
+    // on one side (e.g. a single distinct timestamp — midpointSplit's
+    // strict 2·t < lo+hi puts everything in "current" when lo == hi)
+    // has N_ref·N_cur = 0; under ANSI mode the terminal division would
+    // RAISE DIVIDE_BY_ZERO and kill the whole monitor job for one
+    // silent group. Emit NULL tvd/psi as the detectable sentinel
+    // instead (tvd_scaled stays — it is exact and well-defined at 0).
+    val ok = max(col("__nr")) > 0 && max(col("__nc")) > 0
     binned.join(broadcast(tot), groupCol)
       .withColumn("__diff",
         col("n_cur") * col("__nr") - col("n_ref") * col("__nc"))
@@ -120,10 +128,10 @@ object Monitor {
       .groupBy(groupCol)
       .agg(max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"),
         sum(abs(col("__diff"))).as("tvd_scaled"),
-        (sum(abs(col("__diff"))).cast("double") /
+        when(ok, sum(abs(col("__diff"))).cast("double") /
           (lit(2.0) * max(col("__nr")).cast("double") *
             max(col("__nc")).cast("double"))).as("tvd"),
-        round(sum(col("__contrib")), 6).as("psi"))
+        when(ok, round(sum(col("__contrib")), 6)).as("psi"))
   }
 
   /** Two-sample Kolmogorov–Smirnov distance per group, exact-integer
@@ -135,6 +143,10 @@ object Monitor {
   def ksStat(valueCounts: DataFrame, groupCol: String): DataFrame = {
     val wCum = Window.partitionBy(groupCol).orderBy(col("value"))
     val wAll = Window.partitionBy(groupCol)
+    // same degenerate-split sentinel as driftStats (ADVICE r13): an
+    // empty window side makes the normalizing product 0 — NULL ks, no
+    // ANSI DIVIDE_BY_ZERO, exact ks_scaled (0) kept
+    val ok = max(col("__nr")) > 0 && max(col("__nc")) > 0
     valueCounts
       .withColumn("__cr", sum(col("n_ref")).over(wCum))
       .withColumn("__cc", sum(col("n_cur")).over(wCum))
@@ -144,10 +156,11 @@ object Monitor {
       .agg(max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"),
         max(abs(col("__cr") * col("__nc") - col("__cc") * col("__nr")))
           .as("ks_scaled"),
-        (max(abs(col("__cr") * col("__nc") - col("__cc") * col("__nr")))
-          .cast("double") /
-          (max(col("__nr")).cast("double") *
-            max(col("__nc")).cast("double"))).as("ks"))
+        when(ok,
+          max(abs(col("__cr") * col("__nc") - col("__cc") * col("__nr")))
+            .cast("double") /
+            (max(col("__nr")).cast("double") *
+              max(col("__nc")).cast("double"))).as("ks"))
   }
 
   /** Categories present in the current window but absent from the

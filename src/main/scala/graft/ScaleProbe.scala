@@ -259,7 +259,13 @@ object ScaleProbe {
     // cardinality) and hybrid RRF fusion (two k-bounded retrievals +
     // a ≤2k-rows-per-query fuse)
     "mon_drift_bins", "mon_drift_stats", "mon_ks_value",
-    "mon_new_categories", "rag_fusion_rrf")
+    "mon_new_categories", "rag_fusion_rrf",
+    // round-14: the r13 newcomers' missing scale rows (VERDICT r13 #4)
+    // plus the ANN-backed fusion twin and the gated MMR re-rank — the
+    // per-row chunker, the no-exemption IVF+pruned-sparse fusion path,
+    // and the kCand²-bounded greedy re-rank
+    "text_chunks_overlap", "rag_fusion_rrf_ivf", "rag_mmr_rerank",
+    "rag_mmr_rerank_ivf")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

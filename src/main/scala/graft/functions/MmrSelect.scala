@@ -80,8 +80,14 @@ case class MmrSelect(left: Expression, right: Expression,
       i += 1
     }
     // (a, b) → sim lookup; the builder emits the full upper triangle of
-    // the candidate set, so a miss is a broken-contract bug, not data
-    val sims = new java.util.HashMap[Long, Long](pArr.numElements() * 2)
+    // the candidate set, so a miss is a broken-contract bug, not data.
+    // BOXED value type (ADVICE r13): a HashMap[Long, Long] with Scala
+    // primitive Longs auto-unboxes a missing key's null to 0L, turning
+    // the broken-contract throw below into a silent sim-0 read that
+    // corrupts maxSim and the greedy order.
+    val sims =
+      new java.util.HashMap[java.lang.Long, java.lang.Long](
+        pArr.numElements() * 2)
     val idx = new java.util.HashMap[java.lang.Long, Integer](n * 2)
     i = 0
     while (i < n) { idx.put(nids(i), i); i += 1 }
@@ -89,18 +95,25 @@ case class MmrSelect(left: Expression, right: Expression,
     while (i < pArr.numElements()) {
       val r = pArr.getStruct(i, 3)
       val ia = idx.get(r.getLong(0)); val ib = idx.get(r.getLong(1))
-      if (ia != null && ib != null)
-        sims.put(ia.longValue() * n + ib.longValue(), r.getLong(2))
+      // key normalized at PUT time too (ADVICE r13): correctness must
+      // not depend on the candidate array arriving nid-sorted (which
+      // made ia < ib coincide with nid(a) < nid(b)) — an unsorted left
+      // array would otherwise miss every lookup
+      if (ia != null && ib != null) {
+        val lo = math.min(ia.intValue(), ib.intValue())
+        val hi = math.max(ia.intValue(), ib.intValue())
+        sims.put(lo.toLong * n + hi, r.getLong(2))
+      }
       i += 1
     }
     def simAt(x: Int, y: Int): Long = {
       val key = if (x < y) x.toLong * n + y else y.toLong * n + x
       val v = sims.get(key)
-      if (v == null && !sims.containsKey(key))
+      if (v == null)
         throw new IllegalArgumentException(
           s"graft_mmr_select: missing pair sim (${nids(x)}, ${nids(y)}) " +
             "— the builder must emit the full candidate upper triangle")
-      v
+      v.longValue()
     }
     val mu = lamNum.toLong
     val pen = (lamDen - lamNum).toLong

@@ -122,9 +122,22 @@ object Similarity {
     * (qid, nid, sel_rank, mmr_scaled). */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, kCand: Int, k: Int,
+      lamNum: Int = 7, lamDen: Int = 10): DataFrame =
+    mmrRerankCandidates(corpus,
+      bruteForceKnn(corpus, queries, idCol, vecCol, kCand),
+      idCol, vecCol, k, lamNum, lamDen)
+
+  /** Stages 2–3 of [[mmrRerank]] alone, over ANY retriever's
+    * (qid, nid, …, sim) candidate list — the retriever-agnostic form:
+    * pass [[ivfKnnTrained]]/[[lshKnn]] top-k output here and the whole
+    * MMR pipeline needs no brute-force pass anywhere (the declared
+    * rag_mmr_rerank_ivf path). `sim` must be the retriever's 6dp-rounded
+    * cosine (every kNN in this file emits exactly that). */
+  def mmrRerankCandidates(corpus: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
       lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
     import org.apache.spark.sql.GraftSql
-    val cands = bruteForceKnn(corpus, queries, idCol, vecCol, kCand)
+    val cands = candidates
       .select(col("qid"), col("nid"),
         round(col("sim") * 1e6).cast("long").as("rel"))
     val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))

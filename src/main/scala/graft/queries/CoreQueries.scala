@@ -2632,9 +2632,13 @@ object CoreQueries {
          |      FROM g JOIN tot ON g.event_type = tot.event_type)
          |SELECT event_type, max(nr) AS n_ref, max(nc) AS n_cur,
          |       sum(adiff)::BIGINT AS tvd_scaled,
-         |       sum(adiff)::DOUBLE
-         |         / (2.0 * max(nr)::DOUBLE * max(nc)::DOUBLE) AS tvd,
-         |       round(sum(contrib), 6) AS psi
+         |       CASE WHEN max(nr) > 0 AND max(nc) > 0 THEN
+         |         sum(adiff)::DOUBLE
+         |           / (2.0 * max(nr)::DOUBLE * max(nc)::DOUBLE)
+         |       END AS tvd,
+         |       CASE WHEN max(nr) > 0 AND max(nc) > 0 THEN
+         |         round(sum(contrib), 6)
+         |       END AS psi
          |FROM d GROUP BY 1""".stripMargin,
 
     "mon_ks_value" ->
@@ -2654,8 +2658,10 @@ object CoreQueries {
          |SELECT event_type, max(nr)::BIGINT AS n_ref,
          |       max(nc)::BIGINT AS n_cur,
          |       max(abs(cr*nc - cc*nr))::BIGINT AS ks_scaled,
-         |       max(abs(cr*nc - cc*nr))::DOUBLE
-         |         / (max(nr)::DOUBLE * max(nc)::DOUBLE) AS ks
+         |       CASE WHEN max(nr) > 0 AND max(nc) > 0 THEN
+         |         max(abs(cr*nc - cc*nr))::DOUBLE
+         |           / (max(nr)::DOUBLE * max(nc)::DOUBLE)
+         |       END AS ks
          |FROM w GROUP BY 1""".stripMargin,
 
     "mon_new_categories" ->

@@ -193,6 +193,44 @@ object LlmQueries {
     }
   }
 
+  /** The canonicalized HOST LINK-EDGE relation for `dir`'s documents —
+    * synthetic page → extractLinks → canonicalizeUrl → host resolution,
+    * one (src_host, dst_host) row per resolvable outlink — persisted
+    * once per (session, content fingerprint) and shared by
+    * `web_link_graph` (edge-weight aggregate) and `web_host_rank`
+    * (PageRank) (VERDICT r13 #6: each re-ran the full corpus
+    * HTML-extraction scan — at 100 TB the extraction IS the dominant
+    * cost and a crawl pipeline extracts once, then derives every graph
+    * product from the edge relation). The persisted relation is two
+    * short host strings per link — orders of magnitude smaller than
+    * the page corpus. Deterministic in the corpus snapshot ⇒ caching
+    * can only save work, never change results; same eviction
+    * discipline as [[jaccardPairs]]. */
+  private val webEdgesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def webEdges(s: SparkSession, dir: String): DataFrame = {
+    val fp = tableFingerprint(dir, "documents")
+    import scala.jdk.CollectionConverters._
+    webEdgesCache.keySet.asScala
+      .filter(k => (k._1 eq s) && k._2 != fp)
+      .foreach(k =>
+        Option(webEdgesCache.remove(k)).foreach(_.unpersist(false)))
+    webEdgesCache.computeIfAbsent((s, fp), _ => {
+      val html = Web.syntheticHtml(col("doc_id"),
+        Web.syntheticHost(col("doc_id")), col("text"))
+      val p = docs(s, dir)
+        .select(Web.syntheticHost(col("doc_id")).as("src_host"),
+          explode(Web.extractLinks(html)).as("link"))
+        .select(col("src_host"),
+          Web.hostOf(Web.canonicalizeUrl(col("link"))).as("dst_host"))
+        .filter(col("dst_host") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize eagerly so consumers never race the build
+      p
+    })
+  }
+
   /** Contamination scores of `dir`'s documents vs the bench-contract
     * benchmark stand-in (the `doc_id % 97` slice), persisted once per
     * (session, content fingerprint, n) and shared by the score query AND
@@ -474,6 +512,88 @@ object LlmQueries {
        |      FROM scored)
        |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
        |WHERE rank <= $k""".stripMargin
+
+  /** UNROLLED-GREEDY MMR oracle — the replay [[graft.functions.MmrSelect]]
+    * was designed for: candidates and pair sims are 1e6-scaled longs, so
+    * each greedy step is pure integer arithmetic and can be written as
+    * one CTE pair (`sc_i` scores the remaining candidates against the
+    * selected set via the pair-sim equi-join, `sel_i` takes the argmax
+    * with ties to the smaller nid — the same scan order as the
+    * expression's nid-sorted candidate array), accumulated through
+    * `acc_i`. Step 1 is pure relevance (λ·rel), exactly the
+    * expression's `step == 0` branch. */
+  private def mmrOracleSql(
+      kCand: Int, k: Int, lamNum: Int, lamDen: Int): String =
+    s"""WITH vd AS (SELECT vec_id,
+       |         list_transform(embedding, x -> x::DOUBLE) AS v
+       |       FROM embeddings),
+       |nd AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm
+       |       FROM vd),
+       |qd AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nd
+       |       WHERE vec_id % 100 = 0),
+       |sd AS (SELECT qd.qid, nd.vec_id AS nid,
+       |         ${dotSql("qd.qv", "nd.v")} / (qd.qn * nd.nrm) AS sim
+       |       FROM qd JOIN nd ON nd.vec_id != qd.qid),
+       |rd AS (SELECT qid, nid, sim, row_number() OVER (
+       |         PARTITION BY qid ORDER BY sim DESC, nid) AS r FROM sd),
+       |cands AS MATERIALIZED (SELECT qid, nid,
+       |            round(round(sim, 6) * 1e6)::BIGINT AS rel
+       |          FROM rd WHERE r <= $kCand),
+       |${mmrGreedySuffix("nd", k, lamNum, lamDen)}""".stripMargin
+
+  /** The greedy-selection CTE chain shared by every MMR oracle: expects
+    * `cands(qid, nid, rel)` (1e6-scaled relevance) and a vector
+    * relation `vecRel(vec_id, v, nrm)` in scope — the candidate-pair
+    * cosine matrix and the unrolled k-step selection are retriever-
+    * independent, exactly like [[Similarity.mmrRerankCandidates]].
+    * Every chain CTE carries the MATERIALIZED hint: DuckDB inlines
+    * CTEs by default, and each greedy step references the previous
+    * accumulator twice (scoring join + NOT EXISTS), so without the
+    * hint the candidate chain re-evaluates 2^k times — measured 6 s →
+    * 0.9 s (brute) and minutes → 3 s (IVF-trained chain) at sf0.01. */
+  private def mmrGreedySuffix(
+      vecRel: String, k: Int, lamNum: Int, lamDen: Int): String = {
+    val pen = lamDen - lamNum
+    val sb = new StringBuilder
+    sb ++= s"""cvx AS MATERIALIZED (SELECT c.qid, c.nid, c.rel, vr.v, vr.nrm
+       |        FROM cands c JOIN $vecRel vr ON vr.vec_id = c.nid),
+       |prs AS MATERIALIZED (SELECT a.qid, a.nid AS pa, b.nid AS pb,
+       |          round(round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm),
+       |            6) * 1e6)::BIGINT AS s
+       |        FROM cvx a JOIN cvx b
+       |          ON a.qid = b.qid AND a.nid < b.nid),
+       |sel1 AS MATERIALIZED (SELECT qid, nid, 1 AS sel_rank,
+       |           $lamNum * rel AS mmr
+       |         FROM (SELECT qid, nid, rel, row_number() OVER (
+       |                 PARTITION BY qid ORDER BY $lamNum * rel DESC,
+       |                   nid) AS rk FROM cands) t WHERE rk = 1),
+       |acc1 AS MATERIALIZED (SELECT * FROM sel1),
+       |""".stripMargin
+    for (i <- 2 to k) {
+      sb ++= s"""sc$i AS MATERIALIZED (SELECT c.qid, c.nid,
+         |          $lamNum * c.rel - $pen * max(p.s) AS score
+         |        FROM cands c
+         |        JOIN acc${i - 1} a ON a.qid = c.qid
+         |        JOIN prs p ON p.qid = c.qid
+         |          AND p.pa = least(c.nid, a.nid)
+         |          AND p.pb = greatest(c.nid, a.nid)
+         |        WHERE NOT EXISTS (SELECT 1 FROM acc${i - 1} x
+         |                          WHERE x.qid = c.qid
+         |                            AND x.nid = c.nid)
+         |        GROUP BY c.qid, c.nid, c.rel),
+         |sel$i AS MATERIALIZED (SELECT qid, nid, $i AS sel_rank,
+         |            score AS mmr
+         |          FROM (SELECT qid, nid, score, row_number() OVER (
+         |                  PARTITION BY qid ORDER BY score DESC,
+         |                    nid) AS rk FROM sc$i) t WHERE rk = 1),
+         |acc$i AS MATERIALIZED (SELECT * FROM acc${i - 1}
+         |          UNION ALL SELECT * FROM sel$i),
+         |""".stripMargin
+    }
+    sb ++= s"""fin AS (SELECT * FROM acc$k)
+       |SELECT qid, nid, sel_rank, mmr AS mmr_scaled FROM fin""".stripMargin
+    sb.toString
+  }
 
   /** Same-cell cosine pairs over the trained quantizer. */
   private def ivfPairsOracleSql(
@@ -1512,18 +1632,12 @@ object LlmQueries {
     // DROP unresolvable targets (relative links — hostOf = ''), and
     // aggregate (src, dst) edge weights. One explode + one map-side-
     // combinable groupBy; edge cardinality is hosts², not pages².
-    "web_link_graph" -> ((s, dir) => {
-      val html = Web.syntheticHtml(col("doc_id"),
-        Web.syntheticHost(col("doc_id")), col("text"))
-      docs(s, dir)
-        .select(Web.syntheticHost(col("doc_id")).as("src_host"),
-          explode(Web.extractLinks(html)).as("link"))
-        .select(col("src_host"),
-          Web.hostOf(Web.canonicalizeUrl(col("link"))).as("dst_host"))
-        .filter(col("dst_host") =!= "")
+    // The edge relation comes from the session-shared [[webEdges]]
+    // extraction (one corpus scan serves this AND web_host_rank).
+    "web_link_graph" -> ((s, dir) =>
+      webEdges(s, dir)
         .groupBy("src_host", "dst_host")
-        .agg(count(lit(1)).as("n_links"))
-    }),
+        .agg(count(lit(1)).as("n_links"))),
 
     // INCREMENTAL RECRAWL: two planted crawl snapshots of the corpus —
     // the old crawl misses docs with id%10 = 1 (added later), the new
@@ -1572,18 +1686,12 @@ object LlmQueries {
     // across engines and partitionings) on the distinct host edges.
     // The hub fixture skews in-degree (seven hosts absorb every hub
     // link) so the ranking is non-uniform by construction.
-    "web_host_rank" -> ((s, dir) => {
-      val html = Web.syntheticHtml(col("doc_id"),
-        Web.syntheticHost(col("doc_id")), col("text"))
-      val edges = docs(s, dir)
-        .select(Web.syntheticHost(col("doc_id")).as("src_host"),
-          explode(Web.extractLinks(html)).as("link"))
-        .select(col("src_host"),
-          Web.hostOf(Web.canonicalizeUrl(col("link"))).as("dst_host"))
-        .filter(col("dst_host") =!= "")
-      graft.llm.Graph.pageRank(edges, "src_host", "dst_host", iters = 3)
-        .select(col("node").as("host"), col("rank_scaled"))
-    }),
+    // Edges from the session-shared [[webEdges]] extraction — the
+    // HTML scan runs once for the whole web-graph family.
+    "web_host_rank" -> ((s, dir) =>
+      graft.llm.Graph.pageRank(webEdges(s, dir), "src_host", "dst_host",
+          iters = 3)
+        .select(col("node").as("host"), col("rank_scaled"))),
 
     // HYBRID RETRIEVAL — reciprocal-rank fusion of the dense (brute
     // cosine over embeddings) and sparse (TF-IDF inverted index over
@@ -1605,6 +1713,58 @@ object LlmQueries {
       val sparse = Similarity.sparseTfidfKnn(docs(s, dir), "doc_id",
         "text", queryPred = col("doc_id") % 100 === 0, k = 10)
       Similarity.rrfFuse(dense, sparse, k = 10)
+    }),
+
+    // ANN-BACKED HYBRID FUSION (VERDICT r13 #5): the same RRF fusion
+    // with its dense leg on the TRAINED-IVF index (probe + cell
+    // equi-join over the cached assignment — the knn_ivf scale path)
+    // and its sparse leg on the df-pruned inverted index (maxDf 0.5,
+    // the knn_sparse_tfidf_pruned production path) — so the flagship
+    // RAG retrieval stack has a declared 100 TB route that needs NO
+    // nested-loop exemption anywhere (PlanAuditSpec audits it with no
+    // license). The brute-fused rag_fusion_rrf row above stays as the
+    // exact-recall contrast.
+    "rag_fusion_rrf_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dense = Similarity.ivfKnnTrained(
+        e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, nProbe = 4, centroids = Some(trainedCentroids(s, dir)),
+        assigned = Some(ivfIndex(s, dir)))
+      val sparse = Similarity.sparseTfidfKnn(docs(s, dir), "doc_id",
+        "text", queryPred = col("doc_id") % 100 === 0, k = 10,
+        maxDfFraction = 0.5)
+      Similarity.rrfFuse(dense, sparse, k = 10)
+    }),
+
+    // MMR DIVERSIFICATION RE-RANK (VERDICT r13 #1 — the gate the
+    // round-13 snapshot shipped without): brute top-10 candidates per
+    // query (the licensed exact baseline; the re-rank stages are
+    // retriever-agnostic), candidate×candidate cosines from a
+    // qid-equi-join (≤ kCand²/2 rows per query), then the all-integer
+    // greedy λ = 0.7 selection of 5 inside graft.functions.MmrSelect.
+    // Every relevance and pair similarity is a 1e6-scaled long, so the
+    // DuckDB oracle replays the greedy loop as an UNROLLED 5-step CTE
+    // chain and the selected order matches bit-for-bit.
+    "rag_mmr_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.mmrRerank(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", kCand = 10, k = 5)
+    }),
+
+    // the same MMR re-rank over the TRAINED-IVF retriever — candidates
+    // from the probe + cell equi-join (cached index), pair matrix and
+    // greedy selection unchanged (mmrRerankCandidates is retriever-
+    // agnostic by construction) — so the diversification stage, like
+    // the fusion stage, has a declared 100 TB path with NO nested-loop
+    // exemption (PlanAuditSpec audits this one with no license)
+    "rag_mmr_rerank_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cands = Similarity.ivfKnnTrained(
+        e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, nProbe = 4, centroids = Some(trainedCentroids(s, dir)),
+        assigned = Some(ivfIndex(s, dir)))
+      Similarity.mmrRerankCandidates(e, cands, "vec_id", "embedding",
+        k = 5)
     })
   )
 
@@ -3314,6 +3474,106 @@ object LlmQueries {
          |         rrf_scaled, r_dense, r_sparse
          |       FROM f)
          |SELECT qid, nid, rank, rrf_scaled, r_dense, r_sparse
-         |FROM fr WHERE rank <= 10""".stripMargin
+         |FROM fr WHERE rank <= 10""".stripMargin,
+
+    // ANN-backed fusion: the dense leg replays the FULL trained-IVF
+    // chain (k-means training, corpus assignment, nProbe=4 probing —
+    // the knn_ivf oracle with k=10), the sparse leg the df-pruned
+    // tf-idf chain (knn_sparse_tfidf_pruned with the %100 query set),
+    // then the identical exact-integer RRF suffix
+    "rag_fusion_rrf_ivf" ->
+      s"""${ivfTrainCtes(3, 64)},
+         |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |    SELECT n.vec_id, c.cid, row_number() OVER (
+         |      PARTITION BY n.vec_id
+         |      ORDER BY ${cSim("c")} DESC, c.cid DESC) AS rk
+         |    FROM n CROSS JOIN c3 c WHERE n.vec_id % 100 = 0) t
+         |  WHERE rk <= 4),
+         |qv2 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+         |        WHERE vec_id % 100 = 0),
+         |dsc AS (SELECT q.qid, nb.vec_id AS nid,
+         |          ${dotSql("q.qv", "nb.v")} / (q.qn * nb.nrm) AS sim
+         |        FROM probes p
+         |        JOIN qv2 q ON q.qid = p.qid
+         |        JOIN nb ON nb.cell = p.cell AND nb.vec_id != p.qid),
+         |dr AS (SELECT qid, nid, row_number() OVER (
+         |         PARTITION BY qid ORDER BY sim DESC, nid) AS r
+         |       FROM dsc),
+         |dense AS (SELECT qid, nid, r AS r_dense FROM dr WHERE r <= 10),
+         |$DocsCte,
+         |ts_ AS (SELECT doc_id, unnest(w) AS term FROM docs),
+         |tfq AS (SELECT doc_id, term, count(*) AS tf FROM ts_
+         |        GROUP BY 1, 2),
+         |nn2 AS (SELECT count(*) AS n FROM documents),
+         |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1
+         |        HAVING count(*) <=
+         |          (SELECT ceil(n * 0.5)::BIGINT FROM nn2)),
+         |wts AS (SELECT doc_id, term,
+         |          round(tf * ln(n::DOUBLE / df) * 1000)::BIGINT AS wt
+         |        FROM tfq JOIN dfq USING (term), nn2
+         |        WHERE round(tf * ln(n::DOUBLE / df) * 1000)::BIGINT > 0),
+         |norms AS (SELECT doc_id, sum(wt*wt)::BIGINT AS nsq
+         |          FROM wts GROUP BY 1),
+         |qs AS (SELECT wts.doc_id AS qid, term, wt AS qw, nsq AS qnsq
+         |       FROM wts JOIN norms USING (doc_id)
+         |       WHERE doc_id % 100 = 0),
+         |dots AS (SELECT qid, qnsq, d.doc_id AS nid,
+         |           sum(d.wt * q.qw)::BIGINT AS dot
+         |         FROM wts d JOIN qs q USING (term)
+         |         WHERE d.doc_id <> q.qid GROUP BY 1, 2, 3),
+         |ss AS (SELECT qid, nid,
+         |         dot::DOUBLE / (sqrt(qnsq::DOUBLE) * sqrt(nsq::DOUBLE))
+         |           AS sim
+         |       FROM dots JOIN norms ON nid = norms.doc_id),
+         |rs AS (SELECT qid, nid, row_number() OVER (
+         |         PARTITION BY qid ORDER BY sim DESC, nid) AS r
+         |       FROM ss),
+         |sparse AS (SELECT qid, nid, r AS r_sparse FROM rs
+         |           WHERE r <= 10),
+         |f AS (SELECT coalesce(d.qid, s.qid) AS qid,
+         |        coalesce(d.nid, s.nid) AS nid, r_dense, r_sparse,
+         |        coalesce(round(1e9/(60+r_dense))::BIGINT, 0)
+         |          + coalesce(round(1e9/(60+r_sparse))::BIGINT, 0)
+         |          AS rrf_scaled
+         |      FROM dense d FULL OUTER JOIN sparse s
+         |        ON d.qid = s.qid AND d.nid = s.nid),
+         |fr AS (SELECT qid, nid, row_number() OVER (
+         |         PARTITION BY qid ORDER BY rrf_scaled DESC, nid) AS rank,
+         |         rrf_scaled, r_dense, r_sparse
+         |       FROM f)
+         |SELECT qid, nid, rank, rrf_scaled, r_dense, r_sparse
+         |FROM fr WHERE rank <= 10""".stripMargin,
+
+    // unrolled 5-step greedy replay of the all-integer MmrSelect
+    // expression over the brute top-10 candidate lists
+    "rag_mmr_rerank" -> mmrOracleSql(
+      kCand = 10, k = 5, lamNum = 7, lamDen = 10),
+
+    // the IVF-retrieved twin: candidate CTEs = the full trained-IVF
+    // knn chain (training, assignment, probing — k=10), then the
+    // SHARED greedy suffix over the chain's `n(vec_id, v, nrm)`
+    "rag_mmr_rerank_ivf" ->
+      s"""${ivfTrainCtes(3, 64)},
+         |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |    SELECT n.vec_id, c.cid, row_number() OVER (
+         |      PARTITION BY n.vec_id
+         |      ORDER BY ${cSim("c")} DESC, c.cid DESC) AS rk
+         |    FROM n CROSS JOIN c3 c WHERE n.vec_id % 100 = 0) t
+         |  WHERE rk <= 4),
+         |qv2 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+         |        WHERE vec_id % 100 = 0),
+         |dsc AS (SELECT q.qid, nb.vec_id AS nid,
+         |          ${dotSql("q.qv", "nb.v")} / (q.qn * nb.nrm) AS sim
+         |        FROM probes p
+         |        JOIN qv2 q ON q.qid = p.qid
+         |        JOIN nb ON nb.cell = p.cell AND nb.vec_id != p.qid),
+         |dr AS (SELECT qid, nid, sim, row_number() OVER (
+         |         PARTITION BY qid ORDER BY sim DESC, nid) AS r
+         |       FROM dsc),
+         |cands AS MATERIALIZED (SELECT qid, nid,
+         |            round(round(sim, 6) * 1e6)::BIGINT AS rel
+         |          FROM dr WHERE r <= 10),
+         |${mmrGreedySuffix("n", k = 5, lamNum = 7, lamDen = 10)}"""
+        .stripMargin
   )
 }

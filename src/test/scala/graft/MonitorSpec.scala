@@ -120,4 +120,28 @@ class MonitorSpec extends SparkSpec {
       .select("category", "n_cur").as[(String, Long)].collect().toMap
     assert(out == Map("novel" -> 2L))
   }
+
+  test("degenerate split (one side empty) yields NULL tvd/psi/ks " +
+    "sentinels, not an ANSI divide-by-zero crash (ADVICE r13)") {
+    // one distinct timestamp: lo == hi, 2·t < lo+hi is false for every
+    // row ⇒ N_ref = 0 for the whole group
+    val df = Seq(("g", ts(Day), 100L), ("g", ts(Day), 200L))
+      .toDF("event_type", "ts", "cents")
+    val tagged = Monitor.midpointSplit(df, "ts")
+    val stats = Monitor.driftStats(
+      Monitor.binnedCounts(tagged, "event_type", "cents", "__is_ref",
+        stepCents = 2500L, nBins = 20),
+      "event_type")
+      .select("n_ref", "n_cur", "tvd_scaled", "tvd", "psi").collect().head
+    assert(stats.getLong(0) == 0L && stats.getLong(1) == 2L)
+    assert(stats.getLong(2) == 0L) // exact integer form stays defined
+    assert(stats.isNullAt(3) && stats.isNullAt(4))
+
+    val vc = tagged.groupBy(col("event_type"), col("cents").as("value"))
+      .agg(sum("__is_ref").cast("long").as("n_ref"),
+        sum(lit(1) - col("__is_ref")).cast("long").as("n_cur"))
+    val ks = Monitor.ksStat(vc, "event_type")
+      .select("ks_scaled", "ks").collect().head
+    assert(ks.getLong(0) == 0L && ks.isNullAt(1))
+  }
 }

@@ -59,10 +59,16 @@ class PlanAuditSpec extends SparkSpec {
     *    knn_cosine_brute shape (all-pairs against the broadcast sampled
     *    query side — swap in an LSH/IVF retriever and the exemption is
     *    unneeded); the fusion full-outer join itself is an audited
-    *    equi-join on (qid, nid). */
+    *    equi-join on (qid, nid). rag_fusion_rrf_ivf IS that swap — the
+    *    IVF-dense + pruned-sparse twin runs here with NO exemption;
+    *  - the MMR re-rank, whose candidate GENERATION is the same brute
+    *    baseline (retriever-agnostic stages — Similarity.mmrRerank doc);
+    *    its pair-matrix join is an audited qid equi-join and the greedy
+    *    selection runs on k-bounded collected arrays. */
   private val nlJoinAllowed =
     Set("pit_dummy_entity", "knn_cosine_brute", "knn_recall_lsh",
-      "knn_sq8", "knn_pq", "knn_project_rerank", "rag_fusion_rrf")
+      "knn_sq8", "knn_pq", "knn_project_rerank", "rag_fusion_rrf",
+      "rag_mmr_rerank")
 
   /** True iff `p` provably produces at most one row: a grouping-less
     * global aggregate, or any row-count-preserving/reducing chain above
