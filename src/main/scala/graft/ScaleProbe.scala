@@ -308,7 +308,7 @@ object ScaleProbe {
     * not just their batch twins. */
   val streamFamily: Seq[String] =
     Seq("stream_hll_windowed", "stream_fp_dedup", "stream_crawl_merge",
-      "stream_drift_bins")
+      "stream_drift_bins", "stream_new_categories")
 
   private def streamQuery(
       spark: SparkSession, name: String, dir: String)
@@ -365,6 +365,22 @@ object ScaleProbe {
           .select(col("event_type"),
             round(col("value") * 100).cast("long").as("cents")),
         "event_type", "cents", stepCents = 2500L, nBins = 20)
+    case "stream_new_categories" =>
+      // the mon_new_categories twin: (type:props) combinations absent
+      // from the day-1 bootstrap vocabulary, first occurrence only —
+      // one state row per distinct category (vocabulary-bounded)
+      val cat = concat(col("event_type"), lit(":"), col("props"))
+      val ref = graft.Monitor.headDaysSplit(
+          Tables.read(spark, dir, "events")
+            .select(cat.as("category"), col("ts")),
+          "ts", days = 1)
+        .filter(col("__is_ref") === 1)
+        .select("category").distinct()
+      graft.streaming.StreamingOps.newCategoriesStream(
+        Tables.readStreamParquet(spark, s"$dir/events.parquet",
+          maxFilesPerTrigger = 8)
+          .select(cat.as("category"), col("ts")),
+        ref, "category", "ts")
     case other =>
       throw new IllegalArgumentException(s"unknown stream probe: $other")
   }
@@ -377,7 +393,9 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     val q = streamQuery(spark, name, dir).writeStream
       .format("memory").queryName(qn)
-      .outputMode(if (name == "stream_fp_dedup") "append" else "update")
+      .outputMode(
+        if (Set("stream_fp_dedup", "stream_new_categories")(name)) "append"
+        else "update")
       .start()
     try q.processAllAvailable() finally q.stop()
     val secs = (System.nanoTime() - t0) / 1e9

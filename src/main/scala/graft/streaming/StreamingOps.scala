@@ -269,6 +269,30 @@ object StreamingOps {
       groupCol, centsCol, "__is_ref", stepCents, nBins)
       .drop("n_ref")
 
+  /** STREAMING vocabulary-drift alarm — the live twin of
+    * [[graft.Monitor.newCategories]]: emits each category ABSENT from
+    * the bootstrap reference vocabulary at its FIRST stream occurrence,
+    * exactly once (append mode). Shape: `dropDuplicates(cat)` — ONE
+    * state row per distinct category — then a stream-static LEFT ANTI
+    * join against the reference vocabulary (re-planned per
+    * micro-batch, stateless). The dedup state is DELIBERATELY not
+    * watermark-reclaimed (the event-time column is excluded from the
+    * dedup keys): evicting a seen category would re-fire its alarm on
+    * the next occurrence — a false positive. State is therefore
+    * bounded by VOCABULARY cardinality, never stream length — the same
+    * bound as the batch operator's group-by, and the right unit of
+    * sharding (by tenant/day) if a vocabulary ever outgrows one store.
+    * The anti join sits DOWNSTREAM of the dedup state, so
+    * at-least-once re-delivery collapses before the alarm fires: this
+    * is the idempotent side of the field-split contract (first-seen is
+    * a pick, not a count), unlike the divergent-by-replay bin counts
+    * above — proved both ways in MonitorStreamSpec. */
+  def newCategoriesStream(events: DataFrame, refCategories: DataFrame,
+      catCol: String, tsCol: String): DataFrame =
+    events.select(col(catCol), col(tsCol).as("first_seen"))
+      .dropDuplicates(catCol)
+      .join(refCategories.select(col(catCol)), Seq(catCol), "left_anti")
+
   /** STREAMING point-in-time enrichment — the streaming counterpart of
     * the flagship batch as-of join ([[graft.PointInTime]]): each
     * streaming entity row is attached the latest STATIC feature row with

@@ -107,4 +107,39 @@ class MonitorStreamSpec extends SparkSpec {
       assert(tvd("stable") < 0.05, s"stable must stay quiet: $tvd")
     } finally q.stop()
   }
+
+  test("newCategoriesStream fires exactly once per novel category — " +
+    "reference vocabulary never fires, at-least-once replay never " +
+    "re-fires (idempotent pick, unlike the bin counts)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val ref = Seq("login", "click").toDF("category")
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    def ev(cat: String, s: Int) =
+      (cat, new java.sql.Timestamp(t0.getTime + s * 1000L))
+
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingOps.newCategoriesStream(
+      in.toDF().toDF("category", "ts"), ref, "category", "ts")
+      .writeStream.format("memory").queryName("newcat_t")
+      .outputMode("append").start()
+    try {
+      in.addData(ev("login", 1), ev("click", 2), ev("purchase", 3))
+      q.processAllAvailable()
+      // known vocabulary silent; the novel category fires once
+      assert(spark.table("newcat_t").as[(String, java.sql.Timestamp)]
+        .collect().toSeq == Seq(("purchase", ev("purchase", 3)._2)))
+
+      // re-delivery of the SAME novel row + a second occurrence later:
+      // neither may re-fire (first-seen is a pick, not a count)
+      in.addData(ev("purchase", 3), ev("purchase", 9), ev("refund", 4))
+      q.processAllAvailable()
+      val out = spark.table("newcat_t")
+        .as[(String, java.sql.Timestamp)].collect().sortBy(_._1)
+      assert(out.map(_._1).toSeq == Seq("purchase", "refund"))
+      assert(out.toMap.apply("purchase") == ev("purchase", 3)._2,
+        "the alarm must carry the FIRST occurrence's timestamp")
+    } finally q.stop()
+  }
 }
