@@ -131,13 +131,24 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_CONTROL_DRIFT", "1.5").toDouble
     def drifted(pre: Double, post: Double): Boolean =
       post / pre > driftMax || pre / post > driftMax
+    // The r13 failure signature: endpoints CLEAN, the majority of
+    // mid-run samples 2-3× above them — a load window spanning most of
+    // the run, which the pre/post pair structurally cannot see. Such a
+    // pass re-runs (and self-marks contaminated if it persists) exactly
+    // like an endpoint-drifted one. Majority vote, not any-single-mid:
+    // mid samples are single shots with ±50% scheduling noise.
+    def midContaminated(
+        pre: Double, post: Double, mids: Seq[Double]): Boolean =
+      mids.count(_ > driftMax * math.max(pre, post)) * 2 > mids.size
     val (controlPre, results, controlPost, midCtls, repSpread, rerunCtl,
         contaminated) = {
       val (p1, r1, q1, m1, s1) = runLoop()
-      if (!drifted(p1, q1)) (p1, r1, q1, m1, s1, None, false)
+      if (!drifted(p1, q1) && !midContaminated(p1, q1, m1))
+        (p1, r1, q1, m1, s1, None, false)
       else {
         val (p2, r2, q2, m2, s2) = runLoop()
-        (p2, r2, q2, m2, s2, Some((p1, q1)), drifted(p2, q2))
+        (p2, r2, q2, m2, s2, Some((p1, q1)),
+          drifted(p2, q2) || midContaminated(p2, q2, m2))
       }
     }
     // Window audit: query i lives in window i / ctlEvery, bounded by
@@ -188,7 +199,12 @@ object Bench {
     // now (a) names them, and (b) carries the pair-graph build timed
     // COLD (cache evicted first) as its own rows — run AFTER the timed
     // loop so the eviction can't perturb any per-query median.
-    val cacheAmortized = Seq("mm_mp4_near_dup", "mm_video_near_dup")
+    // round 14: web_link_graph / web_host_rank read the session-cached
+    // webEdges extraction (one corpus HTML scan serves the family) —
+    // their medians are cached-scan timings; the extraction is priced
+    // as the web_edges_build cold row
+    val cacheAmortized = Seq("mm_mp4_near_dup", "mm_video_near_dup",
+      "web_link_graph", "web_host_rank")
     // (label, cold seconds, pair rows) via ScaleProbe.timeBuild (evict →
     // build → eager materialization) — the same rows the scale probe
     // emits, so BENCH and PROBE tables price the build identically

@@ -273,17 +273,23 @@ object ScaleProbe {
     * own scale rows — cache evicted, then the build (including eager
     * materialization) timed. Row count = pairs in the built graph. */
   val buildFamily: Seq[String] =
-    Seq("mm_video_pairs_build", "mm_mp4_pairs_build")
+    Seq("mm_video_pairs_build", "mm_mp4_pairs_build", "web_edges_build")
 
   def timeBuild(
       spark: SparkSession, name: String, dir: String): (Double, Long) = {
     graft.queries.LlmQueries.evictPairGraphs(spark)
+    graft.queries.LlmQueries.evictWebEdges(spark)
     val t0 = System.nanoTime()
     val n = name match {
       case "mm_video_pairs_build" =>
         graft.queries.LlmQueries.videoPairs(spark, dir).count()
       case "mm_mp4_pairs_build" =>
         graft.queries.LlmQueries.mp4Pairs(spark, dir).count()
+      case "web_edges_build" =>
+        // the shared HTML link-extraction scan (round 14): the cost the
+        // cache-amortized web_link_graph / web_host_rank rows no longer
+        // carry per query
+        graft.queries.LlmQueries.webEdges(spark, dir).count()
       case other =>
         throw new IllegalArgumentException(s"unknown build probe: $other")
     }

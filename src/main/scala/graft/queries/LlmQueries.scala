@@ -193,6 +193,16 @@ object LlmQueries {
     }
   }
 
+  /** Evict the cached [[webEdges]] relation — same cold-build timing
+    * support: once the web-graph family shares one extraction, its
+    * per-query medians are cached-scan timings and the HTML-extraction
+    * cost needs its own `web_edges_build` artifact row. */
+  private[graft] def evictWebEdges(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    webEdgesCache.keySet.asScala.filter(_._1 eq s).foreach(k =>
+      Option(webEdgesCache.remove(k)).foreach(_.unpersist(true)))
+  }
+
   /** The canonicalized HOST LINK-EDGE relation for `dir`'s documents —
     * synthetic page → extractLinks → canonicalizeUrl → host resolution,
     * one (src_host, dst_host) row per resolvable outlink — persisted

@@ -13,7 +13,8 @@ generated BENCH_10X table carries.
 import re
 import sys
 
-CACHE_AMORTIZED = {"mm_video_near_dup", "mm_mp4_near_dup"}
+CACHE_AMORTIZED = {"mm_video_near_dup", "mm_mp4_near_dup",
+                   "web_link_graph", "web_host_rank"}
 LEGEND = ("† reads the session-cached pair graph priced in its `*_dedup` "
           "sibling — the operator's true cost and scale evidence are the "
           "`mm_*_pairs_build` cold rows.")

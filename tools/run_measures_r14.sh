@@ -9,8 +9,15 @@
 #     mon_*/rag_fusion_rrf rows were already in the family list)
 #  2. targeted PROBE100 (tmp_bench10x -> tmp_scale100) for the newcomer
 #     rows and the web graph pair (now sharing one extraction scan via
-#     the webEdges cache) — merged into the standing table by
-#     tools/patch_probe100.py
+#     the webEdges cache — cache-amortized per-query rows, so the
+#     extraction itself is priced as the web_edges_build cold row) —
+#     merged into the standing table by tools/patch_probe100.py.
+#     rag_fusion_rrf is NOT probed at 100x: its dense leg is the
+#     licensed brute baseline and its sparse leg is full-vocabulary
+#     knn_sparse_tfidf — BOTH quadratic by construction on this corpus
+#     (the same license that skips knn_sparse_tfidf here; measured
+#     ratio 63.6 at the 10x decade). The scale path rag_fusion_rrf_ivf
+#     IS probed.
 cd /root/repo
 OPENS=$(printf -- "--add-opens %s=ALL-UNNAMED " java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect java.base/java.io java.base/java.net java.base/java.nio java.base/java.util java.base/java.util.concurrent java.base/java.util.concurrent.atomic java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action java.base/sun.util.calendar)
 J="java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx24g -cp target/scala-2.13/classes:/opt/spark/jars/*"
@@ -22,7 +29,7 @@ $J graft.Bench >> /tmp/r14_bench.log 2>/tmp/r14_bench.err
 echo "bench rc=$? $(date)" >> /tmp/r14_bench.log
 
 echo "=== probe100 start $(date)" | tee /tmp/r14_probe100.log
-SPARK_GRAFT_PROBE_ONLY=mon_drift_bins,mon_drift_stats,mon_ks_value,mon_new_categories,rag_fusion_rrf,rag_fusion_rrf_ivf,rag_mmr_rerank,rag_mmr_rerank_ivf,text_chunks_overlap,web_link_graph,web_host_rank \
+SPARK_GRAFT_PROBE_ONLY=mon_drift_bins,mon_drift_stats,mon_ks_value,mon_new_categories,rag_fusion_rrf_ivf,rag_mmr_rerank,rag_mmr_rerank_ivf,text_chunks_overlap,web_link_graph,web_host_rank,stream_new_categories,web_edges_build \
 $J graft.ScaleProbe tmp_bench10x tmp_scale100 >> /tmp/r14_probe100.log 2>/tmp/r14_probe100.err
 echo "probe100 rc=$? $(date)" >> /tmp/r14_probe100.log
 echo ALL_DONE
