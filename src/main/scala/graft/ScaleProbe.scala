@@ -265,7 +265,11 @@ object ScaleProbe {
     // per-row chunker, the no-exemption IVF+pruned-sparse fusion path,
     // and the kCand²-bounded greedy re-rank
     "text_chunks_overlap", "rag_fusion_rrf_ivf", "rag_mmr_rerank",
-    "rag_mmr_rerank_ivf")
+    "rag_mmr_rerank_ivf",
+    // round-14: the context-assembly stage completing the RAG chain —
+    // IVF retrieval (cached index) + candidate-pruned tokenizer +
+    // k-bounded per-query packing window
+    "rag_context_pack")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup
@@ -314,7 +318,8 @@ object ScaleProbe {
     * not just their batch twins. */
   val streamFamily: Seq[String] =
     Seq("stream_hll_windowed", "stream_fp_dedup", "stream_crawl_merge",
-      "stream_drift_bins", "stream_new_categories")
+      "stream_drift_bins", "stream_new_categories",
+      "stream_enrich_asof", "stream_sessionize")
 
   private def streamQuery(
       spark: SparkSession, name: String, dir: String)
@@ -387,6 +392,29 @@ object ScaleProbe {
           maxFilesPerTrigger = 8)
           .select(cat.as("category"), col("ts")),
         ref, "category", "ts")
+    case "stream_enrich_asof" =>
+      // the flagship PIT join's streaming twin (StreamingSpec proves
+      // batch-equality; this prices it at scale): streaming entity rows
+      // enriched with the latest static feature row ≤ ts within a 1 h
+      // TTL — stream-static left join + watermark-bounded max_by, state
+      // one row per in-flight entity, emitted (append) at the watermark
+      graft.streaming.StreamingOps.enrichAsOf(
+        Tables.readStreamParquet(spark, s"$dir/events.parquet",
+          maxFilesPerTrigger = 8)
+          .select("user_id", "ts", "event_id"),
+        Tables.read(spark, dir, "events")
+          .select(col("user_id"), col("ts").as("fts"),
+            col("value").as("fval")),
+        Seq("user_id"), "ts", "fts", Seq("fval"),
+        ttlSeconds = 3600)
+    case "stream_sessionize" =>
+      // the x_sessionize twin: watermarked session_window aggregation,
+      // state = open sessions only, closed sessions emitted append-mode
+      graft.streaming.StreamingOps.sessionCounts(
+        Tables.readStreamParquet(spark, s"$dir/events.parquet",
+          maxFilesPerTrigger = 8)
+          .select("user_id", "ts"),
+        "ts", "user_id")
     case other =>
       throw new IllegalArgumentException(s"unknown stream probe: $other")
   }
@@ -400,7 +428,8 @@ object ScaleProbe {
     val q = streamQuery(spark, name, dir).writeStream
       .format("memory").queryName(qn)
       .outputMode(
-        if (Set("stream_fp_dedup", "stream_new_categories")(name)) "append"
+        if (Set("stream_fp_dedup", "stream_new_categories",
+          "stream_enrich_asof", "stream_sessionize")(name)) "append"
         else "update")
       .start()
     try q.processAllAvailable() finally q.stop()

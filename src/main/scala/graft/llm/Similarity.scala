@@ -101,6 +101,46 @@ object Similarity {
       .select("qid", "nid", "rank", "rrf_scaled", "r_dense", "r_sparse")
   }
 
+  /** RAG CONTEXT PACKING — the assembly stage AFTER retrieval (and any
+    * fusion/re-rank): stuff the ranked candidates into the model's
+    * context window in rank order, cutting at the first document whose
+    * inclusion would push the running total past `budgetTokens`.
+    * PREFIX-CUT semantics — the industry-default "fill until full";
+    * skip-and-continue or lost-in-the-middle reordering variants change
+    * only this stage and compose with the same inputs.
+    *
+    * Retriever-agnostic like [[mmrRerankCandidates]]: `candidates` is
+    * any (qid, nid, rank, …) list ([[ivfKnnTrained]], [[rrfFuse]],
+    * [[mmrRerank]] output re-ranked). Token counts use the repo's
+    * BPE-ish regex ([[TextAnalysis.tokenCounts]] `n_bpe_tokens`), so
+    * the budget is the same unit the corpus-level token accounting
+    * (text_tokens / sample_token_budget) already reports.
+    *
+    * Scale shape: the candidate list is k-bounded PER QUERY, so (1) the
+    * corpus is pruned to candidate docs by an equi-semi-join on the id
+    * BEFORE the tokenizer regex runs — the expensive per-char scan
+    * touches ≤ k·|Q| docs, never the corpus; (2) the running-total
+    * window partitions by qid over ≤ k rows — no corpus-sized window
+    * anywhere. Output: (qid, nid, rank, n_tokens, cum_tokens), rows
+    * whose cumulative total fits the budget. */
+  def contextPack(docs: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String, budgetTokens: Long): DataFrame = {
+    val cand = candidates.select(col("qid"), col("nid"), col("rank"))
+    val hitTokens = docs
+      .select(col(idCol).as("nid"), col(textCol).as("__text"))
+      .join(cand.select("nid").distinct(), "nid")
+      .select(col("nid"),
+        size(regexp_extract_all(lower(col("__text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy("rank")
+    cand.join(hitTokens, "nid")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select("qid", "nid", "rank", "n_tokens", "cum_tokens")
+  }
+
   /** MMR DIVERSIFICATION RE-RANK (Carbonell & Goldstein, SIGIR'98): the
     * post-retrieval pass that keeps the k passages handed to a model
     * from being k near-copies of one source. Three stages, each keeping

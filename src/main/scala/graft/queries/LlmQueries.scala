@@ -1775,6 +1775,24 @@ object LlmQueries {
         assigned = Some(ivfIndex(s, dir)))
       Similarity.mmrRerankCandidates(e, cands, "vec_id", "embedding",
         k = 5)
+    }),
+
+    // CONTEXT PACKING (round 14) — the final RAG assembly stage the
+    // retrieve → fuse → re-rank chain above feeds: trained-IVF top-10
+    // per query (cached centroids + assignment, the no-exemption scale
+    // retriever), each hit's BPE-ish token count (the text_tokens
+    // unit), prefix-cut at a 300-token context budget (docs median ~56
+    // tokens, so the cut lands mid-list and both keep/cut paths fire).
+    // Tokenizer runs AFTER the candidate semi-join (≤ k·|Q| docs);
+    // the running-total window is qid-partitioned over ≤ k rows.
+    "rag_context_pack" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cands = Similarity.ivfKnnTrained(
+        e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, nProbe = 4, centroids = Some(trainedCentroids(s, dir)),
+        assigned = Some(ivfIndex(s, dir)))
+      Similarity.contextPack(docs(s, dir), cands, "doc_id", "text",
+        budgetTokens = 300)
     })
   )
 
@@ -3584,6 +3602,39 @@ object LlmQueries {
          |            round(round(sim, 6) * 1e6)::BIGINT AS rel
          |          FROM dr WHERE r <= 10),
          |${mmrGreedySuffix("n", k = 5, lamNum = 7, lamDen = 10)}"""
-        .stripMargin
+        .stripMargin,
+
+    // context packing: the identical trained-IVF top-10 chain, each
+    // hit joined to its text_tokens-convention BPE count, the prefix
+    // running total windowed per query, cut at 300 tokens
+    "rag_context_pack" ->
+      s"""${ivfTrainCtes(3, 64)},
+         |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |    SELECT n.vec_id, c.cid, row_number() OVER (
+         |      PARTITION BY n.vec_id
+         |      ORDER BY ${cSim("c")} DESC, c.cid DESC) AS rk
+         |    FROM n CROSS JOIN c3 c WHERE n.vec_id % 100 = 0) t
+         |  WHERE rk <= 4),
+         |qv2 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+         |        WHERE vec_id % 100 = 0),
+         |dsc AS (SELECT q.qid, nb.vec_id AS nid,
+         |          ${dotSql("q.qv", "nb.v")} / (q.qn * nb.nrm) AS sim
+         |        FROM probes p
+         |        JOIN qv2 q ON q.qid = p.qid
+         |        JOIN nb ON nb.cell = p.cell AND nb.vec_id != p.qid),
+         |dr AS (SELECT qid, nid, row_number() OVER (
+         |         PARTITION BY qid ORDER BY sim DESC, nid) AS r
+         |       FROM dsc),
+         |cand AS (SELECT qid, nid, r FROM dr WHERE r <= 10),
+         |tok AS (SELECT doc_id,
+         |          len(regexp_extract_all(lower(text),
+         |            '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_tokens
+         |        FROM documents),
+         |packed AS (SELECT qid, nid, r AS rank, n_tokens,
+         |        (sum(n_tokens) OVER (
+         |           PARTITION BY qid ORDER BY r))::BIGINT AS cum_tokens
+         |      FROM cand JOIN tok ON nid = tok.doc_id)
+         |SELECT qid, nid, rank, n_tokens, cum_tokens FROM packed
+         |WHERE cum_tokens <= 300""".stripMargin
   )
 }

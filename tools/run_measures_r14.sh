@@ -29,7 +29,7 @@ $J graft.Bench >> /tmp/r14_bench.log 2>/tmp/r14_bench.err
 echo "bench rc=$? $(date)" >> /tmp/r14_bench.log
 
 echo "=== probe100 start $(date)" | tee /tmp/r14_probe100.log
-SPARK_GRAFT_PROBE_ONLY=mon_drift_bins,mon_drift_stats,mon_ks_value,mon_new_categories,rag_fusion_rrf_ivf,rag_mmr_rerank,rag_mmr_rerank_ivf,text_chunks_overlap,web_link_graph,web_host_rank,stream_new_categories,web_edges_build \
+SPARK_GRAFT_PROBE_ONLY=mon_drift_bins,mon_drift_stats,mon_ks_value,mon_new_categories,rag_fusion_rrf_ivf,rag_mmr_rerank,rag_mmr_rerank_ivf,rag_context_pack,text_chunks_overlap,web_link_graph,web_host_rank,stream_new_categories,stream_enrich_asof,stream_sessionize,web_edges_build \
 $J graft.ScaleProbe tmp_bench10x tmp_scale100 >> /tmp/r14_probe100.log 2>/tmp/r14_probe100.err
 echo "probe100 rc=$? $(date)" >> /tmp/r14_probe100.log
 echo ALL_DONE
