@@ -91,7 +91,18 @@ object Bench {
       val rs: Seq[(String, Either[String, Double])] =
         SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
           case ((name, fn), i) =>
-          if (i > 0 && i % ctlEvery == 0) mids += controlOnce()
+          // MEDIAN-OF-3 mid samples, the same protocol as the endpoints
+          // (round 14): a SINGLE-shot control taken right after a heavy
+          // query systematically reads ~2× the quiet-JVM endpoints —
+          // async shuffle/broadcast cleanup of the just-finished query
+          // steals CPU from the one shot. The first r14 idle run read
+          // ALL seven mids at 0.23-0.60 vs 0.15/0.14 endpoints while
+          // every per-query median sat at its standing-table base (the
+          // re-measured dedup trio included) — a clean run falsely
+          // self-invalidated. Median-of-3 absorbs the transient; a real
+          // load WINDOW (minutes-scale, the r13 signature) still reads
+          // elevated through all three shots.
+          if (i > 0 && i % ctlEvery == 0) mids += controlMedian3()
           def once(): Either[String, Double] = {
             val t0 = System.nanoTime()
             try {
@@ -136,7 +147,8 @@ object Bench {
     // the run, which the pre/post pair structurally cannot see. Such a
     // pass re-runs (and self-marks contaminated if it persists) exactly
     // like an endpoint-drifted one. Majority vote, not any-single-mid:
-    // mid samples are single shots with ±50% scheduling noise.
+    // even median-3 mid samples wobble with residual churn, and one
+    // elevated sample must not invalidate a 25-minute run.
     def midContaminated(
         pre: Double, post: Double, mids: Seq[Double]): Boolean =
       mids.count(_ > driftMax * math.max(pre, post)) * 2 > mids.size

@@ -242,9 +242,23 @@ object Dedup {
       needles: DataFrame, haystack: DataFrame, idCol: String,
       textCol: String, n: Int = 3, c: Double = 0.9): DataFrame = {
     require(c > 0 && c <= 1, "containment threshold must be in (0, 1]")
+    // Both shingle relations are EAGERLY localCheckpoint'ed (the
+    // connectedComponents pattern): the plan below references the
+    // needle sets twice (prefix build + exact verify) and the haystack
+    // sets three times (df stats, candidate postings, verify), and
+    // without materialization each reference re-runs the full
+    // tokenize→shingle→hash scan — 3× the corpus-dominant work, and
+    // the round-14 diagnosis of this query's bimodal timings (2.4 s vs
+    // 22 s on identical data across identical fresh JVMs; the r13
+    // official artifact's 16 s outlier): whatever compilation/GC mode
+    // the JVM lands in is amplified threefold. One materialized pass
+    // caps the blast radius and is what the operator means anyway —
+    // a posting list is BUILT once, not re-derived per consumer.
     val setsN = shingleSets(needles, idCol, textCol, n)
       .filter(size(col("s32")) > 0)
+      .localCheckpoint()
     val setsH = shingleSets(haystack, idCol, textCol, n)
+      .localCheckpoint()
     val postings = setsH.select(col("doc_id"), explode(col("s32")).as("g32"))
     val freqH = postings.groupBy("g32").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("g32"))
