@@ -269,7 +269,10 @@ object ScaleProbe {
     // round-14: the context-assembly stage completing the RAG chain —
     // IVF retrieval (cached index) + candidate-pruned tokenizer +
     // k-bounded per-query packing window
-    "rag_context_pack")
+    "rag_context_pack",
+    // round-14: z-order layout effectiveness — one scan, two map-side-
+    // combinable 32-group aggregates, a 32-row join
+    "x_zorder_layout")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

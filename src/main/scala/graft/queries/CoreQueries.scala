@@ -1413,6 +1413,46 @@ object CoreQueries {
       lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
         Layout.zOrder2(col("l_partkey"), col("l_suppkey")).as("zval"))),
 
+    // Z-ORDER LAYOUT EFFECTIVENESS (round 14) — the pruning argument in
+    // NUMBERS, not prose: both keys normalized to the 16-bit Morton grid
+    // (min/max driver scalars inlined as literals — the J1 pattern, so
+    // the normalization constant-folds), rows assigned to 32 buckets two
+    // ways — top-5 Morton bits (the z-clustered file layout
+    // Layout.writeZOrdered produces) vs top-5 bits of the FIRST key (the
+    // linear-sort layout) — and each bucket reports its min/max span on
+    // BOTH dimensions. Z buckets bound both spans (≈ range/4 × range/8
+    // for 2+3 interleaved bits); linear buckets bound only the sort key
+    // and leave the second dimension at full range — exactly the footer
+    // min/max a range predicate on suppkey could never prune. One scan,
+    // two map-side-combinable aggregates, a 32-row join.
+    "x_zorder_layout" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      val r = li.agg(min(col("pk")), max(col("pk")),
+        min(col("sk")), max(col("sk"))).head()
+      val (pkMin, pkMax) = (r.getLong(0), r.getLong(1))
+      val (skMin, skMax) = (r.getLong(2), r.getLong(3))
+      val g = li
+        .withColumn("x16", expr(
+          s"CAST(((pk - $pkMin) * 65536) DIV ${pkMax - pkMin + 1} AS BIGINT)"))
+        .withColumn("y16", expr(
+          s"CAST(((sk - $skMin) * 65536) DIV ${skMax - skMin + 1} AS BIGINT)"))
+      val zb = g
+        .withColumn("bucket",
+          shiftright(Layout.zOrder2(col("x16"), col("y16")), 27))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_z"),
+          (max(col("pk")) - min(col("pk"))).as("z_pk_span"),
+          (max(col("sk")) - min(col("sk"))).as("z_sk_span"))
+      val lb = g
+        .withColumn("bucket", shiftright(col("x16"), 11))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_lin"),
+          (max(col("pk")) - min(col("pk"))).as("lin_pk_span"),
+          (max(col("sk")) - min(col("sk"))).as("lin_sk_span"))
+      zb.join(lb, "bucket")
+    }),
+
     // BUCKETED co-located join, split into BUILD and PROBE rows so the
     // bench artifact shows each cost on its own line — the 100 TB story
     // is precisely "pay the shuffle once at write time, then every
@@ -2505,6 +2545,27 @@ object CoreQueries {
       s"""SELECT l_orderkey, l_linenumber,
          |       ${Layout.zOrder2Sql("l_partkey", "l_suppkey")} AS zval
          |FROM lineitem""".stripMargin,
+
+    "x_zorder_layout" ->
+      s"""WITH b AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         |mm AS (SELECT min(pk) AS pkmin, max(pk) AS pkmax,
+         |              min(sk) AS skmin, max(sk) AS skmax FROM b),
+         |g AS (SELECT pk, sk,
+         |        ((pk - pkmin) * 65536) // (pkmax - pkmin + 1) AS x16,
+         |        ((sk - skmin) * 65536) // (skmax - skmin + 1) AS y16
+         |      FROM b, mm),
+         |zagg AS (SELECT ${Layout.zOrder2Sql("x16", "y16")} >> 27
+         |                  AS bucket,
+         |           count(*) AS n_z, max(pk) - min(pk) AS z_pk_span,
+         |           max(sk) - min(sk) AS z_sk_span
+         |         FROM g GROUP BY 1),
+         |lagg AS (SELECT x16 >> 11 AS bucket,
+         |           count(*) AS n_lin, max(pk) - min(pk) AS lin_pk_span,
+         |           max(sk) - min(sk) AS lin_sk_span
+         |         FROM g GROUP BY 1)
+         |SELECT bucket, n_z, z_pk_span, z_sk_span,
+         |       n_lin, lin_pk_span, lin_sk_span
+         |FROM zagg JOIN lagg USING (bucket)""".stripMargin,
 
     "x_skew_salted_join" ->
       """WITH dim AS (SELECT event_type, count(*) AS type_n

@@ -18,6 +18,28 @@ class LayoutSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 2L, 3L, 39L, 4294967295L))
   }
 
+  test("x_zorder_layout buckets bound BOTH dims; linear leaves dim-2 full") {
+    // the declared query's semantic claim, pinned on the real table:
+    // every z bucket's span is a strict fraction of each key's range
+    // (2 pk bits + 3 sk bits of the top-5 Morton bits → ≤ range/4 and
+    // ≤ range/8 + grid rounding), while every LINEAR bucket leaves the
+    // second key at its full range — the footer min/max a suppkey
+    // predicate could never prune.
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.CoreQueries.queries("x_zorder_layout")(
+      spark, dir).collect()
+    assert(out.length == 32)
+    val li = Tables.read(spark, dir, "lineitem")
+      .agg(max(col("l_partkey")) - min(col("l_partkey")),
+        max(col("l_suppkey")) - min(col("l_suppkey"))).head()
+    val (pkRange, skRange) = (li.getLong(0), li.getLong(1))
+    assert(out.forall(_.getAs[Long]("z_pk_span") <= pkRange / 4 + 2))
+    assert(out.forall(_.getAs[Long]("z_sk_span") <= skRange / 8 + 2))
+    assert(out.forall(_.getAs[Long]("lin_sk_span") == skRange))
+    assert(out.map(_.getAs[Long]("n_z")).sum ==
+      out.map(_.getAs[Long]("n_lin")).sum)
+  }
+
   test("z-ordered files prune on the SECOND dimension; linear sort cannot") {
     // symmetric 8-bit × 8-bit grid — the shape z-ordering exists for
     // (asymmetric bit widths degrade it toward linear sort, honestly)
