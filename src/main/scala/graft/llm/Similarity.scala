@@ -135,7 +135,18 @@ object Similarity {
           .cast("long").as("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy("rank")
-    cand.join(hitTokens, "nid")
+    // LEFT join + loud failure on a candidate id absent from the docs
+    // table (ADVICE r14): an inner join would silently drop the missing
+    // rank and let later ranks slide into the budget — violating the
+    // strict prefix-cut contract (a doc after the gap would pack as if
+    // the missing one never existed). Missing docs are a pipeline bug
+    // (the retriever indexed something the corpus no longer has), so
+    // fail the job rather than mis-pack the context.
+    cand.join(hitTokens, Seq("nid"), "left")
+      .withColumn("n_tokens",
+        when(col("n_tokens").isNull, raise_error(concat(
+          lit("contextPack: candidate id absent from docs table: "),
+          col("nid").cast("string")))).otherwise(col("n_tokens")))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
       .select("qid", "nid", "rank", "n_tokens", "cum_tokens")

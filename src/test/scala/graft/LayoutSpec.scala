@@ -28,14 +28,23 @@ class LayoutSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val out = graft.queries.CoreQueries.queries("x_zorder_layout")(
       spark, dir).collect()
-    assert(out.length == 32)
+    // ≤ 32 buckets with a populated-bucket floor, not == 32: the exact
+    // bucket count is data-distribution-dependent (an empty top-5-bit
+    // bucket at a different fixture scale is not a query bug) —
+    // ADVICE r14. The sf0.001 fixture happens to populate all 32.
+    assert(out.length <= 32 && out.length >= 16,
+      s"bucket count ${out.length} outside [16, 32]")
     val li = Tables.read(spark, dir, "lineitem")
       .agg(max(col("l_partkey")) - min(col("l_partkey")),
         max(col("l_suppkey")) - min(col("l_suppkey"))).head()
     val (pkRange, skRange) = (li.getLong(0), li.getLong(1))
     assert(out.forall(_.getAs[Long]("z_pk_span") <= pkRange / 4 + 2))
     assert(out.forall(_.getAs[Long]("z_sk_span") <= skRange / 8 + 2))
-    assert(out.forall(_.getAs[Long]("lin_sk_span") == skRange))
+    // linear buckets leave the second key NEAR its full range (the
+    // pruning blind spot); ≥ 90% rather than == full range, so one
+    // supplier missing from one bucket at a different fixture scale
+    // can't fail a correct query — ADVICE r14
+    assert(out.forall(_.getAs[Long]("lin_sk_span") >= skRange * 9 / 10))
     assert(out.map(_.getAs[Long]("n_z")).sum ==
       out.map(_.getAs[Long]("n_lin")).sum)
   }

@@ -51,4 +51,17 @@ class ContextPackSpec extends SparkSpec {
       Seq((1L, 1L, 1), (1L, 2L, 2)), budget = 10)
     assert(out.map(_._5) == Seq(5L, 10L))
   }
+
+  test("a candidate id absent from the docs table FAILS the job loudly") {
+    // ADVICE r14: an inner join silently dropped the missing rank and
+    // later ranks slid into the budget as if the gap never existed —
+    // the strict prefix-cut contract requires failing instead
+    val e = intercept[Exception] {
+      pack(Seq(doc(1, 3)), Seq((9L, 1L, 1), (9L, 77L, 2)), budget = 100)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("absent from docs table: 77")))
+  }
 }
