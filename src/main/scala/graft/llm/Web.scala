@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Web-crawl URL operators: canonicalization, crawl dedup by canonical
@@ -278,6 +278,93 @@ object Web {
     concat(lit("site"),
       pmod(shiftright(id.cast("long"), 2), lit(50L)).cast("string"),
       lit(".example"))
+
+  /** ROBOTS.TXT-style URL filtering — the crawl-politeness gate that
+    * runs between frontier generation and fetching (and again before a
+    * corpus release, to honor post-hoc opt-outs). Semantics are the
+    * documented Google/RFC 9309 path-prefix rule:
+    *
+    *   - a rule matches a URL when the URL's PATH starts with the
+    *     rule's prefix (prefix matching is literal — `/articles/a1`
+    *     matches `/articles/a10`);
+    *   - among matching rules the MOST SPECIFIC (longest prefix) wins;
+    *   - at equal length, Allow beats Disallow;
+    *   - a URL matching no rule is allowed (robots is default-open).
+    *
+    * `rules`: (host, prefix, allow 0|1). `urls`: any df carrying a
+    * CANONICAL url column ([[canonicalizeUrl]] first — rules and URLs
+    * must agree on the host key).
+    *
+    * Scale shape: one HOST equi-join (rules arrive pre-sharded by the
+    * join key; a million-host rule table is just another relation —
+    * broadcast when small, shuffled when not) with the startsWith
+    * residual evaluated inside the join, then ONE map-side-combinable
+    * per-URL aggregate picking the winner as `max(struct(len, allow,
+    * prefix))` — no window over the match relation, no all-pairs
+    * (a rule only ever meets its own host's URLs). The final left
+    * join attaches the verdict back to every URL so unmatched URLs
+    * keep their default-allow row. */
+  def robotsFilter(urls: DataFrame, rules: DataFrame,
+      idCol: String, urlCol: String): DataFrame = {
+    val u = urls.select(col(idCol), col(urlCol).as("url"),
+      hostOf(col(urlCol)).as("host"),
+      regexp_extract(col(urlCol), "^https://[^/?#]*([^?#]*)", 1)
+        .as("__path"))
+    val r = rules.select(col("host").as("__rh"), col("prefix"),
+      col("allow"))
+    val matched = u.join(r, u("host") === col("__rh") &&
+        col("__path").startsWith(col("prefix")))
+      .groupBy(col(idCol))
+      // winner = lexicographic max over (len, allow, prefix): longest
+      // prefix first, Allow over Disallow at equal length, prefix
+      // string as the deterministic final tie-break — the exact
+      // ordering the oracle's row_number replays
+      .agg(max(struct(length(col("prefix")).as("rule_len"),
+        col("allow").as("rule_allow"),
+        col("prefix").as("rule_prefix"))).as("w"))
+    u.join(matched, Seq(idCol), "left")
+      .select(col(idCol), col("url"), col("host"),
+        coalesce(col("w.rule_allow") === 1, lit(true)).as("allowed"),
+        col("w.rule_prefix").as("rule_prefix"),
+        col("w.rule_len").as("rule_len"))
+  }
+
+  /** Deterministic robots-rule fixture over a host relation (hosts of
+    * the [[syntheticUrl]] form `site{h}.example`). Per host `h`, with
+    * d = h mod 10 and t = h div 10:
+    *
+    *   - Disallow `/articles/a{d}`           (every host)
+    *   - Allow    `/articles/a{d}{t}`        (every host — LONGER, so
+    *     it overrides the disallow exactly where it matches)
+    *   - Disallow `/`                        (h mod 10 = 9 — the
+    *     whole-host blacklist case)
+    *   - Allow    `/articles/a{d}`           (h mod 5 = 2 — the SAME
+    *     prefix as the standing disallow: the equal-length tie Allow
+    *     must win)
+    *
+    * All four shapes are exercised by the corpus's own id arithmetic
+    * (g ≡ h mod 50, path `/articles/a{g}`), and the oracle restates
+    * the same rules analytically. */
+  def syntheticRobots(hosts: DataFrame, hostCol: String): DataFrame = {
+    val base = hosts.select(col(hostCol).as("host"),
+      regexp_extract(col(hostCol), "^site([0-9]+)", 1).cast("long")
+        .as("__h"))
+    val d = pmod(col("__h"), lit(10L)).cast("string")
+    val t = expr("__h div 10").cast("string")
+    val r1 = struct(concat(lit("/articles/a"), d).as("prefix"),
+      lit(0).as("allow"))
+    val r2 = struct(concat(lit("/articles/a"), d, t).as("prefix"),
+      lit(1).as("allow"))
+    val r3 = when(pmod(col("__h"), lit(10L)) === 9,
+      struct(lit("/").as("prefix"), lit(0).as("allow")))
+    val r4 = when(pmod(col("__h"), lit(5L)) === 2,
+      struct(concat(lit("/articles/a"), d).as("prefix"),
+        lit(1).as("allow")))
+    base.select(col("host"), explode(array(r1, r2, r3, r4)).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("host"), col("r.prefix").as("prefix"),
+        col("r.allow").as("allow"))
+  }
 
   /** Deterministic messy-URL fixture over a document id (the planted-
     * fixture pattern of the multimodal family): four crawl variants of

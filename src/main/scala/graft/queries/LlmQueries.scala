@@ -1690,6 +1690,22 @@ object LlmQueries {
       Web.crawlDelta(snap1, snap2, "url", "text")
     }),
 
+    // ROBOTS.TXT filtering (RFC 9309 longest-match semantics): the
+    // crawl-politeness gate between frontier and fetch. Rules derive
+    // deterministically from the corpus's own hosts (Web.syntheticRobots
+    // — disallow-by-digit, a longer allow override, a whole-host
+    // blacklist, and an equal-length Allow-beats-Disallow tie), so the
+    // corpus id arithmetic exercises all four verdict shapes. One host
+    // equi-join + one per-URL max(struct) winner pick — no window over
+    // the match relation, no all-pairs.
+    "web_robots_filter" -> ((s, dir) => {
+      val canon = Web.canonicalizeUrl(Web.syntheticUrl(col("doc_id")))
+      val u = docs(s, dir).select(col("doc_id"), canon.as("url"))
+      val hosts = u.select(Web.hostOf(col("url")).as("host")).distinct()
+      Web.robotsFilter(u, Web.syntheticRobots(hosts, "host"),
+        "doc_id", "url")
+    }),
+
     // host-authority ranking over the extracted link graph (the
     // Common-Crawl-style domain rank used as a corpus quality prior):
     // fixed-point integer PageRank (Graph.pageRank — bit-identical
@@ -3428,6 +3444,43 @@ object LlmQueries {
         |            WHEN s1.h <> s2.h THEN 'changed'
         |            ELSE 'unchanged' END AS status
         |FROM s1 FULL OUTER JOIN s2 ON s1.url = s2.url""".stripMargin,
+
+    // the rule table restated analytically from the host arithmetic;
+    // the winner pick replayed as a row_number ordered by the same
+    // (len, allow, prefix) triple Spark's max(struct) compares
+    "web_robots_filter" ->
+      s"""WITH $WebCanonSql,
+         |uu AS (SELECT doc_id, canon AS url,
+         |        regexp_extract(canon, '^https://([^/]*)', 1) AS host,
+         |        regexp_extract(canon, '^https://[^/?#]*([^?#]*)',
+         |          1) AS path
+         |      FROM cn),
+         |hs AS (SELECT DISTINCT host,
+         |        CAST(regexp_extract(host, '^site([0-9]+)', 1)
+         |          AS BIGINT) AS h
+         |      FROM uu),
+         |rl AS (
+         |  SELECT host, '/articles/a' || (h % 10) AS prefix, 0 AS allow
+         |  FROM hs
+         |  UNION ALL
+         |  SELECT host, '/articles/a' || (h % 10) || (h // 10), 1 FROM hs
+         |  UNION ALL
+         |  SELECT host, '/', 0 FROM hs WHERE h % 10 = 9
+         |  UNION ALL
+         |  SELECT host, '/articles/a' || (h % 10), 1 FROM hs
+         |  WHERE h % 5 = 2),
+         |m AS (SELECT uu.doc_id, r.prefix, r.allow,
+         |        row_number() OVER (PARTITION BY uu.doc_id
+         |          ORDER BY length(r.prefix) DESC, r.allow DESC,
+         |                   r.prefix DESC) AS rn
+         |      FROM uu JOIN rl r ON uu.host = r.host
+         |        AND substr(uu.path, 1, length(r.prefix)) = r.prefix)
+         |SELECT uu.doc_id, uu.url, uu.host,
+         |       coalesce(m.allow = 1, TRUE) AS allowed,
+         |       m.prefix AS rule_prefix,
+         |       length(m.prefix)::INTEGER AS rule_len
+         |FROM uu LEFT JOIN m ON uu.doc_id = m.doc_id AND m.rn = 1"""
+        .stripMargin,
 
     "web_host_rank" -> {
       val edgesCte =

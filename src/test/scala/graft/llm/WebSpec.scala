@@ -221,4 +221,71 @@ class WebSpec extends SparkSpec {
       .count()
     assert(n == 0, s"$n fixture URLs moved under re-canonicalization")
   }
+
+  // ── robots.txt filtering ────────────────────────────────────────────
+
+  private def robots(urls: Seq[(Long, String)],
+      rules: Seq[(String, String, Int)]) = {
+    import spark.implicits._
+    Web.robotsFilter(urls.toDF("doc_id", "url"),
+        rules.toDF("host", "prefix", "allow"), "doc_id", "url")
+      .select("doc_id", "allowed", "rule_prefix")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("robots: longest matching prefix wins; equal length Allow beats " +
+    "Disallow; no match defaults to allowed") {
+    val rules = Seq(
+      ("h.example", "/a", 0),        // blocks /a*
+      ("h.example", "/a/keep", 1),   // longer Allow carves an exception
+      ("h.example", "/tie", 0),      // equal-length pair: Allow wins
+      ("h.example", "/tie", 1))
+    val urls = Seq(
+      (1L, "https://h.example/a/x"),        // /a only → disallowed
+      (2L, "https://h.example/a/keep/x"),   // longer allow → allowed
+      (3L, "https://h.example/tie/x"),      // tie → allow
+      (4L, "https://h.example/other"))      // no rule → default allow
+    val out = robots(urls, rules)
+    assert(out(1L) == ((false, Some("/a"))))
+    assert(out(2L) == ((true, Some("/a/keep"))))
+    assert(out(3L) == ((true, Some("/tie"))))
+    assert(out(4L) == ((true, None)))
+  }
+
+  test("robots: prefix match is literal (a rule for /a1 matches /a10), " +
+    "rules never cross hosts") {
+    val rules = Seq(("h.example", "/a1", 0))
+    val out = robots(Seq(
+      (1L, "https://h.example/a10/deep"),   // literal prefix → blocked
+      (2L, "https://h.example/a2"),         // different path → allowed
+      (3L, "https://other.example/a10")),   // other host → allowed
+      rules)
+    assert(out(1L)._1 == false)
+    assert(out(2L)._1 == true && out(3L)._1 == true)
+  }
+
+  test("robots: the synthetic rule fixture exercises all four verdict " +
+    "shapes on the corpus arithmetic") {
+    import spark.implicits._
+    // host 33 (d=3, t=3): g=133 → path a133 matches Disallow /articles/a1?
+    // no — d=3: Disallow a3, Allow a33. g=33 → a33: both match, the
+    // longer Allow wins. host 9: whole-host '/' Disallow; g=9 → a9 also
+    // matches Disallow a9 (longer than '/') → blocked either way.
+    // host 2 (2%5=2): tie pair on a2 → g=2 allowed. host 13: g=13 →
+    // a13 matches nothing (d=3) → default allow.
+    val ids = Seq(33L * 4, 9L * 4, 2L * 4, 13L * 4).toDF("doc_id")
+    val canon = Web.canonicalizeUrl(Web.syntheticUrl(col("doc_id")))
+    val u = ids.select(col("doc_id"), canon.as("url"))
+    val hosts = u.select(Web.hostOf(col("url")).as("host")).distinct()
+    val out = Web.robotsFilter(u, Web.syntheticRobots(hosts, "host"),
+        "doc_id", "url")
+      .select("doc_id", "allowed", "rule_prefix")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(132L) == ((true, Some("/articles/a33"))))  // long allow
+    assert(out(36L) == ((false, Some("/articles/a9"))))   // blacklisted
+    assert(out(8L) == ((true, Some("/articles/a2"))))     // tie → allow
+    assert(out(52L) == ((true, None)))                    // default
+  }
 }
