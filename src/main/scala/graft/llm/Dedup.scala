@@ -924,4 +924,55 @@ object Dedup {
       .agg(count(lit(1)).as(sharedCol))
       .filter(col(sharedCol) >= minShared)
   }
+
+  /** CORPUS-LEVEL PARAGRAPH DEDUP (the CCNet/C4 sub-document pass):
+    * remove every repeated paragraph from the corpus, keeping only its
+    * FIRST occurrence (smallest doc id, then smallest position within
+    * that doc), and reassemble each document from its surviving
+    * paragraphs in order. Document-level dedup ([[exactDedup]],
+    * [[minHashLshPairs]]) cannot touch this redundancy: two documents
+    * sharing half their paragraphs keep both full texts; the paragraph
+    * pass removes the shared half from the later document while both
+    * documents survive. Paragraph = a fixed `chunkTokens`-token chunk
+    * ([[TextAnalysis.chunkDocuments]] — the corpus text is
+    * single-line, so token chunks stand in for newline paragraphs; on
+    * real crawl text pass the line-exploded relation instead).
+    *
+    * Scale shape: (1) chunking is pure per-row array expressions;
+    * (2) the winner per paragraph content is ONE map-side-combinable
+    * aggregate `min(struct(id, pos))` keyed by the paragraph — heavy
+    * duplication COLLAPSES here, partial aggregation does the work
+    * before the shuffle; (3) one equi-join of the chunk relation
+    * against the winner table on the content key (AQE broadcasts it
+    * when small); (4) ONE per-doc groupBy reassembles kept chunks in
+    * order and counts kept/dropped (the [[graft.llm.Web.stripBoilerplate]]
+    * collect-sort-join idiom — collect_list skips the nulls the
+    * when() plants for dropped chunks). No window over the corpus, no
+    * all-pairs, nothing collects. A document whose every paragraph
+    * was seen earlier survives with empty `clean_text` — dropping
+    * documents is a curation decision, not a text transform's. */
+  def dropDuplicateParagraphs(df: DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int = 16): DataFrame = {
+    val chunks = TextAnalysis.chunkDocuments(df, idCol, textCol,
+        chunkTokens)
+      .select(col("doc_id").as("__id"), col("chunk_idx").as("__pos"),
+        col("chunk_text").as("__p"))
+    val winners = chunks.groupBy("__p")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+    chunks.join(winners, Seq("__p"))
+      .withColumn("__keep",
+        col("__id") === col("__w.__id") && col("__pos") === col("__w.__pos"))
+      .groupBy("__id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("__pos"), col("__p"))))),
+            x => x.getField("__p")),
+          " ").as("clean_text"),
+        count(when(col("__keep"), lit(1))).as("n_kept"),
+        count(when(!col("__keep"), lit(1))).as("n_dropped"))
+      .select(col("__id").as(idCol), col("clean_text"),
+        col("n_kept"), col("n_dropped"))
+  }
 }

@@ -1157,6 +1157,18 @@ object LlmQueries {
     "dedup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", n = 8)),
 
+    // CCNet/C4-style PARAGRAPH dedup: every repeated 16-token chunk is
+    // kept only at its first corpus occurrence (min doc, then min pos)
+    // and each document is reassembled from its survivors — the
+    // sub-document redundancy pass document-level dedup cannot express.
+    // One content-keyed map-side-combinable winner aggregate + one
+    // equi-join + one per-doc reassembly groupBy; the planted exact
+    // copies lose ALL their paragraphs (clean_text = '') while their
+    // originals keep every one.
+    "dedup_paragraphs" -> ((s, dir) =>
+      Dedup.dropDuplicateParagraphs(docs(s, dir), "doc_id", "text",
+        chunkTokens = 16)),
+
     // fixed-point mean pooling of vector groups (vec_id % 50 as the
     // pooling key): commutative integer sums make the pooled vectors
     // bit-identical on any partitioning AND oracle-replayable
@@ -2193,6 +2205,34 @@ object LlmQueries {
          |         AS dup_fraction
          |FROM g2 LEFT JOIN dup USING (doc_id)""".stripMargin
     },
+
+    // keep-first replayed as a row_number over (doc_id, ci) per chunk
+    // content — the exact order Spark's min(struct) compares; reassembly
+    // is a NULL-skipping string_agg ordered by position
+    "dedup_paragraphs" ->
+      s"""WITH $DocsCte,
+         |ch AS (SELECT doc_id, unnest(list_transform(
+         |         range(0, greatest(CAST(ceil(len(w) / 16.0) AS BIGINT), 1)),
+         |         i -> struct_pack(
+         |           ci := i,
+         |           ct := array_to_string(
+         |             w[CAST(i*16+1 AS BIGINT):CAST(i*16+16 AS BIGINT)],
+         |             ' ')))) AS c
+         |       FROM docs),
+         |cf AS (SELECT doc_id, CAST(c.ci AS INT) AS ci, c.ct AS ct FROM ch),
+         |r AS (SELECT doc_id, ci, ct,
+         |        row_number() OVER (PARTITION BY ct
+         |          ORDER BY doc_id, ci) AS rn
+         |      FROM cf),
+         |ka AS (SELECT doc_id,
+         |         string_agg(CASE WHEN rn = 1 THEN ct END, ' '
+         |           ORDER BY ci) AS clean_text,
+         |         count(*) FILTER (rn = 1) AS n_kept,
+         |         count(*) FILTER (rn > 1) AS n_dropped
+         |       FROM r GROUP BY doc_id)
+         |SELECT doc_id, coalesce(clean_text, '') AS clean_text,
+         |       n_kept::BIGINT AS n_kept, n_dropped::BIGINT AS n_dropped
+         |FROM ka""".stripMargin,
 
     // filter on the ROUNDED score — matches the Spark side exactly
     "dedup_decontaminate" ->
