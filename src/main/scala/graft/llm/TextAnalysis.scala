@@ -598,4 +598,33 @@ object TextAnalysis {
           regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("redacted"))
+
+  /** POSITIONAL PHRASE SEARCH — the inverted-index query a search/
+    * attribution pipeline runs to locate an exact `n`-word phrase in a
+    * corpus (training-data attribution, quote finding, memorization
+    * probes all reduce to it). `phrases`: (qid, phrase) with each
+    * phrase exactly `n` normalized words. Output one row per
+    * occurrence: (qid, phrase, doc_id, pos) — `pos` is the 0-based
+    * token offset of the phrase's first word.
+    *
+    * Scale shape: the postings relation is the corpus's positional
+    * n-gram windows — per-row array expressions + one posexplode,
+    * LINEAR in corpus tokens, built fresh per query batch (a standing
+    * deployment would materialize it once and bucket it by a gram
+    * hash); matching is ONE equi-join on the gram string (broadcast
+    * while the phrase set is small, an ordinary hash join when a
+    * million-phrase attribution batch arrives). Output is the true
+    * match set — no candidate blowup, no verify stage needed, because
+    * the join key IS the phrase. */
+  def phraseSearch(corpus: DataFrame, phrases: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val posts = corpus
+      .select(col(idCol).as("doc_id"), TextOps.words(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        posexplode(TextOps.wordNgrams("__w", n)).as(Seq("pos", "__g")))
+    posts
+      .join(broadcast(phrases.select(col("qid"), col("phrase"))),
+        col("__g") === col("phrase"))
+      .select(col("qid"), col("phrase"), col("doc_id"), col("pos"))
+  }
 }

@@ -1332,6 +1332,26 @@ object LlmQueries {
       TextAnalysis.chunkDocumentsOverlap(docs(s, dir), "doc_id", "text",
         chunkTokens = 64, stride = 32)),
 
+    // positional PHRASE SEARCH over the corpus's 5-gram inverted index
+    // (training-data attribution / quote finding): each id%43 probe doc
+    // contributes its opening 5-gram AND an interior one (tokens
+    // 11-15), so matches land at pos 0 and pos 10 — every phrase finds
+    // its own source, plus any corpus doc repeating the phrase; one
+    // broadcast equi-join on the gram string, output = the true
+    // occurrence set (the join key IS the phrase, no verify stage)
+    "text_phrase_search" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val phrases = d
+        .filter(pmod(col("doc_id"), lit(43L)) === 0)
+        .select(col("doc_id").as("qid"),
+          TextOps.words(col("text")).as("__w"))
+        .filter(size(col("__w")) >= 15)
+        .select(col("qid"), explode(array(
+          concat_ws(" ", slice(col("__w"), 1, 5)),
+          concat_ws(" ", slice(col("__w"), 11, 5)))).as("phrase"))
+      TextAnalysis.phraseSearch(d, phrases, "doc_id", "text", n = 5)
+    }),
+
     // self-scored corpus quality: every doc's nll under the corpus's own
     // bigram model (outliers = least corpus-like text)
     "text_lm_score" -> ((s, dir) =>
@@ -2789,6 +2809,26 @@ object LlmQueries {
          |       CAST(c.st AS INT) AS start_tok, c.ct AS chunk_text,
          |       CAST(c.nt AS INT) AS n_tokens
          |FROM ch""".stripMargin,
+
+    // postings = positional 5-gram windows (1-based slice → 0-based
+    // pos); the phrase table restates the two per-probe-doc slices
+    "text_phrase_search" ->
+      s"""WITH $DocsCte,
+         |ph AS (SELECT doc_id AS qid,
+         |         array_to_string(w[1:5], ' ') AS phrase
+         |       FROM docs WHERE doc_id % 43 = 0 AND len(w) >= 15
+         |       UNION ALL
+         |       SELECT doc_id, array_to_string(w[11:15], ' ')
+         |       FROM docs WHERE doc_id % 43 = 0 AND len(w) >= 15),
+         |pw AS (SELECT doc_id, unnest(list_transform(
+         |         range(1, greatest(len(w) - 4, 0) + 1),
+         |         i -> struct_pack(p := i - 1,
+         |           g := array_to_string(w[i:i+4], ' ')))) AS c
+         |       FROM docs),
+         |posts AS (SELECT doc_id, CAST(c.p AS INT) AS pos, c.g AS g
+         |          FROM pw)
+         |SELECT ph.qid, ph.phrase, posts.doc_id, posts.pos
+         |FROM posts JOIN ph ON posts.g = ph.phrase""".stripMargin,
 
     // the per-doc log-prob sum is a QUANTIZED INTEGER sum in BOTH
     // engines (round(lnp * 1e9)::BIGINT then sum) — commutative and
