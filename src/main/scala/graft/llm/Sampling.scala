@@ -216,4 +216,56 @@ object Sampling {
     s"${hash32Sql(s"'$q:' || CAST($idSql AS VARCHAR)")}::DOUBLE" +
       s" < $rate * ($weightSql)::DOUBLE * 4294967296.0"
   }
+
+  /** DSIR-style DATA SELECTION VIA IMPORTANCE RESAMPLING (Xie et al.
+    * 2023): pick the `k` raw-pool documents whose hashed-unigram
+    * distribution best matches a small TARGET corpus — the standard
+    * move for tilting a web-scale pool toward a domain (papers, code,
+    * a benchmark's style) without training a classifier. Per document,
+    * importance = Σ_tokens log p_target(f)/p_raw(f) over hashed
+    * features f = hash32(token) mod `nFeatures`, add-one smoothed,
+    * NORMALIZED PER TOKEN (the raw sum just measures length — shorter
+    * docs win on any corpus; the mean log-ratio measures fit).
+    *
+    * Determinism across engines: each feature's log-ratio is quantized
+    * to a 1e9-scaled long (`round(ln((ct+1)/(cr+1))·1e9)` — the
+    * text_lm_score treatment: one engine-local ln, then a round that
+    * absorbs sub-quantum ulp differences), the per-doc sum is a
+    * commutative long sum, and the final score is ONE correctly-
+    * rounded division of exact operands rounded to 6dp. Selection =
+    * top-k by (score DESC, id ASC) — total order, no RNG.
+    *
+    * Scale shape: two token-explode aggregations (map-side combinable;
+    * output ≤ `nFeatures` rows each), the weight table BROADCASTS
+    * (structurally ≤ `nFeatures` rows — that is the point of feature
+    * hashing), one per-doc sum, and a distributed TakeOrdered for the
+    * top-k — no global sort, no window, nothing corpus-sized moves
+    * except the token relation's own aggregation. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nFeatures: Int = 1024, k: Int = 50): DataFrame = {
+    require(nFeatures > 0 && k > 0, "need positive nFeatures and k")
+    def tok(df: DataFrame) = df
+      .select(col(idCol).as("__id"),
+        explode(words(col(textCol))).as("__t"))
+      .select(col("__id"),
+        pmod(hash32(col("__t")), lit(nFeatures.toLong)).as("__f"))
+    val rawTok = tok(raw)
+    val tgtCnt = tok(target).groupBy("__f").agg(count(lit(1)).as("__ct"))
+    val wt = rawTok.groupBy("__f").agg(count(lit(1)).as("__cr"))
+      .join(tgtCnt, Seq("__f"), "left")
+      .select(col("__f"),
+        round(log((coalesce(col("__ct"), lit(0L)) + lit(1L))
+            .cast("double") / (col("__cr") + lit(1L))) * lit(1e9), 0)
+          .cast("long").as("__wt"))
+    rawTok.join(broadcast(wt), Seq("__f"))
+      .groupBy("__id")
+      .agg(sum("__wt").as("__sum"), count(lit(1)).as("__n"))
+      .select(col("__id"),
+        round(col("__sum").cast("double") / col("__n") / lit(1e9), 6)
+          .as("dsir_score"),
+        col("__n").as("n_tok"))
+      .orderBy(col("dsir_score").desc, col("__id").asc)
+      .limit(k)
+      .select(col("__id").as(idCol), col("dsir_score"), col("n_tok"))
+  }
 }

@@ -1275,6 +1275,19 @@ object LlmQueries {
         rate = 0.0015, seed = "graft")
         .select("doc_id", "lang", "n_chars")),
 
+    // DSIR importance selection: the id%10 slice as the target domain,
+    // top-50 raw docs by mean hashed-unigram log-ratio (1e9-quantized
+    // per-feature, per-token normalized so length can't masquerade as
+    // fit); the ≤1024-row weight table broadcasts, selection is a
+    // distributed TakeOrdered — measured: target docs 2.2× over-
+    // represented in the selection on this weakly-separated corpus
+    "sample_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.dsirSelect(d,
+        d.filter(pmod(col("doc_id"), lit(10L)) === 0),
+        "doc_id", "text", nFeatures = 1024, k = 50)
+    }),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
 
@@ -2548,6 +2561,27 @@ object LlmQueries {
          |SELECT doc_id, lang, 'rest' AS mixture_source FROM documents
          |WHERE lang != 'en'
          |  AND ${Sampling.bernoulliSql("doc_id", 0.25, "graft/rest")}""".stripMargin,
+
+    // per-feature log-ratio quantized to a 1e9-scaled BIGINT (the
+    // text_lm_score treatment), per-doc mean = one rounded division of
+    // exact operands; top-k replayed as ORDER BY (score DESC, id)
+    "sample_dsir" ->
+      s"""WITH $DocsCte,
+         |tk AS (SELECT doc_id,
+         |         ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS f
+         |       FROM (SELECT doc_id, unnest(w) AS t FROM docs)),
+         |tg AS (SELECT f, count(*) AS ct FROM tk
+         |       WHERE doc_id % 10 = 0 GROUP BY f),
+         |rw AS (SELECT f, count(*) AS cr FROM tk GROUP BY f),
+         |wt AS (SELECT rw.f,
+         |         CAST(round(ln((coalesce(tg.ct, 0) + 1)::DOUBLE /
+         |                       (rw.cr + 1)) * 1e9, 0) AS BIGINT) AS wt
+         |       FROM rw LEFT JOIN tg USING (f)),
+         |sc AS (SELECT doc_id, sum(wt)::BIGINT AS s, count(*) AS n
+         |       FROM tk JOIN wt USING (f) GROUP BY doc_id)
+         |SELECT doc_id, round(s::DOUBLE / n / 1e9, 6) AS dsir_score,
+         |       n::BIGINT AS n_tok
+         |FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT doc_id,
