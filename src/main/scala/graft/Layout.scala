@@ -141,4 +141,38 @@ object Layout {
     spark.catalog.refreshByPath(outDir)
     (before.size, parquetFiles(outDir).size)
   }
+
+  /** COMPACTION PLANNING — the metadata stage in front of
+    * [[compactParquet]] when the table is partitioned: given a FILE
+    * LISTING (partition, file id, size), assign files to rewrite
+    * groups of ≈`targetBytes` each, per partition. The assignment is
+    * the standard OPTIMIZE-style greedy fill: within a partition,
+    * files ordered by (size DESC, id) accumulate into a running total
+    * and a file lands in group `⌊bytes-before-it / target⌋` — largest
+    * files placed first (the first-fit-decreasing heuristic's ordering,
+    * which keeps group overshoot bounded by one file), group totals
+    * within [target-overshoot] bounds, singleton oversized files
+    * isolated by construction. Pure window arithmetic — deterministic,
+    * replayable, no driver loop.
+    *
+    * Scale shape: this operates on the LISTING, not the data — rows =
+    * file count (millions at 100 TB, not billions), the one window
+    * partitions by the table partition (bounded fan-in), and the
+    * output is one row per planned rewrite group. The plan feeds
+    * `compactParquet(..., targetFileBytes)` executions per group. */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol))
+      .orderBy(col(sizeCol).desc, col(fileCol))
+    files
+      .withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("grp",
+        expr(s"CAST((__cum - $sizeCol) div $targetBytes AS BIGINT)"))
+      .groupBy(col(partCol), col("grp"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol)).as("total_bytes"),
+        max(col(sizeCol)).as("max_file_bytes"))
+  }
 }

@@ -1453,6 +1453,28 @@ object CoreQueries {
       zb.join(lb, "bucket")
     }),
 
+    // COMPACTION PLANNING (Layout.compactionPlan — the metadata stage
+    // in front of Layout.compactParquet): a synthetic per-(day, writer)
+    // file listing derived deterministically from events (size = 1KB
+    // header + 64B/row + payload bytes — the small-files shape a
+    // streaming/CDC sink leaves behind), binned into ≈64KB rewrite
+    // groups per month partition. Greedy size-DESC fill via ONE window
+    // over the LISTING (rows = file count, never data rows).
+    "x_compaction_plan" -> ((s, dir) => {
+      val files = Tables.read(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("dt"),
+          pmod(col("user_id"), lit(8L)).as("writer"))
+        .agg((lit(1024L) + count(lit(1)) * lit(64L) +
+          sum(length(col("props")))).as("size_bytes"))
+        .select(
+          (year(col("dt")) * 100 + month(col("dt"))).as("part_month"),
+          concat_ws("-", col("dt").cast("string"),
+            col("writer").cast("string")).as("file_id"),
+          col("size_bytes"))
+      Layout.compactionPlan(files, "part_month", "file_id",
+        "size_bytes", targetBytes = 64000L)
+    }),
+
     // BUCKETED co-located join, split into BUILD and PROBE rows so the
     // bench artifact shows each cost on its own line — the 100 TB story
     // is precisely "pay the shuffle once at write time, then every
@@ -2566,6 +2588,28 @@ object CoreQueries {
          |SELECT bucket, n_z, z_pk_span, z_sk_span,
          |       n_lin, lin_pk_span, lin_sk_span
          |FROM zagg JOIN lagg USING (bucket)""".stripMargin,
+
+    // the greedy fill replayed: same (size DESC, file_id) order, ROWS
+    // frame (== Spark's RANGE frame here — the ordering key is unique),
+    // same floor-division group id
+    "x_compaction_plan" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) AS dt, user_id % 8 AS writer,
+        |             1024 + count(*) * 64 +
+        |               sum(length(props)) AS size_bytes
+        |           FROM events GROUP BY 1, 2),
+        |ff AS (SELECT year(dt) * 100 + month(dt) AS part_month,
+        |         dt::VARCHAR || '-' || writer::VARCHAR AS file_id,
+        |         size_bytes
+        |       FROM f),
+        |a AS (SELECT part_month, file_id, size_bytes,
+        |        sum(size_bytes) OVER (PARTITION BY part_month
+        |          ORDER BY size_bytes DESC, file_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM ff)
+        |SELECT part_month, ((cum - size_bytes) // 64000)::BIGINT AS grp,
+        |       count(*) AS n_files, sum(size_bytes)::BIGINT AS total_bytes,
+        |       max(size_bytes)::BIGINT AS max_file_bytes
+        |FROM a GROUP BY 1, 2""".stripMargin,
 
     "x_skew_salted_join" ->
       """WITH dim AS (SELECT event_type, count(*) AS type_n

@@ -158,4 +158,47 @@ class LayoutSpec extends SparkSpec {
       assert(e.getMessage.contains("must differ"))
     } finally { rm(d) }
   }
+
+  // ── compaction PLANNING (the metadata stage) ───────────────────────
+
+  private def plan(files: Seq[(String, String, Long)], target: Long) = {
+    import spark.implicits._
+    Layout.compactionPlan(files.toDF("part", "file_id", "size_bytes"),
+        "part", "file_id", "size_bytes", target)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+  }
+
+  test("plan groups preserve files and bytes; every group total is " +
+    "bounded by target + its largest member") {
+    val files = (1 to 37).map(i =>
+      ("p" + (i % 3), "f" + i, (i * 997L) % 5000 + 100))
+    val target = 6000L
+    val out = plan(files, target)
+    assert(out.map(_._3).sum == files.size)
+    assert(out.map(_._4).sum == files.map(_._3).sum)
+    assert(out.forall { case (_, _, _, total, maxF) =>
+      total <= target + maxF })
+  }
+
+  test("an oversized file is isolated in its own group (size-DESC fill " +
+    "places it before anything can share)") {
+    val files = Seq(("p", "big", 50000L), ("p", "a", 100L),
+      ("p", "b", 120L), ("p", "c", 90L))
+    val out = plan(files, 1000L)
+    val bigGroup = out.filter(_._5 == 50000L)
+    assert(bigGroup.size == 1 && bigGroup.head._3 == 1L)
+    // the small files share a different group
+    assert(out.filter(_._5 != 50000L).map(_._3).sum == 3L)
+  }
+
+  test("the plan is deterministic under repartitioning") {
+    import spark.implicits._
+    val df = (1 to 200).map(i =>
+      ("p" + (i % 7), "f" + i, (i * 131L) % 3000 + 50))
+      .toDF("part", "file_id", "size_bytes")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Layout.compactionPlan(d, "part", "file_id", "size_bytes", 4000L)
+        .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(run(df) == run(df.repartition(17)))
+  }
 }
