@@ -1242,4 +1242,112 @@ object Similarity {
         round(col("sq").cast("double") /
           sqrt(col("ssq").cast("double")), 6)).as("unit"))
   }
+
+  // ── RANDOM-PROJECTION TREE ANN (the Annoy family's quantizer) ──────
+
+  /** 1e6-scaled long projection of a double-array column onto a ±1
+    * plane row — the RP-tree's split coordinate. Quantizing BEFORE any
+    * comparison makes every split decision exact-integer (the MMR
+    * treatment), so tree routing is bit-identical across engines. */
+  private def projQ(v: Column, plane: Seq[Int]): Column =
+    round(dot(v, lit(plane.map(_.toDouble).toArray)) * lit(1e6), 0)
+      .cast("long")
+
+  /** Train a RANDOM-PROJECTION TREE (Dasgupta & Freund 2008; the
+    * single-tree core of Annoy): `depth` levels of median splits. At
+    * level l every node splits at the LOWER MEDIAN of its members'
+    * plane-l projections — unlike LSH's fixed zero threshold, the
+    * median adapts to the data, so leaves are BALANCED (≈N/2^depth
+    * members each) even on skewed corpora where hyperplane buckets
+    * collapse. Returns one (node → median) map per level; the whole
+    * model is 2^depth − 1 longs — centroid-sized driver state, the
+    * same license as the IVF quantizer's k-means.
+    *
+    * Scale shape: each level is ONE window pass over the corpus
+    * (row_number + count per node — the exact distributed lower
+    * median, no approximate percentile) and collects only the ≤2^l
+    * split values. `depth` passes total; training is cached per corpus
+    * fingerprint by the caller exactly like the IVF centroids. */
+  def trainRpTree(corpus: DataFrame, idCol: String, vecCol: String,
+      depth: Int = 3, dim: Int = 64): IndexedSeq[Map[Long, Long]] = {
+    require(depth >= 1 && depth <= 10, "depth must be in [1, 10]")
+    val planes = planeSigns(depth, dim)
+    val base = corpus.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val projs = planes.zipWithIndex.foldLeft(base) {
+      case (df, (p, l)) => df.withColumn(s"p$l", projQ(col("v"), p))
+    }.drop("v")
+    var cur = projs.withColumn("node", lit(0L))
+    (0 until depth).map { l =>
+      val byNode = org.apache.spark.sql.expressions.Window
+        .partitionBy("node")
+      val med = cur
+        .withColumn("rn", row_number().over(
+          byNode.orderBy(col(s"p$l"), col("vec_id"))))
+        .withColumn("cnt", count(lit(1)).over(byNode))
+        .filter(col("rn") === expr("CAST((cnt + 1) div 2 AS INT)"))
+        .select(col("node"), col(s"p$l").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mCol = med.foldLeft(lit(null).cast("long")) {
+        case (acc, (n, m)) => when(col("node") === n, lit(m)).otherwise(acc)
+      }
+      cur = cur.withColumn("node",
+        col("node") * 2 +
+          when(col(s"p$l") > mCol, lit(1L)).otherwise(lit(0L)))
+      med
+    }
+  }
+
+  /** Leaf id (depth bits) of a vector under a trained RP tree: `depth`
+    * quantized projections + comparisons against the split literals —
+    * a pure per-row expression, no shuffle, codegen'd. A node key
+    * missing from a level's map (possible only for QUERY vectors
+    * routed into a region the training corpus never populated) routes
+    * to child 0 — deterministic, and replayed identically by the
+    * oracle because its queries are corpus members. */
+  private def rpLeaf(v: Column, planes: Seq[Seq[Int]],
+      splits: IndexedSeq[Map[Long, Long]]): Column =
+    splits.zipWithIndex.foldLeft(lit(0L)) { case (node, (med, l)) =>
+      val mCol = med.foldLeft(lit(null).cast("long")) {
+        case (acc, (n, m)) => when(node === n, lit(m)).otherwise(acc)
+      }
+      node * 2 + when(projQ(v, planes(l)) > mCol, lit(1L)).otherwise(lit(0L))
+    }
+
+  /** Leaf assignment of a vector relation under trained splits —
+    * (vec_id, leaf). The partition-routing stage alone; [[rpTreeKnn]]
+    * composes it with in-leaf exact scoring. */
+  def rpAssignLeaves(df: DataFrame, idCol: String, vecCol: String,
+      splits: IndexedSeq[Map[Long, Long]], dim: Int = 64): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .select(col("vec_id"),
+        rpLeaf(col("v"), planeSigns(splits.size, dim), splits).as("leaf"))
+
+  /** RP-TREE kNN: route corpus and queries to balanced median-split
+    * leaves, exact cosine inside the shared leaf, bounded top-k. The
+    * tree prunes the corpus to ≈N/2^depth candidates per query with
+    * BALANCE GUARANTEED by the median training (the property LSH
+    * buckets lack on clustered data). Same contract as the other knn
+    * operators: (qid, nid, rank, sim). Leaf equi-join — no nested
+    * loop, no all-pairs; the model ships as 2^depth−1 literals inside
+    * the expression, nothing broadcast but the (small) query side. */
+  def rpTreeKnn(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      splits: IndexedSeq[Map[Long, Long]], dim: Int = 64): DataFrame = {
+    val planes = planeSigns(splits.size, dim)
+    val v = corpus.select(col(idCol).as("nid"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("leaf", rpLeaf(col("v"), planes, splits))
+    val q = queries.select(col(idCol).as("qid"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("leaf", rpLeaf(col("qv"), planes, splits))
+    val scored = v.join(broadcast(q), Seq("leaf"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    topK(scored, k)
+  }
 }

@@ -309,6 +309,18 @@ object LlmQueries {
       Similarity.trainPqCodebooks(emb(s, dir), "vec_id", "embedding",
         m = 8, ksub = 16, iters = iters, dim = 64))
 
+  /** RP-tree split tables, same lifecycle/keying as [[ivfCentroids]]:
+    * the trained model is 2^depth − 1 longs per corpus snapshot. */
+  private val rpSplitCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), IndexedSeq[Map[Long, Long]]]()
+
+  private[graft] def trainedRpSplits(
+      s: SparkSession, dir: String,
+      depth: Int = 3): IndexedSeq[Map[Long, Long]] =
+    rpSplitCache.computeIfAbsent((embFingerprint(dir), depth), _ =>
+      Similarity.trainRpTree(emb(s, dir), "vec_id", "embedding",
+        depth = depth, dim = 64))
+
   private[graft] def trainedCentroids(
       s: SparkSession, dir: String,
       iters: Int = 3): IndexedSeq[Seq[Double]] =
@@ -1122,6 +1134,19 @@ object LlmQueries {
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 5, nProbe = 4, centroids = Some(trainedCentroids(s, dir)),
         assigned = Some(ivfIndex(s, dir)))
+    }),
+
+    // RP-TREE ANN (Annoy's quantizer): depth-3 median-split tree —
+    // leaves BALANCED by construction (the guarantee LSH buckets lack
+    // on clustered data), candidates = the query's leaf only, exact
+    // cosine + bounded top-k inside. Split training (one window pass
+    // per level, 7 longs total) cached per corpus fingerprint like the
+    // IVF centroids; the oracle unrolls all three median levels.
+    "knn_rptree" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.rpTreeKnn(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5,
+        splits = trainedRpSplits(s, dir, depth = 3), dim = 64)
     }),
 
     "embed_cosine_pairs" -> ((s, dir) =>
@@ -2070,6 +2095,58 @@ object LlmQueries {
          |r AS (SELECT qid, nid, sim, row_number() OVER (
          |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          |      FROM scored)
+         |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+         |WHERE rank <= 5""".stripMargin,
+
+    // the three median levels unrolled: per level, the lower median of
+    // each node's 1e6-quantized projections via row_number == (cnt+1)//2
+    // (ties by vec_id — the exact order Spark's window uses), then the
+    // child bit; queries are corpus members, so their leaf assignment
+    // is read off the same `lf` relation
+    "knn_rptree" ->
+      s"""WITH v AS (SELECT vec_id,
+         |             list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
+         |${planesSql(3)},
+         |pl0 AS (SELECT s FROM planes WHERE j = 0),
+         |pl1 AS (SELECT s FROM planes WHERE j = 1),
+         |pl2 AS (SELECT s FROM planes WHERE j = 2),
+         |pj AS (SELECT vec_id, v, nrm,
+         |   CAST(round(${dotSql("n.v", "pl0.s")} * 1e6, 0) AS BIGINT) AS p0,
+         |   CAST(round(${dotSql("n.v", "pl1.s")} * 1e6, 0) AS BIGINT) AS p1,
+         |   CAST(round(${dotSql("n.v", "pl2.s")} * 1e6, 0) AS BIGINT) AS p2
+         |       FROM n CROSS JOIN pl0 CROSS JOIN pl1 CROSS JOIN pl2),
+         |m0 AS (SELECT m FROM (SELECT p0 AS m,
+         |         row_number() OVER (ORDER BY p0, vec_id) AS rn,
+         |         count(*) OVER () AS cnt FROM pj)
+         |       WHERE rn = (cnt + 1) // 2),
+         |n1 AS (SELECT pj.*, CASE WHEN p0 > (SELECT m FROM m0)
+         |         THEN 1 ELSE 0 END AS nd FROM pj),
+         |m1 AS (SELECT nd, m FROM (SELECT nd, p1 AS m,
+         |         row_number() OVER (PARTITION BY nd
+         |           ORDER BY p1, vec_id) AS rn,
+         |         count(*) OVER (PARTITION BY nd) AS cnt FROM n1)
+         |       WHERE rn = (cnt + 1) // 2),
+         |n2 AS (SELECT n1.*, nd * 2 +
+         |         (CASE WHEN p1 > m1.m THEN 1 ELSE 0 END) AS nd2
+         |       FROM n1 JOIN m1 USING (nd)),
+         |m2 AS (SELECT nd2, m FROM (SELECT nd2, p2 AS m,
+         |         row_number() OVER (PARTITION BY nd2
+         |           ORDER BY p2, vec_id) AS rn,
+         |         count(*) OVER (PARTITION BY nd2) AS cnt FROM n2)
+         |       WHERE rn = (cnt + 1) // 2),
+         |lf AS (SELECT n2.*, nd2 * 2 +
+         |         (CASE WHEN p2 > m2.m THEN 1 ELSE 0 END) AS leaf
+         |       FROM n2 JOIN m2 USING (nd2)),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, leaf FROM lf
+         |      WHERE vec_id % 100 = 0),
+         |sc AS (SELECT q.qid, lf.vec_id AS nid,
+         |         ${dotSql("q.qv", "lf.v")} / (q.qn * lf.nrm) AS sim
+         |       FROM q JOIN lf USING (leaf) WHERE lf.vec_id != q.qid),
+         |r AS (SELECT qid, nid, sim, row_number() OVER (
+         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM sc)
          |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
          |WHERE rank <= 5""".stripMargin,
 

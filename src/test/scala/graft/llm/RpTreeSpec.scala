@@ -1,0 +1,70 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** RP-tree properties ([[Similarity.trainRpTree]]/[[Similarity.rpTreeKnn]]):
+  * median splits balance the leaves (the guarantee LSH buckets lack),
+  * training is partitioning-invariant, and in-leaf scoring is exactly
+  * the brute-force ranking restricted to the leaf. */
+class RpTreeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random corpus (fixed seed)
+  private lazy val vecs: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(42)
+    (0L until 256L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+  }
+  private def corpus = vecs.toDF("vec_id", "embedding")
+
+  test("depth-3 median splits yield 8 leaves within ±2 of perfect " +
+    "balance") {
+    val splits = Similarity.trainRpTree(corpus, "vec_id", "embedding",
+      depth = 3, dim = 64)
+    val sizes = Similarity
+      .rpAssignLeaves(corpus, "vec_id", "embedding", splits)
+      .groupBy("leaf").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes.keySet.subsetOf((0L until 8L).toSet))
+    assert(sizes.size == 8, s"expected 8 populated leaves: $sizes")
+    assert(sizes.values.max - sizes.values.min <= 2, sizes.toString)
+  }
+
+  test("split training is identical under repartitioning") {
+    val a = Similarity.trainRpTree(corpus, "vec_id", "embedding", 3, 64)
+    val b = Similarity.trainRpTree(corpus.repartition(7), "vec_id",
+      "embedding", 3, 64)
+    assert(a == b)
+  }
+
+  test("rpTreeKnn == brute-force ranking restricted to the query's leaf") {
+    val splits = Similarity.trainRpTree(corpus, "vec_id", "embedding",
+      depth = 3, dim = 64)
+    val leaf = Similarity
+      .rpAssignLeaves(corpus, "vec_id", "embedding", splits)
+      .as[(Long, Long)].collect().toMap
+    val queries = corpus.filter($"vec_id" % 50 === 0)
+    val got = Similarity.rpTreeKnn(corpus, queries, "vec_id", "embedding",
+        k = 3, splits = splits, dim = 64)
+      .select("qid", "nid", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+
+    val byId = vecs.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val want = (0L until 256L by 50L).flatMap { qid =>
+      val qv = byId(qid)
+      val qn = math.sqrt(dot(qv, qv))
+      vecs.filter(v => v._1 != qid && leaf(v._1) == leaf(qid))
+        .map { case (nid, v) =>
+          (nid, dot(qv, v) / (qn * math.sqrt(dot(v, v)))) }
+        .sortBy { case (nid, sim) => (-sim, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, _), i) => (qid, nid, i + 1) }
+    }.toSet
+    assert(got == want)
+  }
+}
