@@ -272,7 +272,16 @@ object ScaleProbe {
     "rag_context_pack",
     // round-14: z-order layout effectiveness — one scan, two map-side-
     // combinable 32-group aggregates, a 32-row join
-    "x_zorder_layout")
+    "x_zorder_layout",
+    // round-15: robots filtering (host equi-join + per-URL winner agg),
+    // paragraph dedup (content-keyed winner agg + join + per-doc
+    // reassembly), positional phrase search (linear postings + a
+    // broadcast gram equi-join), DSIR selection (two token aggregations
+    // + a ≤1024-row broadcast weight join + TakeOrdered), RP-tree ANN
+    // (cached median splits, leaf equi-join), compaction planning (one
+    // window over the file LISTING — rows = file count)
+    "web_robots_filter", "dedup_paragraphs", "text_phrase_search",
+    "sample_dsir", "knn_rptree", "x_compaction_plan")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup
