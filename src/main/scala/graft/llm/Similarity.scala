@@ -1255,38 +1255,58 @@ object Similarity {
 
   /** Train a RANDOM-PROJECTION TREE (Dasgupta & Freund 2008; the
     * single-tree core of Annoy): `depth` levels of median splits. At
-    * level l every node splits at the LOWER MEDIAN of its members'
-    * plane-l projections — unlike LSH's fixed zero threshold, the
-    * median adapts to the data, so leaves are BALANCED (≈N/2^depth
-    * members each) even on skewed corpora where hyperplane buckets
-    * collapse. Returns one (node → median) map per level; the whole
-    * model is 2^depth − 1 longs — centroid-sized driver state, the
-    * same license as the IVF quantizer's k-means.
+    * level l every node splits at the LOWER MEDIAN of a bounded
+    * deterministic SAMPLE of its members' plane-l projections — unlike
+    * LSH's fixed zero threshold, the median adapts to the data, so
+    * leaves are BALANCED (≈N/2^depth members, within the sample's DKW
+    * rank error ε = √(ln(2/δ)/2k) ≈ 0.036 at k = 1024) even on skewed
+    * corpora where hyperplane buckets collapse. Returns one
+    * (node → median) map per level; the whole model is 2^depth − 1
+    * longs — centroid-sized driver state, the same license as the IVF
+    * quantizer's k-means.
     *
-    * Scale shape: each level is ONE window pass over the corpus
-    * (row_number + count per node — the exact distributed lower
-    * median, no approximate percentile) and collects only the ≤2^l
-    * split values. `depth` passes total; training is cached per corpus
-    * fingerprint by the caller exactly like the IVF centroids. */
+    * Scale shape: each level is ONE map-side-combinable aggregate —
+    * the per-node [[graft.functions.BottomKByHashAgg]] bottom-k-by-hash
+    * sample (≤ `sampleK` pairs of state per node, merge-order
+    * INVARIANT, so training is bit-identical across partitionings and
+    * engines), with the median read off the collected ≤ sampleK-array
+    * per node. NO window anywhere: the exact-median formulation's
+    * level-0 window is partition-less by construction (one node) and
+    * would sort the whole projection relation in one task — the
+    * anti-pattern PlanAuditSpec exists to catch. Nodes with ≤ sampleK
+    * members are sampled COMPLETELY, so their medians are exact (the
+    * spec corpus and every node from level ⌈log₂(N/k)⌉ down). `depth`
+    * aggregate passes total; training is cached per corpus fingerprint
+    * by the caller exactly like the IVF centroids. Projections ride
+    * the sampler as doubles — exact for |proj| < 2^53, i.e. |dot| <
+    * ~9e9 at the 1e6 quantization, far beyond any normalized-embedding
+    * corpus. */
   def trainRpTree(corpus: DataFrame, idCol: String, vecCol: String,
-      depth: Int = 3, dim: Int = 64): IndexedSeq[Map[Long, Long]] = {
+      depth: Int = 3, dim: Int = 64,
+      sampleK: Int = 1024): IndexedSeq[Map[Long, Long]] = {
     require(depth >= 1 && depth <= 10, "depth must be in [1, 10]")
+    require(sampleK > 0, "sampleK must be positive")
+    val samp = udaf(new graft.functions.BottomKByHashAgg(sampleK))
     val planes = planeSigns(depth, dim)
     val base = corpus.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val projs = planes.zipWithIndex.foldLeft(base) {
       case (df, (p, l)) => df.withColumn(s"p$l", projQ(col("v"), p))
     }.drop("v")
+      // deterministic sample membership key (the quantile sketch's):
+      // the k smallest (hash32("rp:" || id), proj) pairs per node
+      .withColumn("__h",
+        TextOps.hash32(concat(lit("rp:"), col("vec_id").cast("string"))))
     var cur = projs.withColumn("node", lit(0L))
     (0 until depth).map { l =>
-      val byNode = org.apache.spark.sql.expressions.Window
-        .partitionBy("node")
-      val med = cur
-        .withColumn("rn", row_number().over(
-          byNode.orderBy(col(s"p$l"), col("vec_id"))))
-        .withColumn("cnt", count(lit(1)).over(byNode))
-        .filter(col("rn") === expr("CAST((cnt + 1) div 2 AS INT)"))
-        .select(col("node"), col(s"p$l").as("m"))
+      val med = cur.groupBy("node")
+        .agg(samp(col("__h"), col(s"p$l").cast("double")).as("smp"))
+        .select(col("node"),
+          // lower median of the ascending sample VALUES — the value at
+          // rank (m+1) div 2 is unique regardless of tie order
+          expr("""CAST(element_at(array_sort(transform(smp, s -> s.v)),
+                 |  CAST((size(smp) + 1) div 2 AS INT)) AS BIGINT)"""
+            .stripMargin).as("m"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val mCol = med.foldLeft(lit(null).cast("long")) {
         case (acc, (n, m)) => when(col("node") === n, lit(m)).otherwise(acc)

@@ -2098,9 +2098,11 @@ object LlmQueries {
          |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
          |WHERE rank <= 5""".stripMargin,
 
-    // the three median levels unrolled: per level, the lower median of
-    // each node's 1e6-quantized projections via row_number == (cnt+1)//2
-    // (ties by vec_id — the exact order Spark's window uses), then the
+    // the three median levels unrolled: per level, the bottom-1024
+    // (hash, proj) sample per node (DISTINCT pairs ranked by (h, v) —
+    // exactly BottomKByHashAgg's membership rule), then the lower
+    // median of the sample's ascending values via rn == (cnt+1)//2 (the
+    // value at that rank is unique regardless of tie order), then the
     // child bit; queries are corpus members, so their leaf assignment
     // is read off the same `lf` relation
     "knn_rptree" ->
@@ -2113,28 +2115,41 @@ object LlmQueries {
          |pl1 AS (SELECT s FROM planes WHERE j = 1),
          |pl2 AS (SELECT s FROM planes WHERE j = 2),
          |pj AS (SELECT vec_id, v, nrm,
+         |   ('0x' || substr(md5('rp:' || vec_id), 1, 8))::BIGINT AS h,
          |   CAST(round(${dotSql("n.v", "pl0.s")} * 1e6, 0) AS BIGINT) AS p0,
          |   CAST(round(${dotSql("n.v", "pl1.s")} * 1e6, 0) AS BIGINT) AS p1,
          |   CAST(round(${dotSql("n.v", "pl2.s")} * 1e6, 0) AS BIGINT) AS p2
          |       FROM n CROSS JOIN pl0 CROSS JOIN pl1 CROSS JOIN pl2),
-         |m0 AS (SELECT m FROM (SELECT p0 AS m,
-         |         row_number() OVER (ORDER BY p0, vec_id) AS rn,
-         |         count(*) OVER () AS cnt FROM pj)
+         |s0 AS (SELECT sv FROM (
+         |         SELECT p0 AS sv, row_number() OVER (ORDER BY h, p0) AS rn
+         |         FROM (SELECT DISTINCT h, p0 FROM pj) t)
+         |       WHERE rn <= 1024),
+         |m0 AS (SELECT sv AS m FROM (SELECT sv,
+         |         row_number() OVER (ORDER BY sv) AS rn,
+         |         count(*) OVER () AS cnt FROM s0)
          |       WHERE rn = (cnt + 1) // 2),
          |n1 AS (SELECT pj.*, CASE WHEN p0 > (SELECT m FROM m0)
          |         THEN 1 ELSE 0 END AS nd FROM pj),
-         |m1 AS (SELECT nd, m FROM (SELECT nd, p1 AS m,
-         |         row_number() OVER (PARTITION BY nd
-         |           ORDER BY p1, vec_id) AS rn,
-         |         count(*) OVER (PARTITION BY nd) AS cnt FROM n1)
+         |s1 AS (SELECT nd, sv FROM (
+         |         SELECT nd, p1 AS sv, row_number() OVER (
+         |           PARTITION BY nd ORDER BY h, p1) AS rn
+         |         FROM (SELECT DISTINCT nd, h, p1 FROM n1) t)
+         |       WHERE rn <= 1024),
+         |m1 AS (SELECT nd, m FROM (SELECT nd, sv AS m,
+         |         row_number() OVER (PARTITION BY nd ORDER BY sv) AS rn,
+         |         count(*) OVER (PARTITION BY nd) AS cnt FROM s1)
          |       WHERE rn = (cnt + 1) // 2),
          |n2 AS (SELECT n1.*, nd * 2 +
          |         (CASE WHEN p1 > m1.m THEN 1 ELSE 0 END) AS nd2
          |       FROM n1 JOIN m1 USING (nd)),
-         |m2 AS (SELECT nd2, m FROM (SELECT nd2, p2 AS m,
-         |         row_number() OVER (PARTITION BY nd2
-         |           ORDER BY p2, vec_id) AS rn,
-         |         count(*) OVER (PARTITION BY nd2) AS cnt FROM n2)
+         |s2 AS (SELECT nd2, sv FROM (
+         |         SELECT nd2, p2 AS sv, row_number() OVER (
+         |           PARTITION BY nd2 ORDER BY h, p2) AS rn
+         |         FROM (SELECT DISTINCT nd2, h, p2 FROM n2) t)
+         |       WHERE rn <= 1024),
+         |m2 AS (SELECT nd2, m FROM (SELECT nd2, sv AS m,
+         |         row_number() OVER (PARTITION BY nd2 ORDER BY sv) AS rn,
+         |         count(*) OVER (PARTITION BY nd2) AS cnt FROM s2)
          |       WHERE rn = (cnt + 1) // 2),
          |lf AS (SELECT n2.*, nd2 * 2 +
          |         (CASE WHEN p2 > m2.m THEN 1 ELSE 0 END) AS leaf

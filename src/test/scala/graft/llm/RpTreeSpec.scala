@@ -37,6 +37,22 @@ class RpTreeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("sampled training (k < node size) stays deterministic under " +
+    "repartitioning and keeps leaves near-balanced") {
+    val a = Similarity.trainRpTree(corpus, "vec_id", "embedding", 3, 64,
+      sampleK = 64)
+    val b = Similarity.trainRpTree(corpus.repartition(11), "vec_id",
+      "embedding", 3, 64, sampleK = 64)
+    assert(a == b)
+    // sample medians carry DKW rank error (ε ≈ 0.15 per split at
+    // k = 64) — leaves stay within a generous band of N/8 = 32
+    val sizes = Similarity
+      .rpAssignLeaves(corpus, "vec_id", "embedding", a)
+      .groupBy("leaf").count().as[(Long, Long)].collect().toMap
+    assert(sizes.values.forall(s => s >= 8 && s <= 128), sizes.toString)
+    assert(sizes.values.sum == 256L)
+  }
+
   test("rpTreeKnn == brute-force ranking restricted to the query's leaf") {
     val splits = Similarity.trainRpTree(corpus, "vec_id", "embedding",
       depth = 3, dim = 64)
