@@ -1297,73 +1297,109 @@ object Similarity {
       // the k smallest (hash32("rp:" || id), proj) pairs per node
       .withColumn("__h",
         TextOps.hash32(concat(lit("rp:"), col("vec_id").cast("string"))))
-    var cur = projs.withColumn("node", lit(0L))
+    var cur = projs.withColumn("__node", lit(0L))
     (0 until depth).map { l =>
-      val med = cur.groupBy("node")
+      val med = cur.groupBy("__node")
         .agg(samp(col("__h"), col(s"p$l").cast("double")).as("smp"))
-        .select(col("node"),
+        .select(col("__node"),
           // lower median of the ascending sample VALUES — the value at
           // rank (m+1) div 2 is unique regardless of tie order
           expr("""CAST(element_at(array_sort(transform(smp, s -> s.v)),
                  |  CAST((size(smp) + 1) div 2 AS INT)) AS BIGINT)"""
             .stripMargin).as("m"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val mCol = med.foldLeft(lit(null).cast("long")) {
-        case (acc, (n, m)) => when(col("node") === n, lit(m)).otherwise(acc)
-      }
-      cur = cur.withColumn("node",
-        col("node") * 2 +
-          when(col(s"p$l") > mCol, lit(1L)).otherwise(lit(0L)))
+      cur = rpDescend(cur, med, s"p$l", l)
       med
     }
   }
 
-  /** Leaf id (depth bits) of a vector under a trained RP tree: `depth`
-    * quantized projections + comparisons against the split literals —
-    * a pure per-row expression, no shuffle, codegen'd. A node key
-    * missing from a level's map (possible only for QUERY vectors
-    * routed into a region the training corpus never populated) routes
-    * to child 0 — deterministic, and replayed identically by the
-    * oracle because its queries are corpus members. */
-  private def rpLeaf(v: Column, planes: Seq[Seq[Int]],
-      splits: IndexedSeq[Map[Long, Long]]): Column =
-    splits.zipWithIndex.foldLeft(lit(0L)) { case (node, (med, l)) =>
-      val mCol = med.foldLeft(lit(null).cast("long")) {
-        case (acc, (n, m)) => when(node === n, lit(m)).otherwise(acc)
-      }
-      node * 2 + when(projQ(v, planes(l)) > mCol, lit(1L)).otherwise(lit(0L))
+  /** Corpus-scaled TREE DEPTH — the RP tree's candidate lever, the
+    * exact analogue of [[autoPlanes]]/[[defaultNList]]: the smallest
+    * depth in [3, maxDepth] with `leafTarget·2^depth ≥ N`, so expected
+    * leaf occupancy stays ≈leafTarget and per-query candidate work is
+    * corpus-size-INDEPENDENT as the corpus grows (a fixed depth leaves
+    * N/2^d candidates per query — the O(N²) query×corpus product the
+    * LSH family's fixed-8-planes defect taught us to auto-scale away).
+    * Pure integer arithmetic, mirrored by the oracle's per-level
+    * `count(*) > leafTarget·2^l` activation gates. */
+  def autoDepth(n: Long, leafTarget: Long = 256, maxDepth: Int = 10): Int = {
+    require(leafTarget > 0 && maxDepth >= 3, "bad autoDepth bounds")
+    var d = 0
+    while (d < maxDepth && (leafTarget << d) < n) d += 1
+    math.max(3, d)
+  }
+
+  /** ONE tree level of node descent. The ROOT level (l = 0) has a
+    * single median — inlined as a literal comparison (a join keyed on
+    * the constant node 0 would fold to a trivially-true predicate and
+    * plan as a nested loop, which PlanAuditSpec rejects). Deeper
+    * levels broadcast-join the level's (node → median) table — join-
+    * based on purpose: an expression-level CASE/lookup chain
+    * duplicates the running node expression at every level (O(2^depth)
+    * plan size — real driver-side seconds at depth 10); the join keeps
+    * plan size LINEAR in depth and the median tables are ≤2^l rows,
+    * always broadcast. A node absent from the table (a query vector
+    * routed into a region the training corpus never populated) gets a
+    * null median → the comparison is null → child 0,
+    * deterministically. */
+  private def rpDescend(df: DataFrame, med: Map[Long, Long],
+      projCol: String, level: Int): DataFrame =
+    if (level == 0) {
+      val m0 = med.getOrElse(0L, Long.MaxValue)
+      df.withColumn("__node",
+        when(col(projCol) > lit(m0), lit(1L)).otherwise(lit(0L)))
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val medDf = med.toSeq.toDF("__node", "__m")
+      df.join(broadcast(medDf), Seq("__node"), "left")
+        .withColumn("__node", col("__node") * 2 +
+          when(col(projCol) > col("__m"), lit(1L)).otherwise(lit(0L)))
+        .drop("__m")
     }
+
+  /** (vec_id, v, nrm, leaf) of a vector relation under trained splits —
+    * projections as columns, then one [[rpDescend]] broadcast join per
+    * level. */
+  private def rpRouted(df: DataFrame, idCol: String, vecCol: String,
+      splits: IndexedSeq[Map[Long, Long]], dim: Int): DataFrame = {
+    val planes = planeSigns(splits.size, dim)
+    val base = df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val projs = planes.zipWithIndex.foldLeft(base) {
+      case (d, (p, l)) => d.withColumn(s"__p$l", projQ(col("v"), p))
+    }.withColumn("__node", lit(0L))
+    splits.zipWithIndex.foldLeft(projs) {
+      case (d, (med, l)) => rpDescend(d, med, s"__p$l", l)
+    }.select(col("vec_id"), col("v"), col("nrm"),
+      col("__node").as("leaf"))
+  }
 
   /** Leaf assignment of a vector relation under trained splits —
     * (vec_id, leaf). The partition-routing stage alone; [[rpTreeKnn]]
     * composes it with in-leaf exact scoring. */
   def rpAssignLeaves(df: DataFrame, idCol: String, vecCol: String,
       splits: IndexedSeq[Map[Long, Long]], dim: Int = 64): DataFrame =
-    df.select(col(idCol).as("vec_id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      .select(col("vec_id"),
-        rpLeaf(col("v"), planeSigns(splits.size, dim), splits).as("leaf"))
+    rpRouted(df, idCol, vecCol, splits, dim).select("vec_id", "leaf")
 
   /** RP-TREE kNN: route corpus and queries to balanced median-split
     * leaves, exact cosine inside the shared leaf, bounded top-k. The
-    * tree prunes the corpus to ≈N/2^depth candidates per query with
-    * BALANCE GUARANTEED by the median training (the property LSH
-    * buckets lack on clustered data). Same contract as the other knn
-    * operators: (qid, nid, rank, sim). Leaf equi-join — no nested
-    * loop, no all-pairs; the model ships as 2^depth−1 literals inside
-    * the expression, nothing broadcast but the (small) query side. */
+    * tree prunes the corpus to ≈leafTarget candidates per query when
+    * trained at [[autoDepth]] — candidate work per query stays
+    * corpus-size-independent, with BALANCE GUARANTEED by the median
+    * training (the property LSH buckets lack on clustered data). Same
+    * contract as the other knn operators: (qid, nid, rank, sim). Leaf
+    * equi-join — no nested loop, no all-pairs; the model is ≤2^depth−1
+    * longs of broadcast median tables plus the (small) query side. */
   def rpTreeKnn(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       splits: IndexedSeq[Map[Long, Long]], dim: Int = 64): DataFrame = {
-    val planes = planeSigns(splits.size, dim)
-    val v = corpus.select(col(idCol).as("nid"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .withColumn("leaf", rpLeaf(col("v"), planes, splits))
-    val q = queries.select(col(idCol).as("qid"),
-        transform(col(vecCol), x => x.cast("double")).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-      .withColumn("leaf", rpLeaf(col("qv"), planes, splits))
+    val v = rpRouted(corpus, idCol, vecCol, splits, dim)
+      .select(col("vec_id").as("nid"), col("v"), col("nrm"), col("leaf"))
+    val q = rpRouted(queries, idCol, vecCol, splits, dim)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("leaf"))
     val scored = v.join(broadcast(q), Seq("leaf"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),

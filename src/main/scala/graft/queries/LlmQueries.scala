@@ -1136,17 +1136,22 @@ object LlmQueries {
         assigned = Some(ivfIndex(s, dir)))
     }),
 
-    // RP-TREE ANN (Annoy's quantizer): depth-3 median-split tree —
-    // leaves BALANCED by construction (the guarantee LSH buckets lack
-    // on clustered data), candidates = the query's leaf only, exact
-    // cosine + bounded top-k inside. Split training (one window pass
-    // per level, 7 longs total) cached per corpus fingerprint like the
-    // IVF centroids; the oracle unrolls all three median levels.
+    // RP-TREE ANN (Annoy's quantizer): median-split tree at the
+    // corpus-scaled autoDepth (leafTarget 256 — per-query candidate
+    // work stays corpus-size-independent, the autoPlanes/defaultNList
+    // lever), leaves BALANCED by construction (the guarantee LSH
+    // buckets lack on clustered data), candidates = the query's leaf
+    // only, exact cosine + bounded top-k inside. Sampled-median split
+    // training (one map-side-combinable aggregate per level) cached
+    // per corpus fingerprint like the IVF centroids; the oracle
+    // unrolls all ten possible levels, each gated on the same integer
+    // count threshold autoDepth applies.
     "knn_rptree" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.rpTreeKnn(e, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 5,
-        splits = trainedRpSplits(s, dir, depth = 3), dim = 64)
+        splits = trainedRpSplits(s, dir,
+          depth = Similarity.autoDepth(embCount(s, dir))), dim = 64)
     }),
 
     "embed_cosine_pairs" -> ((s, dir) =>
@@ -2098,62 +2103,58 @@ object LlmQueries {
          |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
          |WHERE rank <= 5""".stripMargin,
 
-    // the three median levels unrolled: per level, the bottom-1024
-    // (hash, proj) sample per node (DISTINCT pairs ranked by (h, v) —
-    // exactly BottomKByHashAgg's membership rule), then the lower
-    // median of the sample's ascending values via rn == (cnt+1)//2 (the
-    // value at that rank is unique regardless of tie order), then the
-    // child bit; queries are corpus members, so their leaf assignment
-    // is read off the same `lf` relation
-    "knn_rptree" ->
+    // the ten possible median levels unrolled, each gated on the SAME
+    // integer count threshold Similarity.autoDepth applies (level l
+    // active iff count > 256·2^l; levels 0-2 are the depth floor), so
+    // the oracle tracks the corpus-scaled depth at ANY scale factor.
+    // Per active level: the bottom-1024 (hash, proj) sample per node
+    // (DISTINCT pairs ranked by (h, v) — exactly BottomKByHashAgg's
+    // membership rule), the lower median of the sample's ascending
+    // values via rn == (cnt+1)//2 (the value at that rank is unique
+    // regardless of tie order), then the child bit. Every chain CTE is
+    // MATERIALIZED — each level references its parent ~3 times and
+    // DuckDB's default inlining would re-evaluate the chain 3^10 times
+    // (the MMR oracle lesson). Queries are corpus members, so their
+    // leaf assignment is read off the same `lf` relation.
+    "knn_rptree" -> {
+      val maxD = 10
+      val levels = (0 until maxD).map { l =>
+        val gate = s"(SELECT count(*) FROM embeddings) > ${256L * (1L << l)}"
+        val bit = s"nd$l * 2 + (CASE WHEN p$l > m$l.m THEN 1 ELSE 0 END)"
+        val child = if (l < 3) bit
+          else s"CASE WHEN $gate THEN $bit ELSE nd$l END"
+        s"""s$l AS MATERIALIZED (SELECT nd$l, sv FROM (
+           |  SELECT nd$l, p$l AS sv, row_number() OVER (
+           |    PARTITION BY nd$l ORDER BY h, p$l) AS rn
+           |  FROM (SELECT DISTINCT nd$l, h, p$l FROM n$l) t)
+           |  WHERE rn <= 1024),
+           |m$l AS MATERIALIZED (SELECT nd$l, m FROM (
+           |  SELECT nd$l, sv AS m, row_number() OVER (
+           |    PARTITION BY nd$l ORDER BY sv) AS rn,
+           |  count(*) OVER (PARTITION BY nd$l) AS cnt FROM s$l)
+           |  WHERE rn = (cnt + 1) // 2),
+           |n${l + 1} AS MATERIALIZED (SELECT n$l.*, $child AS nd${l + 1}
+           |  FROM n$l LEFT JOIN m$l USING (nd$l))""".stripMargin
+      }.mkString(",\n")
+      val plRefs = (0 until maxD).map(l => s"pl$l").mkString(" CROSS JOIN ")
+      val plCtes = (0 until maxD).map(l =>
+        s"pl$l AS (SELECT s FROM planes WHERE j = $l)").mkString(",\n")
+      val projCols = (0 until maxD).map(l =>
+        s"   CAST(round(${dotSql("n.v", s"pl$l.s")} * 1e6, 0) AS BIGINT) AS p$l")
+        .mkString(",\n")
       s"""WITH v AS (SELECT vec_id,
          |             list_transform(embedding, x -> x::DOUBLE) AS v
          |           FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
-         |${planesSql(3)},
-         |pl0 AS (SELECT s FROM planes WHERE j = 0),
-         |pl1 AS (SELECT s FROM planes WHERE j = 1),
-         |pl2 AS (SELECT s FROM planes WHERE j = 2),
-         |pj AS (SELECT vec_id, v, nrm,
+         |${planesSql(maxD)},
+         |$plCtes,
+         |pj AS MATERIALIZED (SELECT vec_id, v, nrm,
          |   ('0x' || substr(md5('rp:' || vec_id), 1, 8))::BIGINT AS h,
-         |   CAST(round(${dotSql("n.v", "pl0.s")} * 1e6, 0) AS BIGINT) AS p0,
-         |   CAST(round(${dotSql("n.v", "pl1.s")} * 1e6, 0) AS BIGINT) AS p1,
-         |   CAST(round(${dotSql("n.v", "pl2.s")} * 1e6, 0) AS BIGINT) AS p2
-         |       FROM n CROSS JOIN pl0 CROSS JOIN pl1 CROSS JOIN pl2),
-         |s0 AS (SELECT sv FROM (
-         |         SELECT p0 AS sv, row_number() OVER (ORDER BY h, p0) AS rn
-         |         FROM (SELECT DISTINCT h, p0 FROM pj) t)
-         |       WHERE rn <= 1024),
-         |m0 AS (SELECT sv AS m FROM (SELECT sv,
-         |         row_number() OVER (ORDER BY sv) AS rn,
-         |         count(*) OVER () AS cnt FROM s0)
-         |       WHERE rn = (cnt + 1) // 2),
-         |n1 AS (SELECT pj.*, CASE WHEN p0 > (SELECT m FROM m0)
-         |         THEN 1 ELSE 0 END AS nd FROM pj),
-         |s1 AS (SELECT nd, sv FROM (
-         |         SELECT nd, p1 AS sv, row_number() OVER (
-         |           PARTITION BY nd ORDER BY h, p1) AS rn
-         |         FROM (SELECT DISTINCT nd, h, p1 FROM n1) t)
-         |       WHERE rn <= 1024),
-         |m1 AS (SELECT nd, m FROM (SELECT nd, sv AS m,
-         |         row_number() OVER (PARTITION BY nd ORDER BY sv) AS rn,
-         |         count(*) OVER (PARTITION BY nd) AS cnt FROM s1)
-         |       WHERE rn = (cnt + 1) // 2),
-         |n2 AS (SELECT n1.*, nd * 2 +
-         |         (CASE WHEN p1 > m1.m THEN 1 ELSE 0 END) AS nd2
-         |       FROM n1 JOIN m1 USING (nd)),
-         |s2 AS (SELECT nd2, sv FROM (
-         |         SELECT nd2, p2 AS sv, row_number() OVER (
-         |           PARTITION BY nd2 ORDER BY h, p2) AS rn
-         |         FROM (SELECT DISTINCT nd2, h, p2 FROM n2) t)
-         |       WHERE rn <= 1024),
-         |m2 AS (SELECT nd2, m FROM (SELECT nd2, sv AS m,
-         |         row_number() OVER (PARTITION BY nd2 ORDER BY sv) AS rn,
-         |         count(*) OVER (PARTITION BY nd2) AS cnt FROM s2)
-         |       WHERE rn = (cnt + 1) // 2),
-         |lf AS (SELECT n2.*, nd2 * 2 +
-         |         (CASE WHEN p2 > m2.m THEN 1 ELSE 0 END) AS leaf
-         |       FROM n2 JOIN m2 USING (nd2)),
+         |$projCols
+         |       FROM n CROSS JOIN $plRefs),
+         |n0 AS MATERIALIZED (SELECT pj.*, 0 AS nd0 FROM pj),
+         |$levels,
+         |lf AS MATERIALIZED (SELECT n$maxD.*, nd$maxD AS leaf FROM n$maxD),
          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, leaf FROM lf
          |      WHERE vec_id % 100 = 0),
          |sc AS (SELECT q.qid, lf.vec_id AS nid,
@@ -2163,7 +2164,8 @@ object LlmQueries {
          |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          |      FROM sc)
          |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
-         |WHERE rank <= 5""".stripMargin,
+         |WHERE rank <= 5""".stripMargin
+    },
 
     "knn_lsh_bucketed" ->
       s"""WITH v AS (SELECT vec_id,

@@ -30,6 +30,14 @@ class RpTreeSpec extends SparkSpec {
     assert(sizes.values.max - sizes.values.min <= 2, sizes.toString)
   }
 
+  test("autoDepth scales with the corpus and mirrors the oracle gates") {
+    assert(Similarity.autoDepth(100) == 3)       // depth floor
+    assert(Similarity.autoDepth(2048) == 3)      // 256·2^3 ≥ 2048: level 3 off
+    assert(Similarity.autoDepth(2049) == 4)      // one past the gate
+    assert(Similarity.autoDepth(200000) == 10)
+    assert(Similarity.autoDepth(100000000) == 10) // cap
+  }
+
   test("split training is identical under repartitioning") {
     val a = Similarity.trainRpTree(corpus, "vec_id", "embedding", 3, 64)
     val b = Similarity.trainRpTree(corpus.repartition(7), "vec_id",
