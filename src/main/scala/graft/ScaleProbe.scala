@@ -281,7 +281,8 @@ object ScaleProbe {
     // (cached median splits, leaf equi-join), compaction planning (one
     // window over the file LISTING — rows = file count)
     "web_robots_filter", "dedup_paragraphs", "text_phrase_search",
-    "sample_dsir", "knn_rptree", "x_compaction_plan")
+    "sample_dsir", "knn_rptree", "knn_rptree_forest",
+    "knn_rptree_recall", "x_compaction_plan")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

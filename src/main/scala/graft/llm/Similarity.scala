@@ -1283,11 +1283,11 @@ object Similarity {
     * corpus. */
   def trainRpTree(corpus: DataFrame, idCol: String, vecCol: String,
       depth: Int = 3, dim: Int = 64,
-      sampleK: Int = 1024): IndexedSeq[Map[Long, Long]] = {
+      sampleK: Int = 1024, planeOffset: Int = 0): IndexedSeq[Map[Long, Long]] = {
     require(depth >= 1 && depth <= 10, "depth must be in [1, 10]")
-    require(sampleK > 0, "sampleK must be positive")
+    require(sampleK > 0 && planeOffset >= 0, "bad sampleK/planeOffset")
     val samp = udaf(new graft.functions.BottomKByHashAgg(sampleK))
-    val planes = planeSigns(depth, dim)
+    val planes = planeSigns(planeOffset + depth, dim).drop(planeOffset)
     val base = corpus.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val projs = planes.zipWithIndex.foldLeft(base) {
@@ -1362,8 +1362,10 @@ object Similarity {
     * projections as columns, then one [[rpDescend]] broadcast join per
     * level. */
   private def rpRouted(df: DataFrame, idCol: String, vecCol: String,
-      splits: IndexedSeq[Map[Long, Long]], dim: Int): DataFrame = {
-    val planes = planeSigns(splits.size, dim)
+      splits: IndexedSeq[Map[Long, Long]], dim: Int,
+      planeOffset: Int = 0): DataFrame = {
+    val planes = planeSigns(planeOffset + splits.size, dim)
+      .drop(planeOffset)
     val base = df.select(col(idCol).as("vec_id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -1405,5 +1407,53 @@ object Similarity {
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
     topK(scored, k)
+  }
+
+  /** The forest's fixed plane-row stride per tree: tree t draws its
+    * planes from [[planeSigns]] rows [t·10, t·10 + depth) — a stride
+    * of the MAXIMUM depth, not the trained depth, so the Spark side
+    * and the oracle agree on which plane every (tree, level) uses at
+    * ANY trained depth. */
+  val RpTreeStride = 10
+
+  /** Train an RP-tree FOREST (Annoy's recall lever — `nTrees`
+    * independent trees over disjoint plane rows; a true neighbor
+    * separated from its query by one tree's early split usually shares
+    * a leaf in another tree, so miss probability decays with T like
+    * the multi-table LSH argument). Model = nTrees · (2^depth − 1)
+    * longs. */
+  def trainRpForest(corpus: DataFrame, idCol: String, vecCol: String,
+      nTrees: Int, depth: Int = 3, dim: Int = 64,
+      sampleK: Int = 1024): IndexedSeq[IndexedSeq[Map[Long, Long]]] = {
+    require(nTrees >= 1 && nTrees <= 8, "nTrees must be in [1, 8]")
+    (0 until nTrees).map(t => trainRpTree(corpus, idCol, vecCol, depth,
+      dim, sampleK, planeOffset = t * RpTreeStride))
+  }
+
+  /** FOREST kNN: per-tree leaf equi-join candidates, (qid, nid)
+    * deduped across trees by a group-min (sims are identical across
+    * trees — the min matches [[lshKnnMultiTable]]'s convention and the
+    * oracle's), bounded top-k. Candidate volume is ≤ nTrees × the
+    * single tree's — the recall/cost dial, never all-pairs. */
+  def rpForestKnn(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      forest: IndexedSeq[IndexedSeq[Map[Long, Long]]],
+      dim: Int = 64): DataFrame = {
+    val perTree = forest.zipWithIndex.map { case (splits, t) =>
+      val off = t * RpTreeStride
+      val v = rpRouted(corpus, idCol, vecCol, splits, dim, off)
+        .select(col("vec_id").as("nid"), col("v"), col("nrm"),
+          col("leaf"))
+      val q = rpRouted(queries, idCol, vecCol, splits, dim, off)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("leaf"))
+      v.join(broadcast(q), Seq("leaf"))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    }
+    val dedup = perTree.reduce(_ unionByName _)
+      .groupBy("qid", "nid").agg(min("sim").as("sim"))
+    topK(dedup, k)
   }
 }

@@ -321,6 +321,16 @@ object LlmQueries {
       Similarity.trainRpTree(emb(s, dir), "vec_id", "embedding",
         depth = depth, dim = 64))
 
+  private val rpForestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), IndexedSeq[IndexedSeq[Map[Long, Long]]]]()
+
+  private[graft] def trainedRpForest(
+      s: SparkSession, dir: String, nTrees: Int,
+      depth: Int): IndexedSeq[IndexedSeq[Map[Long, Long]]] =
+    rpForestCache.computeIfAbsent((embFingerprint(dir), nTrees, depth),
+      _ => Similarity.trainRpForest(emb(s, dir), "vec_id", "embedding",
+        nTrees = nTrees, depth = depth, dim = 64))
+
   private[graft] def trainedCentroids(
       s: SparkSession, dir: String,
       iters: Int = 3): IndexedSeq[Seq[Double]] =
@@ -934,6 +944,87 @@ object LlmQueries {
        |          PARTITION BY qid ORDER BY sim DESC, nid) AS rank
        |        FROM sct)""".stripMargin
 
+  /** RP-TREE shared oracle base: the vector relation and the full
+    * plane table for `nTrees` trees at the fixed row stride
+    * [[graft.llm.Similarity.RpTreeStride]] (= 10, the max depth). */
+  private def rpBaseCtes(nTrees: Int): String = {
+    val total = nTrees * 10
+    val plCtes = (0 until total).map(j =>
+      s"pl$j AS (SELECT s FROM planes WHERE j = $j)").mkString(",\n")
+    s"""v AS (SELECT vec_id,
+       |        list_transform(embedding, x -> x::DOUBLE) AS v
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
+       |${planesSql(total)},
+       |$plCtes""".stripMargin
+  }
+
+  /** One RP tree's training + routing chain (tree `t` over plane rows
+    * [t·10, t·10+10) — mirrors [[graft.llm.Similarity.trainRpTree]] /
+    * `rpRouted`; see the knn_rptree oracle comment for the level/gate/
+    * sample semantics). Ends in `lf_$t(vec_id, v, nrm, ..., leaf)`;
+    * every chain CTE MATERIALIZED (each level is referenced ~3 times —
+    * DuckDB inlining would re-evaluate the chain 3^10 times). */
+  private def rpChainCtes(t: Int): String = {
+    val maxD = 10
+    val levels = (0 until maxD).map { l =>
+      val gate = s"(SELECT count(*) FROM embeddings) > ${256L * (1L << l)}"
+      val bit =
+        s"nd$l * 2 + (CASE WHEN p$l > m${l}_$t.m THEN 1 ELSE 0 END)"
+      val child = if (l < 3) bit
+        else s"CASE WHEN $gate THEN $bit ELSE nd$l END"
+      s"""s${l}_$t AS MATERIALIZED (SELECT nd$l, sv FROM (
+         |  SELECT nd$l, p$l AS sv, row_number() OVER (
+         |    PARTITION BY nd$l ORDER BY h, p$l) AS rn
+         |  FROM (SELECT DISTINCT nd$l, h, p$l FROM n${l}_$t) t)
+         |  WHERE rn <= 1024),
+         |m${l}_$t AS MATERIALIZED (SELECT nd$l, m FROM (
+         |  SELECT nd$l, sv AS m, row_number() OVER (
+         |    PARTITION BY nd$l ORDER BY sv) AS rn,
+         |  count(*) OVER (PARTITION BY nd$l) AS cnt FROM s${l}_$t)
+         |  WHERE rn = (cnt + 1) // 2),
+         |n${l + 1}_$t AS MATERIALIZED (SELECT n${l}_$t.*,
+         |  $child AS nd${l + 1}
+         |  FROM n${l}_$t LEFT JOIN m${l}_$t USING (nd$l))""".stripMargin
+    }.mkString(",\n")
+    val plRefs = (0 until maxD).map(l => s"pl${t * 10 + l}")
+      .mkString(" CROSS JOIN ")
+    val projCols = (0 until maxD).map(l =>
+      s"   CAST(round(${dotSql("n.v", s"pl${t * 10 + l}.s")} * 1e6, 0)" +
+        s" AS BIGINT) AS p$l").mkString(",\n")
+    s"""pj_$t AS MATERIALIZED (SELECT vec_id, v, nrm,
+       |   ('0x' || substr(md5('rp:' || vec_id), 1, 8))::BIGINT AS h,
+       |$projCols
+       |       FROM n CROSS JOIN $plRefs),
+       |n0_$t AS MATERIALIZED (SELECT pj_$t.*, 0 AS nd0 FROM pj_$t),
+       |$levels,
+       |lf_$t AS MATERIALIZED (SELECT n${maxD}_$t.*, nd$maxD AS leaf
+       |  FROM n${maxD}_$t)""".stripMargin
+  }
+
+  /** Forest candidate CTEs over `nTrees` chains: per-tree leaf join,
+    * union, (qid, nid) dedup by group-min — ends in `cd(qid, nid,
+    * sim)`. */
+  private def rpForestCandCtes(nTrees: Int): String = {
+    val chains = (0 until nTrees).map(rpChainCtes).mkString(",\n")
+    val arms = (0 until nTrees).map { t =>
+      s"""SELECT q_$t.qid, lf_$t.vec_id AS nid,
+         |  ${dotSql(s"q_$t.qv", s"lf_$t.v")} / (q_$t.qn * lf_$t.nrm)
+         |    AS sim
+         |FROM q_$t JOIN lf_$t USING (leaf)
+         |WHERE lf_$t.vec_id != q_$t.qid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val qCtes = (0 until nTrees).map(t =>
+      s"""q_$t AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, leaf
+         |  FROM lf_$t WHERE vec_id % 100 = 0)""".stripMargin)
+      .mkString(",\n")
+    s"""$chains,
+       |$qCtes,
+       |cd AS (SELECT qid, nid, min(sim) AS sim FROM (
+       |$arms
+       |) GROUP BY 1, 2)""".stripMargin
+  }
+
   // ───────────────────────────── queries ─────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -1152,6 +1243,33 @@ object LlmQueries {
         "vec_id", "embedding", k = 5,
         splits = trainedRpSplits(s, dir,
           depth = Similarity.autoDepth(embCount(s, dir))), dim = 64)
+    }),
+
+    // the 4-tree FOREST (Annoy's recall lever — a neighbor cut off by
+    // one tree's early split usually shares a leaf in another; miss
+    // probability decays with tree count, the multi-table LSH
+    // argument): per-tree leaf joins over disjoint plane rows,
+    // candidates deduped by (qid, nid) group-min
+    "knn_rptree_forest" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.rpForestKnn(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5,
+        forest = trainedRpForest(s, dir, nTrees = 4,
+          depth = Similarity.autoDepth(embCount(s, dir))), dim = 64)
+    }),
+
+    // recall@5 of the forest vs the brute baseline — the
+    // approximation-quality row every pruning index carries (the
+    // knn_recall_lsh pattern; the single tree measured 0.16 mean
+    // recall on this near-uniform corpus — the forest is the lever)
+    "knn_rptree_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      Similarity.knnRecall(
+        Similarity.rpForestKnn(e, q, "vec_id", "embedding", k = 5,
+          forest = trainedRpForest(s, dir, nTrees = 4,
+            depth = Similarity.autoDepth(embCount(s, dir))), dim = 64),
+        Similarity.bruteForceKnn(e, q, "vec_id", "embedding", k = 5))
     }),
 
     "embed_cosine_pairs" -> ((s, dir) =>
@@ -2116,56 +2234,57 @@ object LlmQueries {
     // DuckDB's default inlining would re-evaluate the chain 3^10 times
     // (the MMR oracle lesson). Queries are corpus members, so their
     // leaf assignment is read off the same `lf` relation.
-    "knn_rptree" -> {
-      val maxD = 10
-      val levels = (0 until maxD).map { l =>
-        val gate = s"(SELECT count(*) FROM embeddings) > ${256L * (1L << l)}"
-        val bit = s"nd$l * 2 + (CASE WHEN p$l > m$l.m THEN 1 ELSE 0 END)"
-        val child = if (l < 3) bit
-          else s"CASE WHEN $gate THEN $bit ELSE nd$l END"
-        s"""s$l AS MATERIALIZED (SELECT nd$l, sv FROM (
-           |  SELECT nd$l, p$l AS sv, row_number() OVER (
-           |    PARTITION BY nd$l ORDER BY h, p$l) AS rn
-           |  FROM (SELECT DISTINCT nd$l, h, p$l FROM n$l) t)
-           |  WHERE rn <= 1024),
-           |m$l AS MATERIALIZED (SELECT nd$l, m FROM (
-           |  SELECT nd$l, sv AS m, row_number() OVER (
-           |    PARTITION BY nd$l ORDER BY sv) AS rn,
-           |  count(*) OVER (PARTITION BY nd$l) AS cnt FROM s$l)
-           |  WHERE rn = (cnt + 1) // 2),
-           |n${l + 1} AS MATERIALIZED (SELECT n$l.*, $child AS nd${l + 1}
-           |  FROM n$l LEFT JOIN m$l USING (nd$l))""".stripMargin
-      }.mkString(",\n")
-      val plRefs = (0 until maxD).map(l => s"pl$l").mkString(" CROSS JOIN ")
-      val plCtes = (0 until maxD).map(l =>
-        s"pl$l AS (SELECT s FROM planes WHERE j = $l)").mkString(",\n")
-      val projCols = (0 until maxD).map(l =>
-        s"   CAST(round(${dotSql("n.v", s"pl$l.s")} * 1e6, 0) AS BIGINT) AS p$l")
-        .mkString(",\n")
-      s"""WITH v AS (SELECT vec_id,
-         |             list_transform(embedding, x -> x::DOUBLE) AS v
-         |           FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
-         |${planesSql(maxD)},
-         |$plCtes,
-         |pj AS MATERIALIZED (SELECT vec_id, v, nrm,
-         |   ('0x' || substr(md5('rp:' || vec_id), 1, 8))::BIGINT AS h,
-         |$projCols
-         |       FROM n CROSS JOIN $plRefs),
-         |n0 AS MATERIALIZED (SELECT pj.*, 0 AS nd0 FROM pj),
-         |$levels,
-         |lf AS MATERIALIZED (SELECT n$maxD.*, nd$maxD AS leaf FROM n$maxD),
-         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, leaf FROM lf
+    "knn_rptree" ->
+      s"""WITH ${rpBaseCtes(1)},
+         |${rpChainCtes(0)},
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, leaf FROM lf_0
          |      WHERE vec_id % 100 = 0),
-         |sc AS (SELECT q.qid, lf.vec_id AS nid,
-         |         ${dotSql("q.qv", "lf.v")} / (q.qn * lf.nrm) AS sim
-         |       FROM q JOIN lf USING (leaf) WHERE lf.vec_id != q.qid),
+         |sc AS (SELECT q.qid, lf_0.vec_id AS nid,
+         |         ${dotSql("q.qv", "lf_0.v")} / (q.qn * lf_0.nrm) AS sim
+         |       FROM q JOIN lf_0 USING (leaf) WHERE lf_0.vec_id != q.qid),
          |r AS (SELECT qid, nid, sim, row_number() OVER (
          |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          |      FROM sc)
          |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
-         |WHERE rank <= 5""".stripMargin
-    },
+         |WHERE rank <= 5""".stripMargin,
+
+    // the 4-tree FOREST search (Annoy's recall lever): four chains over
+    // disjoint plane rows, candidates deduped by (qid, nid) group-min
+    "knn_rptree_forest" ->
+      s"""WITH ${rpBaseCtes(4)},
+         |${rpForestCandCtes(4)},
+         |r AS (SELECT qid, nid, sim, row_number() OVER (
+         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM cd)
+         |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+         |WHERE rank <= 5""".stripMargin,
+
+    // recall@5 of the forest vs the brute baseline — the
+    // approximation-quality row every pruning index carries
+    // (knn_recall_lsh's shape)
+    "knn_rptree_recall" ->
+      s"""WITH ${rpBaseCtes(4)},
+         |${rpForestCandCtes(4)},
+         |ap AS (SELECT qid, nid FROM (
+         |         SELECT qid, nid, row_number() OVER (
+         |           PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |         FROM cd) WHERE rank <= 5),
+         |qb AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+         |       WHERE vec_id % 100 = 0),
+         |sb AS (SELECT qb.qid, n.vec_id AS nid,
+         |         ${dotSql("qb.qv", "n.v")} / (qb.qn * n.nrm) AS sim
+         |       FROM qb JOIN n ON n.vec_id != qb.qid),
+         |ex AS (SELECT qid, nid FROM (
+         |         SELECT qid, nid, row_number() OVER (
+         |           PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |         FROM sb) WHERE rank <= 5)
+         |SELECT ex.qid, count(*)::BIGINT AS n_exact,
+         |       sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_hits,
+         |       round(sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)
+         |             ::DOUBLE / count(*), 6) AS recall
+         |FROM ex LEFT JOIN ap USING (qid, nid)
+         |GROUP BY 1""".stripMargin,
 
     "knn_lsh_bucketed" ->
       s"""WITH v AS (SELECT vec_id,

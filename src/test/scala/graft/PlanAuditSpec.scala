@@ -67,6 +67,10 @@ class PlanAuditSpec extends SparkSpec {
     *    selection runs on k-bounded collected arrays. */
   private val nlJoinAllowed =
     Set("pit_dummy_entity", "knn_cosine_brute", "knn_recall_lsh",
+      "knn_rptree_recall", // its EXACT side is the licensed brute
+      // baseline (recall is measured against it by definition); the
+      // forest side under audit is leaf equi-joins only —
+      // knn_rptree_forest itself carries NO exemption
       "knn_sq8", "knn_pq", "knn_project_rerank", "rag_fusion_rrf",
       "rag_mmr_rerank")
 

@@ -61,6 +61,31 @@ class RpTreeSpec extends SparkSpec {
     assert(sizes.values.sum == 256L)
   }
 
+  test("a 4-tree forest recalls at least as much as the single tree, " +
+    "with no duplicate (qid, nid) pairs") {
+    val queries = corpus.filter($"vec_id" % 25 === 0)
+    val brute = Similarity.bruteForceKnn(corpus, queries, "vec_id",
+      "embedding", k = 3)
+    def recallOf(ap: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.knnRecall(ap, brute)
+        .agg(org.apache.spark.sql.functions.sum("n_hits"),
+          org.apache.spark.sql.functions.sum("n_exact")).head()
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    val single = Similarity.rpTreeKnn(corpus, queries, "vec_id",
+      "embedding", k = 3,
+      splits = Similarity.trainRpTree(corpus, "vec_id", "embedding", 3, 64))
+    val forest = Similarity.rpForestKnn(corpus, queries, "vec_id",
+      "embedding", k = 3,
+      forest = Similarity.trainRpForest(corpus, "vec_id", "embedding",
+        nTrees = 4, depth = 3))
+    assert(forest.groupBy("qid", "nid").count()
+      .filter($"count" > 1).isEmpty, "duplicate pairs across trees")
+    val (rs, rf) = (recallOf(single), recallOf(forest))
+    assert(rf >= rs, s"forest recall $rf < single-tree recall $rs")
+    assert(rf > 0.0)
+  }
+
   test("rpTreeKnn == brute-force ranking restricted to the query's leaf") {
     val splits = Similarity.trainRpTree(corpus, "vec_id", "embedding",
       depth = 3, dim = 64)
