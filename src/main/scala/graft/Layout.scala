@@ -163,9 +163,16 @@ object Layout {
   def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
       sizeCol: String, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
+    // Explicit ROWS frame: the default RANGE frame equals the
+    // documented per-file running sum only while (size DESC, file_id)
+    // is unique within a partition — duplicate listing rows would
+    // become frame peers and double-count __cum, silently diverging
+    // from the greedy fill (and the oracle's explicit ROWS frame).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(partCol))
       .orderBy(col(sizeCol).desc, col(fileCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     files
       .withColumn("__cum", sum(col(sizeCol)).over(w))
       .withColumn("grp",

@@ -223,17 +223,24 @@ object Sampling {
     * move for tilting a web-scale pool toward a domain (papers, code,
     * a benchmark's style) without training a classifier. Per document,
     * importance = Σ_tokens log p_target(f)/p_raw(f) over hashed
-    * features f = hash32(token) mod `nFeatures`, add-one smoothed,
+    * features f = hash32(token) mod `nFeatures`, with each
+    * distribution add-one smoothed over its own corpus:
+    * p(f) = (count(f)+1)/(total_tokens+nFeatures) — so `dsir_score`
+    * is a genuine per-token mean log probability ratio, comparable
+    * across corpora (an unnormalized count ratio would carry a
+    * constant ln(N_raw/N_target) offset per token), and it is
     * NORMALIZED PER TOKEN (the raw sum just measures length — shorter
     * docs win on any corpus; the mean log-ratio measures fit).
     *
     * Determinism across engines: each feature's log-ratio is quantized
-    * to a 1e9-scaled long (`round(ln((ct+1)/(cr+1))·1e9)` — the
-    * text_lm_score treatment: one engine-local ln, then a round that
-    * absorbs sub-quantum ulp differences), the per-doc sum is a
-    * commutative long sum, and the final score is ONE correctly-
-    * rounded division of exact operands rounded to 6dp. Selection =
-    * top-k by (score DESC, id ASC) — total order, no RNG.
+    * to a 1e9-scaled long (`round(ln((ct+1)·(Tr+F) / ((cr+1)·(Tt+F)))
+    * ·1e9)` with the products formed in exact BIGINT arithmetic — the
+    * text_lm_score treatment: one engine-local ln of one correctly-
+    * rounded double division, then a round that absorbs sub-quantum
+    * ulp differences), the per-doc sum is a commutative long sum, and
+    * the final score is ONE correctly-rounded division of exact
+    * operands rounded to 6dp. Selection = top-k by (score DESC,
+    * id ASC) — total order, no RNG.
     *
     * Scale shape: two token-explode aggregations (map-side combinable;
     * output ≤ `nFeatures` rows each), the weight table BROADCASTS
@@ -251,12 +258,33 @@ object Sampling {
         pmod(hash32(col("__t")), lit(nFeatures.toLong)).as("__f"))
     val rawTok = tok(raw)
     val tgtCnt = tok(target).groupBy("__f").agg(count(lit(1)).as("__ct"))
-    val wt = rawTok.groupBy("__f").agg(count(lit(1)).as("__cr"))
-      .join(tgtCnt, Seq("__f"), "left")
-      .select(col("__f"),
-        round(log((coalesce(col("__ct"), lit(0L)) + lit(1L))
-            .cast("double") / (col("__cr") + lit(1L))) * lit(1e9), 0)
-          .cast("long").as("__wt"))
+    // Per-feature counts of BOTH corpora, collected once: ≤ 2·nFeatures
+    // rows by construction (that is the point of feature hashing) — the
+    // same bounded-driver-state license as the centroid/median training
+    // collects. Totals and the smoothed log-probability-ratio weights
+    // are derived here so the token relation is scanned exactly twice
+    // (once per corpus for counts, once for scoring), never a third
+    // time for the totals.
+    val ft = rawTok.groupBy("__f").agg(count(lit(1)).as("__cr"))
+      .join(tgtCnt, Seq("__f"), "full_outer")
+      .select(col("__f"), coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"))
+      .collect()
+    val tr = ft.map(_.getLong(1)).sum // total raw tokens
+    val tt = ft.map(_.getLong(2)).sum // total target tokens
+    val nf = nFeatures.toLong
+    // ln(p_target(f)/p_raw(f)) with p(f) = (count+1)/(total+nFeatures):
+    // exact BIGINT products, two IEEE long→double conversions, one
+    // correctly-rounded division, one engine-local ln quantized at 1e9
+    val wtRows = ft.toSeq.filter(_.getLong(1) > 0L).map { r =>
+      val (cr, ct) = (r.getLong(1), r.getLong(2))
+      val ratio = ((ct + 1L) * (tr + nf)).toDouble /
+        ((cr + 1L) * (tt + nf)).toDouble
+      (r.getLong(0), math.round(math.log(ratio) * 1e9))
+    }
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val wt = wtRows.toDF("__f", "__wt")
     rawTok.join(broadcast(wt), Seq("__f"))
       .groupBy("__id")
       .agg(sum("__wt").as("__sum"), count(lit(1)).as("__n"))

@@ -1283,9 +1283,45 @@ object Similarity {
     * corpus. */
   def trainRpTree(corpus: DataFrame, idCol: String, vecCol: String,
       depth: Int = 3, dim: Int = 64,
-      sampleK: Int = 1024, planeOffset: Int = 0): IndexedSeq[Map[Long, Long]] = {
+      sampleK: Int = 1024, planeOffset: Int = 0): IndexedSeq[Map[Long, Long]] =
+    trainRpTreeBanded(corpus, idCol, vecCol, depth, dim, sampleK,
+      planeOffset).map(_.map { case (n, (m, _, _)) => n -> m })
+
+  /** The default spill band half-width, in PER-MILLE of each node's
+    * sample rank range: the band covers sample ranks
+    * [median − cnt·sp/1000, median + cnt·sp/1000], so a query whose
+    * projection lands inside it descends into BOTH children (see
+    * [[rpDescendSpill]]). Rank-calibrated on the same sample as the
+    * median — the expected spill probability per level is ≈ 2·sp/1000
+    * REGARDLESS of the projection distribution's shape or scale (a
+    * fixed ε in projection units would need per-corpus tuning). */
+  val RpSpillPermille = 150
+
+  /** [[trainRpTree]] plus a rank-calibrated SPILL BAND per node: for
+    * each (level, node), the values at sample ranks
+    * `max(1, medRank − band)` and `min(cnt, medRank + band)` with
+    * `band = cnt·spillPermille/1000` (integer arithmetic, mirrored
+    * verbatim by the oracle). Returns (node → (median, lo, hi)) per
+    * level; the model is 3·(2^depth − 1) longs — still centroid-class
+    * driver state. Corpus routing uses only the median; QUERY routing
+    * spills into both children when the projection lands in (lo, hi]
+    * — Annoy's boundary-spill recall lever, bounded per level by the
+    * band's rank mass instead of a priority queue (deterministic,
+    * engine-mirrorable, no driver-side search state).
+    *
+    * Training lineage is [[DataFrame.localCheckpoint]]ed per level
+    * (the connectedComponents treatment): level l's aggregate reads
+    * the level-(l−1) checkpoint instead of re-running the projection
+    * chain plus l broadcast joins from the base relation — O(depth)
+    * corpus scans total, not O(depth²), which is what matters exactly
+    * when [[autoDepth]] reaches 10 on third-decade corpora. */
+  def trainRpTreeBanded(corpus: DataFrame, idCol: String, vecCol: String,
+      depth: Int = 3, dim: Int = 64, sampleK: Int = 1024,
+      planeOffset: Int = 0, spillPermille: Int = RpSpillPermille)
+      : IndexedSeq[Map[Long, (Long, Long, Long)]] = {
     require(depth >= 1 && depth <= 10, "depth must be in [1, 10]")
     require(sampleK > 0 && planeOffset >= 0, "bad sampleK/planeOffset")
+    require(spillPermille >= 0 && spillPermille < 500, "bad spillPermille")
     val samp = udaf(new graft.functions.BottomKByHashAgg(sampleK))
     val planes = planeSigns(planeOffset + depth, dim).drop(planeOffset)
     val base = corpus.select(col(idCol).as("vec_id"),
@@ -1297,18 +1333,31 @@ object Similarity {
       // the k smallest (hash32("rp:" || id), proj) pairs per node
       .withColumn("__h",
         TextOps.hash32(concat(lit("rp:"), col("vec_id").cast("string"))))
-    var cur = projs.withColumn("__node", lit(0L))
+    // ranks over the ascending sample VALUES — the value at a rank is
+    // unique regardless of tie order; med = lower median, lo/hi = the
+    // band edges at ±cnt·sp/1000 ranks (clamped to [1, cnt])
+    val arr = "array_sort(transform(smp, s -> s.v))"
+    val sz = "size(smp)"
+    val medRank = s"(($sz + 1) div 2)"
+    val band = s"(($sz * $spillPermille) div 1000)"
+    def pick(rank: String) =
+      s"CAST(element_at($arr, CAST($rank AS INT)) AS BIGINT)"
+    var cur = projs.withColumn("__node", lit(0L)).localCheckpoint()
     (0 until depth).map { l =>
       val med = cur.groupBy("__node")
         .agg(samp(col("__h"), col(s"p$l").cast("double")).as("smp"))
         .select(col("__node"),
-          // lower median of the ascending sample VALUES — the value at
-          // rank (m+1) div 2 is unique regardless of tie order
-          expr("""CAST(element_at(array_sort(transform(smp, s -> s.v)),
-                 |  CAST((size(smp) + 1) div 2 AS INT)) AS BIGINT)"""
-            .stripMargin).as("m"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      cur = rpDescend(cur, med, s"p$l", l)
+          expr(pick(medRank)).as("m"),
+          expr(pick(s"greatest(1, $medRank - $band)")).as("lo"),
+          expr(pick(s"least($sz, $medRank + $band)")).as("hi"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      // the last level's medians need no descended relation — don't
+      // materialize one (each checkpoint is an eager corpus pass)
+      if (l < depth - 1)
+        cur = rpDescend(cur, med.map { case (n, (m, _, _)) => n -> m },
+          s"p$l", l).localCheckpoint()
       med
     }
   }
@@ -1358,6 +1407,44 @@ object Similarity {
         .drop("__m")
     }
 
+  /** One tree level of QUERY-side descent WITH BOUNDARY SPILL: a
+    * vector whose projection lands inside the node's rank-calibrated
+    * band (lo, hi] descends into BOTH children — one `explode` over a
+    * 1- or 2-element child array after the same broadcast median join
+    * as [[rpDescend]] (level 0 inlines the root literals). A true
+    * neighbor is lost only when some level separates it from its
+    * query; separations concentrate exactly where the query projects
+    * near the split median, which is the region the band covers — so
+    * the band converts the likeliest misses into co-leaf hits at a
+    * bounded cost of ≈(1 + 2·sp/1000)^depth leaves per query. Spilled
+    * paths have distinct node prefixes, so no (vector, leaf) row ever
+    * duplicates. Null medians (untrained regions) take child 0 and
+    * never spill — [[rpDescend]]'s convention. */
+  private def rpDescendSpill(df: DataFrame,
+      med: Map[Long, (Long, Long, Long)], projCol: String,
+      level: Int): DataFrame = {
+    def children(p: Column, m: Column, lo: Column, hi: Column): Column =
+      explode(when(p > lo && p <= hi, array(lit(0L), lit(1L)))
+        .otherwise(array(when(p > m, lit(1L)).otherwise(lit(0L)))))
+    if (level == 0) {
+      val (m0, lo0, hi0) =
+        med.getOrElse(0L, (Long.MaxValue, Long.MaxValue, Long.MinValue))
+      df.withColumn("__c",
+          children(col(projCol), lit(m0), lit(lo0), lit(hi0)))
+        .withColumn("__node", col("__c")).drop("__c")
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val medDf = med.toSeq.map { case (n, (m, lo, hi)) => (n, m, lo, hi) }
+        .toDF("__node", "__m", "__lo", "__hi")
+      df.join(broadcast(medDf), Seq("__node"), "left")
+        .withColumn("__c",
+          children(col(projCol), col("__m"), col("__lo"), col("__hi")))
+        .withColumn("__node", col("__node") * 2 + col("__c"))
+        .drop("__m", "__lo", "__hi", "__c")
+    }
+  }
+
   /** (vec_id, v, nrm, leaf) of a vector relation under trained splits —
     * projections as columns, then one [[rpDescend]] broadcast join per
     * level. */
@@ -1374,6 +1461,27 @@ object Similarity {
     }.withColumn("__node", lit(0L))
     splits.zipWithIndex.foldLeft(projs) {
       case (d, (med, l)) => rpDescend(d, med, s"__p$l", l)
+    }.select(col("vec_id"), col("v"), col("nrm"),
+      col("__node").as("leaf"))
+  }
+
+  /** QUERY-side routing under BANDED splits: one [[rpDescendSpill]]
+    * per level, emitting one (vec_id, v, nrm, leaf) row per probed
+    * leaf — ≥1 per vector, all leaves distinct by the prefix-code
+    * argument. Same projection/plane slicing as [[rpRouted]]. */
+  private def rpRoutedSpill(df: DataFrame, idCol: String, vecCol: String,
+      splits: IndexedSeq[Map[Long, (Long, Long, Long)]], dim: Int,
+      planeOffset: Int = 0): DataFrame = {
+    val planes = planeSigns(planeOffset + splits.size, dim)
+      .drop(planeOffset)
+    val base = df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val projs = planes.zipWithIndex.foldLeft(base) {
+      case (d, (p, l)) => d.withColumn(s"__p$l", projQ(col("v"), p))
+    }.withColumn("__node", lit(0L))
+    splits.zipWithIndex.foldLeft(projs) {
+      case (d, (med, l)) => rpDescendSpill(d, med, s"__p$l", l)
     }.select(col("vec_id"), col("v"), col("nrm"),
       col("__node").as("leaf"))
   }
@@ -1420,31 +1528,40 @@ object Similarity {
     * independent trees over disjoint plane rows; a true neighbor
     * separated from its query by one tree's early split usually shares
     * a leaf in another tree, so miss probability decays with T like
-    * the multi-table LSH argument). Model = nTrees · (2^depth − 1)
+    * the multi-table LSH argument). BANDED splits per tree — the
+    * corpus routes by the median alone, queries spill at boundaries
+    * (see [[trainRpTreeBanded]]). Model = nTrees · 3·(2^depth − 1)
     * longs. */
   def trainRpForest(corpus: DataFrame, idCol: String, vecCol: String,
-      nTrees: Int, depth: Int = 3, dim: Int = 64,
-      sampleK: Int = 1024): IndexedSeq[IndexedSeq[Map[Long, Long]]] = {
+      nTrees: Int, depth: Int = 3, dim: Int = 64, sampleK: Int = 1024,
+      spillPermille: Int = RpSpillPermille)
+      : IndexedSeq[IndexedSeq[Map[Long, (Long, Long, Long)]]] = {
     require(nTrees >= 1 && nTrees <= 8, "nTrees must be in [1, 8]")
-    (0 until nTrees).map(t => trainRpTree(corpus, idCol, vecCol, depth,
-      dim, sampleK, planeOffset = t * RpTreeStride))
+    (0 until nTrees).map(t => trainRpTreeBanded(corpus, idCol, vecCol,
+      depth, dim, sampleK, planeOffset = t * RpTreeStride, spillPermille))
   }
 
-  /** FOREST kNN: per-tree leaf equi-join candidates, (qid, nid)
-    * deduped across trees by a group-min (sims are identical across
-    * trees — the min matches [[lshKnnMultiTable]]'s convention and the
-    * oracle's), bounded top-k. Candidate volume is ≤ nTrees × the
-    * single tree's — the recall/cost dial, never all-pairs. */
+  /** FOREST kNN with QUERY-SIDE BOUNDARY SPILL: the corpus is routed
+    * ONCE per tree by the medians (the index never duplicates); each
+    * query probes its own leaf plus every leaf reachable through a
+    * spill band, per tree. Candidates = per-tree leaf equi-joins,
+    * (qid, nid) deduped across trees AND spill paths by a group-min
+    * (sims are identical wherever a pair meets — the min matches
+    * [[lshKnnMultiTable]]'s convention and the oracle's), bounded
+    * top-k. Candidate volume ≤ nTrees · (1 + 2·sp/1000)^depth ·
+    * leaf occupancy per query — the recall/cost dial, never
+    * all-pairs. */
   def rpForestKnn(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      forest: IndexedSeq[IndexedSeq[Map[Long, Long]]],
+      forest: IndexedSeq[IndexedSeq[Map[Long, (Long, Long, Long)]]],
       dim: Int = 64): DataFrame = {
     val perTree = forest.zipWithIndex.map { case (splits, t) =>
       val off = t * RpTreeStride
-      val v = rpRouted(corpus, idCol, vecCol, splits, dim, off)
+      val medOnly = splits.map(_.map { case (n, (m, _, _)) => n -> m })
+      val v = rpRouted(corpus, idCol, vecCol, medOnly, dim, off)
         .select(col("vec_id").as("nid"), col("v"), col("nrm"),
           col("leaf"))
-      val q = rpRouted(queries, idCol, vecCol, splits, dim, off)
+      val q = rpRoutedSpill(queries, idCol, vecCol, splits, dim, off)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("nrm").as("qn"), col("leaf"))
       v.join(broadcast(q), Seq("leaf"))

@@ -611,11 +611,14 @@ object TextAnalysis {
     * n-gram windows — per-row array expressions + one posexplode,
     * LINEAR in corpus tokens, built fresh per query batch (a standing
     * deployment would materialize it once and bucket it by a gram
-    * hash); matching is ONE equi-join on the gram string (broadcast
-    * while the phrase set is small, an ordinary hash join when a
-    * million-phrase attribution batch arrives). Output is the true
-    * match set — no candidate blowup, no verify stage needed, because
-    * the join key IS the phrase. */
+    * hash); matching is ONE equi-join on the gram string. NO broadcast
+    * hint: Spark honors an explicit hint unconditionally (a
+    * million-phrase attribution batch would be collected to the driver
+    * and can OOM), while the planner's own size estimate — plus AQE's
+    * runtime re-plan — already broadcasts a small phrase table and
+    * falls back to an ordinary hash join for a large one. Output is
+    * the true match set — no candidate blowup, no verify stage needed,
+    * because the join key IS the phrase. */
   def phraseSearch(corpus: DataFrame, phrases: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val posts = corpus
@@ -623,7 +626,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         posexplode(TextOps.wordNgrams("__w", n)).as(Seq("pos", "__g")))
     posts
-      .join(broadcast(phrases.select(col("qid"), col("phrase"))),
+      .join(phrases.select(col("qid"), col("phrase")),
         col("__g") === col("phrase"))
       .select(col("qid"), col("phrase"), col("doc_id"), col("pos"))
   }

@@ -306,10 +306,15 @@ object Web {
     * keep their default-allow row. */
   def robotsFilter(urls: DataFrame, rules: DataFrame,
       idCol: String, urlCol: String): DataFrame = {
+    // RFC 9309 §2.2.2: an empty path is equivalent to "/" — a
+    // scheme-root URL (https://h.example, no trailing slash) must still
+    // match a whole-host Disallow "/" rule; and http URLs get the same
+    // path extraction as https (rules are keyed by host, not scheme)
+    val rawPath =
+      regexp_extract(col(urlCol), "^https?://[^/?#]*([^?#]*)", 1)
     val u = urls.select(col(idCol), col(urlCol).as("url"),
       hostOf(col(urlCol)).as("host"),
-      regexp_extract(col(urlCol), "^https://[^/?#]*([^?#]*)", 1)
-        .as("__path"))
+      when(rawPath === "", lit("/")).otherwise(rawPath).as("__path"))
     val r = rules.select(col("host").as("__rh"), col("prefix"),
       col("allow"))
     val matched = u.join(r, u("host") === col("__rh") &&

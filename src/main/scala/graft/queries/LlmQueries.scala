@@ -322,11 +322,11 @@ object LlmQueries {
         depth = depth, dim = 64))
 
   private val rpForestCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int), IndexedSeq[IndexedSeq[Map[Long, Long]]]]()
+    (String, Int, Int), IndexedSeq[IndexedSeq[Map[Long, (Long, Long, Long)]]]]()
 
   private[graft] def trainedRpForest(
       s: SparkSession, dir: String, nTrees: Int,
-      depth: Int): IndexedSeq[IndexedSeq[Map[Long, Long]]] =
+      depth: Int): IndexedSeq[IndexedSeq[Map[Long, (Long, Long, Long)]]] =
     rpForestCache.computeIfAbsent((embFingerprint(dir), nTrees, depth),
       _ => Similarity.trainRpForest(emb(s, dir), "vec_id", "embedding",
         nTrees = nTrees, depth = depth, dim = 64))
@@ -959,10 +959,18 @@ object LlmQueries {
        |$plCtes""".stripMargin
   }
 
+  /** The spill band half-width mirrored into the RP oracle SQL —
+    * read straight off the Spark-side constant so the two engines
+    * cannot drift. */
+  private val RpSp = graft.llm.Similarity.RpSpillPermille
+
   /** One RP tree's training + routing chain (tree `t` over plane rows
     * [t·10, t·10+10) — mirrors [[graft.llm.Similarity.trainRpTree]] /
     * `rpRouted`; see the knn_rptree oracle comment for the level/gate/
-    * sample semantics). Ends in `lf_$t(vec_id, v, nrm, ..., leaf)`;
+    * sample semantics). The per-node median CTE also reads the two
+    * spill-band edges `lo`/`hi` off the SAME ranked sample (ranks
+    * medRank ∓ cnt·sp/1000, clamped — integer arithmetic identical to
+    * `trainRpTreeBanded`). Ends in `lf_$t(vec_id, v, nrm, ..., leaf)`;
     * every chain CTE MATERIALIZED (each level is referenced ~3 times —
     * DuckDB inlining would re-evaluate the chain 3^10 times). */
   private def rpChainCtes(t: Int): String = {
@@ -978,11 +986,16 @@ object LlmQueries {
          |    PARTITION BY nd$l ORDER BY h, p$l) AS rn
          |  FROM (SELECT DISTINCT nd$l, h, p$l FROM n${l}_$t) t)
          |  WHERE rn <= 1024),
-         |m${l}_$t AS MATERIALIZED (SELECT nd$l, m FROM (
-         |  SELECT nd$l, sv AS m, row_number() OVER (
-         |    PARTITION BY nd$l ORDER BY sv) AS rn,
-         |  count(*) OVER (PARTITION BY nd$l) AS cnt FROM s${l}_$t)
-         |  WHERE rn = (cnt + 1) // 2),
+         |m${l}_$t AS MATERIALIZED (SELECT nd$l,
+         |  max(CASE WHEN rn = (cnt + 1) // 2 THEN sv END) AS m,
+         |  max(CASE WHEN rn = greatest(1, (cnt + 1) // 2 -
+         |    (cnt * $RpSp) // 1000) THEN sv END) AS lo,
+         |  max(CASE WHEN rn = least(cnt, (cnt + 1) // 2 +
+         |    (cnt * $RpSp) // 1000) THEN sv END) AS hi
+         |  FROM (SELECT nd$l, sv, row_number() OVER (
+         |          PARTITION BY nd$l ORDER BY sv) AS rn,
+         |        count(*) OVER (PARTITION BY nd$l) AS cnt FROM s${l}_$t)
+         |  GROUP BY nd$l),
          |n${l + 1}_$t AS MATERIALIZED (SELECT n${l}_$t.*,
          |  $child AS nd${l + 1}
          |  FROM n${l}_$t LEFT JOIN m${l}_$t USING (nd$l))""".stripMargin
@@ -1002,9 +1015,46 @@ object LlmQueries {
        |  FROM n${maxD}_$t)""".stripMargin
   }
 
-  /** Forest candidate CTEs over `nTrees` chains: per-tree leaf join,
-    * union, (qid, nid) dedup by group-min — ends in `cd(qid, nid,
-    * sim)`. */
+  /** One tree's QUERY-side spilled descent (mirrors
+    * `Similarity.rpRoutedSpill`): per level, the main arm takes the
+    * median child (gated exactly like the corpus chain), and a spill
+    * arm re-emits the row into the OTHER child when the projection
+    * lands in the node's (lo, hi] band — the UNION ALL replays the
+    * Spark side's 2-element explode. Spilled paths carry distinct
+    * node prefixes, so `q_$t` holds one row per (query, probed leaf)
+    * with no duplicates. */
+  private def rpQuerySpillCtes(t: Int): String = {
+    val maxD = 10
+    val cols = (0 until maxD).map(l => s"p$l").mkString(", ")
+    val levels = (0 until maxD).map { l =>
+      val gate = s"(SELECT count(*) FROM embeddings) > ${256L * (1L << l)}"
+      val bit =
+        s"qd$l * 2 + (CASE WHEN p$l > m${l}_$t.m THEN 1 ELSE 0 END)"
+      val main = if (l < 3) bit
+        else s"CASE WHEN $gate THEN $bit ELSE qd$l END"
+      val spillBit =
+        s"qd$l * 2 + (CASE WHEN p$l > m${l}_$t.m THEN 0 ELSE 1 END)"
+      val spillGate = if (l < 3) "" else s"$gate AND "
+      s"""qn${l + 1}_$t AS MATERIALIZED (
+         |  SELECT qid, qv, qn, $cols, $main AS qd${l + 1}
+         |  FROM qn${l}_$t LEFT JOIN m${l}_$t ON qn${l}_$t.qd$l = m${l}_$t.nd$l
+         |  UNION ALL
+         |  SELECT qid, qv, qn, $cols, $spillBit AS qd${l + 1}
+         |  FROM qn${l}_$t JOIN m${l}_$t ON qn${l}_$t.qd$l = m${l}_$t.nd$l
+         |  WHERE ${spillGate}p$l > m${l}_$t.lo AND p$l <= m${l}_$t.hi)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""qn0_$t AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn,
+       |    $cols, 0 AS qd0
+       |  FROM pj_$t WHERE vec_id % 100 = 0),
+       |$levels,
+       |q_$t AS MATERIALIZED (SELECT qid, qv, qn, qd$maxD AS leaf
+       |  FROM qn${maxD}_$t)""".stripMargin
+  }
+
+  /** Forest candidate CTEs over `nTrees` chains: per-tree leaf join
+    * (corpus single-routed, queries SPILL-routed), union, (qid, nid)
+    * dedup by group-min — ends in `cd(qid, nid, sim)`. */
   private def rpForestCandCtes(nTrees: Int): String = {
     val chains = (0 until nTrees).map(rpChainCtes).mkString(",\n")
     val arms = (0 until nTrees).map { t =>
@@ -1014,10 +1064,7 @@ object LlmQueries {
          |FROM q_$t JOIN lf_$t USING (leaf)
          |WHERE lf_$t.vec_id != q_$t.qid""".stripMargin
     }.mkString("\nUNION ALL\n")
-    val qCtes = (0 until nTrees).map(t =>
-      s"""q_$t AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, leaf
-         |  FROM lf_$t WHERE vec_id % 100 = 0)""".stripMargin)
-      .mkString(",\n")
+    val qCtes = (0 until nTrees).map(rpQuerySpillCtes).mkString(",\n")
     s"""$chains,
        |$qCtes,
        |cd AS (SELECT qid, nid, min(sim) AS sim FROM (
@@ -2775,9 +2822,12 @@ object LlmQueries {
          |WHERE lang != 'en'
          |  AND ${Sampling.bernoulliSql("doc_id", 0.25, "graft/rest")}""".stripMargin,
 
-    // per-feature log-ratio quantized to a 1e9-scaled BIGINT (the
-    // text_lm_score treatment), per-doc mean = one rounded division of
-    // exact operands; top-k replayed as ORDER BY (score DESC, id)
+    // per-feature smoothed log-probability-ratio — p(f) = (count+1)/
+    // (total_tokens+nFeatures) for each corpus, the ratio formed from
+    // exact BIGINT products and ONE double division, the ln quantized
+    // to a 1e9-scaled BIGINT (the text_lm_score treatment); per-doc
+    // mean = one rounded division of exact operands; top-k replayed as
+    // ORDER BY (score DESC, id)
     "sample_dsir" ->
       s"""WITH $DocsCte,
          |tk AS (SELECT doc_id,
@@ -2786,10 +2836,14 @@ object LlmQueries {
          |tg AS (SELECT f, count(*) AS ct FROM tk
          |       WHERE doc_id % 10 = 0 GROUP BY f),
          |rw AS (SELECT f, count(*) AS cr FROM tk GROUP BY f),
+         |tot AS (SELECT (SELECT sum(cr) FROM rw) AS tr,
+         |               (SELECT coalesce(sum(ct), 0) FROM tg) AS tt),
          |wt AS (SELECT rw.f,
-         |         CAST(round(ln((coalesce(tg.ct, 0) + 1)::DOUBLE /
-         |                       (rw.cr + 1)) * 1e9, 0) AS BIGINT) AS wt
-         |       FROM rw LEFT JOIN tg USING (f)),
+         |         CAST(round(ln(
+         |           ((coalesce(tg.ct, 0) + 1) * (tot.tr + 1024))::DOUBLE /
+         |           ((rw.cr + 1) * (tot.tt + 1024))::DOUBLE) * 1e9, 0)
+         |           AS BIGINT) AS wt
+         |       FROM rw LEFT JOIN tg USING (f), tot),
          |sc AS (SELECT doc_id, sum(wt)::BIGINT AS s, count(*) AS n
          |       FROM tk JOIN wt USING (f) GROUP BY doc_id)
          |SELECT doc_id, round(s::DOUBLE / n / 1e9, 6) AS dsir_score,
@@ -3779,9 +3833,11 @@ object LlmQueries {
       s"""WITH $WebCanonSql,
          |uu AS (SELECT doc_id, canon AS url,
          |        regexp_extract(canon, '^https://([^/]*)', 1) AS host,
-         |        regexp_extract(canon, '^https://[^/?#]*([^?#]*)',
-         |          1) AS path
-         |      FROM cn),
+         |        CASE WHEN p = '' THEN '/' ELSE p END AS path
+         |      FROM (SELECT doc_id, canon,
+         |              regexp_extract(canon,
+         |                '^https?://[^/?#]*([^?#]*)', 1) AS p
+         |            FROM cn)),
          |hs AS (SELECT DISTINCT host,
          |        CAST(regexp_extract(host, '^site([0-9]+)', 1)
          |          AS BIGINT) AS h

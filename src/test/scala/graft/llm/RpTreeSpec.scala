@@ -86,6 +86,91 @@ class RpTreeSpec extends SparkSpec {
     assert(rf > 0.0)
   }
 
+  test("banded splits: lo ≤ median ≤ hi per node, medians unchanged by " +
+    "the band, spillPermille = 0 degenerates to the median-only " +
+    "forest, and the default band can only LIFT recall") {
+    val queries = corpus.filter($"vec_id" % 25 === 0)
+    val f0 = Similarity.trainRpForest(corpus, "vec_id", "embedding",
+      nTrees = 2, depth = 3, spillPermille = 0)
+    val fS = Similarity.trainRpForest(corpus, "vec_id", "embedding",
+      nTrees = 2, depth = 3)
+    // the band is read off the SAME sample as the median — adding it
+    // must not move any split point
+    assert(f0.map(_.map(_.map { case (n, (m, _, _)) => n -> m })) ==
+      fS.map(_.map(_.map { case (n, (m, _, _)) => n -> m })))
+    fS.flatten.flatMap(_.values).foreach { case (m, lo, hi) =>
+      assert(lo <= m && m <= hi, s"band ($lo, $hi] must bracket $m")
+    }
+    // sp = 0 ⇒ lo = hi = median ⇒ the spill predicate lo < p ≤ hi is
+    // empty and every query routes single-path
+    f0.flatten.flatMap(_.values).foreach { case (m, lo, hi) =>
+      assert(lo == m && hi == m)
+    }
+    val brute = Similarity.bruteForceKnn(corpus, queries, "vec_id",
+      "embedding", k = 3)
+    def recallOf(ap: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.knnRecall(ap, brute)
+        .agg(org.apache.spark.sql.functions.sum("n_hits"),
+          org.apache.spark.sql.functions.sum("n_exact")).head()
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    val a0 = Similarity.rpForestKnn(corpus, queries, "vec_id",
+      "embedding", k = 3, forest = f0)
+    val aS = Similarity.rpForestKnn(corpus, queries, "vec_id",
+      "embedding", k = 3, forest = fS)
+    // spill only ADDS candidates, and any candidate outscoring a true
+    // top-k member is itself a true top-k member — so hits (and
+    // recall) are monotone in the candidate set
+    assert(recallOf(aS) >= recallOf(a0),
+      "boundary spill must not lose recall")
+    // spilled paths have distinct leaf prefixes — still no duplicates
+    assert(aS.groupBy("qid", "nid").count()
+      .filter($"count" > 1).isEmpty, "duplicate pairs under spill")
+  }
+
+  test("banded training scans the base relation O(depth) times via " +
+    "per-level localCheckpoint, not O(depth²) lineage recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("rptrain").toFile
+    try {
+      val path = new java.io.File(dir, "emb").getAbsolutePath
+      corpus.write.mode("overwrite").parquet(path)
+      val df = spark.read.parquet(path)
+      // local-scheme Hadoop FS counters: parquet reads go through them,
+      // checkpoint/cache reads never do — so the delta across training
+      // counts FILE passes only
+      def fileBytes: Long = {
+        var s = 0L
+        val it = org.apache.hadoop.fs.FileSystem
+          .getGlobalStorageStatistics.iterator()
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getScheme == "file")
+            s += Option(st.getLong("bytesRead"))
+              .map(_.longValue).getOrElse(0L)
+        }
+        s
+      }
+      val sz = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      df.queryExecution.toRdd.count() // footer/schema reads outside the bracket
+      val before = fileBytes
+      val splits = Similarity.trainRpTreeBanded(df, "vec_id", "embedding",
+        depth = 6, dim = 64)
+      assert(splits.size == 6)
+      val delta = fileBytes - before
+      // one initial-checkpoint pass (+ footers); the un-checkpointed
+      // formulation re-reads the file once per level ⇒ ≥ 6× here
+      assert(delta <= 3 * sz,
+        s"training read $delta file bytes for a $sz-byte corpus — " +
+          "per-level lineage recompute is back")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("rpTreeKnn == brute-force ranking restricted to the query's leaf") {
     val splits = Similarity.trainRpTree(corpus, "vec_id", "embedding",
       depth = 3, dim = 64)
