@@ -160,7 +160,12 @@ object Layout {
     * partitions by the table partition (bounded fan-in), and the
     * output is one row per planned rewrite group. The plan feeds
     * `compactParquet(..., targetFileBytes)` executions per group. */
-  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+  /** Per-FILE rewrite-group assignment — [[compactionPlan]] before its
+    * final rollup: every listing row tagged with the group the greedy
+    * size-DESC fill puts it in. This is the relation an EXECUTOR of
+    * the plan joins back to the data (each input file's rows land in
+    * exactly one rewrite group), so it is exposed on its own. */
+  def compactionAssign(files: DataFrame, partCol: String, fileCol: String,
       sizeCol: String, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
     // Explicit ROWS frame: the default RANGE frame equals the
@@ -177,9 +182,42 @@ object Layout {
       .withColumn("__cum", sum(col(sizeCol)).over(w))
       .withColumn("grp",
         expr(s"CAST((__cum - $sizeCol) div $targetBytes AS BIGINT)"))
+      .drop("__cum")
+  }
+
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame =
+    compactionAssign(files, partCol, fileCol, sizeCol, targetBytes)
       .groupBy(col(partCol), col("grp"))
       .agg(count(lit(1)).as("n_files"),
         sum(col(sizeCol)).as("total_bytes"),
         max(col(sizeCol)).as("max_file_bytes"))
+
+  /** EXECUTE a compaction plan: `rows` (the small files' data, each row
+    * tagged with the file it came from via `fileCol`) joined to the
+    * [[compactionAssign]] relation, shuffled once on (partition, group),
+    * and written `partitionBy(partCol, grp)` — so every rewrite group
+    * lands as EXACTLY ONE output file (the repartition puts a group's
+    * rows in one task; the dynamic partition split writes one file per
+    * (partition, grp) value per task). Returns the read-back of the
+    * rewritten layout for verification.
+    *
+    * Scale shape: ONE equi-join of data against the listing-sized
+    * assignment (no hint — AQE broadcasts a small listing, shuffles a
+    * multi-million-file one) and ONE shuffle keyed by rewrite group —
+    * the group is sized to `targetBytes` by construction, so per-task
+    * output is bounded by the compaction target regardless of table
+    * size, which is exactly OPTIMIZE's rewrite granularity. */
+  def compactByPlan(rows: DataFrame, assign: DataFrame, partCol: String,
+      fileCol: String, outDir: String): DataFrame = {
+    val spark = rows.sparkSession
+    rows.join(assign.select(col(partCol), col(fileCol), col("grp")),
+        Seq(fileCol))
+      .repartition(col(partCol), col("grp"))
+      .write.mode("overwrite").partitionBy(partCol, "grp").parquet(outDir)
+    // a pre-existing cached relation for outDir would keep serving the
+    // overwritten listing — drop it before the verification read
+    spark.catalog.refreshByPath(outDir)
+    spark.read.parquet(outDir)
   }
 }

@@ -282,7 +282,11 @@ object ScaleProbe {
     // window over the file LISTING — rows = file count)
     "web_robots_filter", "dedup_paragraphs", "text_phrase_search",
     "sample_dsir", "knn_rptree", "knn_rptree_forest",
-    "knn_rptree_recall", "x_compaction_plan")
+    "knn_rptree_recall", "x_compaction_plan",
+    // round-16: compaction EXECUTED (write small files, one
+    // group-keyed shuffle, rewrite, verify read-back — rows = data
+    // rows this time, the write path priced end-to-end)
+    "x_compaction_exec")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

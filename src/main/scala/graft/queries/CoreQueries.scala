@@ -1475,6 +1475,64 @@ object CoreQueries {
         "size_bytes", targetBytes = 64000L)
     }),
 
+    // COMPACTION EXECUTED END-TO-END (the x_compaction_plan row stops
+    // at metadata; this one rewrites real files and PROVES the layout):
+    // (1) materialize the small-files input — one physical parquet file
+    // per (day, writer) via repartition + partitionBy; (2) assign files
+    // to ≈64KB rewrite groups with Layout.compactionAssign over the
+    // same deterministic size formula; (3) Layout.compactByPlan joins
+    // data to assignment, shuffles once on (month, group), writes one
+    // file per group. The RESULT ROW carries the proof: files_written
+    // counts DISTINCT physical output files per group off
+    // input_file_name() (oracle states the literal 1 — any split or
+    // stray file hash-mismatches), n_rows/bytes_readback recompute the
+    // row count and the size formula FROM THE REWRITTEN FILES (oracle
+    // recomputes both from events — any lost/duplicated row diverges).
+    "x_compaction_exec" -> ((s, dir) => {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val inDir = s"tmp_compact/in_$key"
+      val outDir = s"tmp_compact/out_$key"
+      val src = Tables.read(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"),
+          pmod(col("user_id"), lit(8L)).as("writer"), col("props"))
+      // the small-files fixture: exactly one file per (dt, writer)
+      src.repartition(col("dt"), col("writer"))
+        .write.mode("overwrite").partitionBy("dt", "writer").parquet(inDir)
+      s.catalog.refreshByPath(inDir)
+      val rows = s.read.parquet(inDir)
+        .select(col("dt").cast("date").as("dt"),
+          col("writer").cast("long").as("writer"), col("props"))
+        .withColumn("file_id", concat_ws("-", col("dt").cast("string"),
+          col("writer").cast("string")))
+        .withColumn("part_month",
+          year(col("dt")) * 100 + month(col("dt")))
+      val listing = rows
+        .groupBy("part_month", "file_id")
+        .agg((lit(1024L) + count(lit(1)) * lit(64L) +
+          sum(length(col("props")))).as("size_bytes"))
+      val assign = Layout.compactionAssign(listing, "part_month",
+        "file_id", "size_bytes", targetBytes = 64000L)
+      val rb = Layout.compactByPlan(
+          rows.select("file_id", "dt", "writer", "props"),
+          assign, "part_month", "file_id", outDir)
+        .withColumn("__fn", input_file_name())
+      val perFile = rb
+        .groupBy(col("part_month"), col("grp"), col("dt"), col("writer"))
+        .agg(count(lit(1)).as("__n"),
+          sum(length(col("props"))).as("__sl"))
+      val sized = perFile.groupBy("part_month", "grp")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("__n")).as("n_rows"),
+          sum(lit(1024L) + col("__n") * lit(64L) + col("__sl"))
+            .as("bytes_readback"))
+      val fw = rb.groupBy("part_month", "grp")
+        .agg(countDistinct(col("__fn")).as("files_written"))
+      sized.join(fw, Seq("part_month", "grp"))
+        .select(col("part_month").cast("int").as("part_month"),
+          col("grp").cast("long").as("grp"), col("n_files"),
+          col("n_rows"), col("bytes_readback"), col("files_written"))
+    }),
+
     // BUCKETED co-located join, split into BUILD and PROBE rows so the
     // bench artifact shows each cost on its own line — the 100 TB story
     // is precisely "pay the shuffle once at write time, then every
@@ -2609,6 +2667,32 @@ object CoreQueries {
         |SELECT part_month, ((cum - size_bytes) // 64000)::BIGINT AS grp,
         |       count(*) AS n_files, sum(size_bytes)::BIGINT AS total_bytes,
         |       max(size_bytes)::BIGINT AS max_file_bytes
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // the executed rewrite replayed analytically: the same greedy fill
+    // gives each (day, writer) file its group; n_rows/bytes_readback
+    // are what a LOSSLESS rewrite must read back, and files_written is
+    // the literal 1 the one-file-per-group layout promises — the Spark
+    // side measures all three off the rewritten parquet
+    "x_compaction_exec" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) AS dt, user_id % 8 AS writer,
+        |             count(*) AS n_rows_f,
+        |             1024 + count(*) * 64 +
+        |               sum(length(props)) AS size_bytes
+        |           FROM events GROUP BY 1, 2),
+        |ff AS (SELECT (year(dt) * 100 + month(dt))::INTEGER AS part_month,
+        |         dt::VARCHAR || '-' || writer::VARCHAR AS file_id,
+        |         n_rows_f, size_bytes
+        |       FROM f),
+        |a AS (SELECT part_month, file_id, n_rows_f, size_bytes,
+        |        sum(size_bytes) OVER (PARTITION BY part_month
+        |          ORDER BY size_bytes DESC, file_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM ff)
+        |SELECT part_month, ((cum - size_bytes) // 64000)::BIGINT AS grp,
+        |       count(*) AS n_files, sum(n_rows_f)::BIGINT AS n_rows,
+        |       sum(size_bytes)::BIGINT AS bytes_readback,
+        |       1::BIGINT AS files_written
         |FROM a GROUP BY 1, 2""".stripMargin,
 
     "x_skew_salted_join" ->

@@ -201,4 +201,45 @@ class LayoutSpec extends SparkSpec {
         .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(run(df) == run(df.repartition(17)))
   }
+
+  test("compactByPlan rewrites every group as exactly ONE physical file " +
+    "and conserves rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cbp").toFile
+    try {
+      // 40 rows across 12 input "files", ragged sizes
+      val rows = (1 to 40).map(i =>
+        ("m" + (i % 2), "f" + (i % 12), "payload" * (i % 5 + 1), i))
+        .toDF("part", "file_id", "payload", "v")
+      val listing = rows.groupBy("part", "file_id")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length($"payload")).as("size_bytes"))
+      val assign = Layout.compactionAssign(listing, "part", "file_id",
+        "size_bytes", targetBytes = 100L)
+      val out = new java.io.File(tmp, "out").getAbsolutePath
+      val rb = Layout.compactByPlan(
+        rows.select("file_id", "payload", "v"), assign, "part", "file_id",
+        out)
+      // rows conserved, every (part, grp) dir holds exactly one file
+      assert(rb.count() == 40L)
+      val perGroup = rb
+        .withColumn("fn", org.apache.spark.sql.functions.input_file_name())
+        .groupBy("part", "grp")
+        .agg(org.apache.spark.sql.functions.countDistinct($"fn").as("nf"))
+        .as[(String, Int, Long)].collect()
+      assert(perGroup.nonEmpty && perGroup.forall(_._3 == 1L),
+        perGroup.mkString(", "))
+      // group count on disk == planned group count
+      val planned = assign.select("part", "grp").distinct().count()
+      assert(perGroup.length.toLong == planned)
+      // value checksum survives the rewrite
+      assert(rb.agg(org.apache.spark.sql.functions.sum($"v")).head.getLong(0)
+        == (1 to 40).sum.toLong)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(tmp)
+    }
+  }
 }
