@@ -188,18 +188,51 @@ object Bench {
         rs: Seq[(String, Either[String, Double])]): Boolean =
       rs.nonEmpty &&
         windowSuspectsOf(pre, post, mids, rs).size * 3 > rs.size
-    val (controlPre, results, controlPost, midCtls, repSpread, rerunCtl,
+    // SELF-HEALING attempts loop (round 16): the r15 official artifact
+    // was honest but unusable — the windows-saturated gate flagged it
+    // and a single retry wasn't enough for the box's load window to
+    // pass, so the round closed with no clean official number. Now the
+    // bench re-runs the FULL pass (per-query medians stay comparable;
+    // re-running only suspects would time half the suite under a
+    // different cache/JIT state) up to SPARK_GRAFT_BENCH_ATTEMPTS
+    // times, sleeping SPARK_GRAFT_BENCH_SETTLE_MS between attempts so a
+    // transient load window can drain, and emits the FIRST clean pass
+    // as the artifact. Every discarded attempt is recorded (controls,
+    // suspect count, total) — the re-measurement is auditable, never
+    // silent. If no attempt comes back clean the LAST one is emitted
+    // with "contaminated": true, exactly as before.
+    def passDirty(p: Double, q: Double, m: Seq[Double],
+        r: Seq[(String, Either[String, Double])]): Boolean =
+      drifted(p, q) || midContaminated(p, q, m) ||
+        windowsSaturated(p, q, m, r)
+    val maxAttempts =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt)
+    val settleMs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "60000").toLong
+    val discarded =
+      scala.collection.mutable.ArrayBuffer[(Double, Double, Int, Double)]()
+    val (controlPre, results, controlPost, midCtls, repSpread,
         contaminated) = {
-      val (p1, r1, q1, m1, s1) = runLoop()
-      if (!drifted(p1, q1) && !midContaminated(p1, q1, m1) &&
-          !windowsSaturated(p1, q1, m1, r1))
-        (p1, r1, q1, m1, s1, None, false)
-      else {
-        val (p2, r2, q2, m2, s2) = runLoop()
-        (p2, r2, q2, m2, s2, Some((p1, q1)),
-          drifted(p2, q2) || midContaminated(p2, q2, m2) ||
-            windowsSaturated(p2, q2, m2, r2))
+      var out: Option[(Double, Seq[(String, Either[String, Double])],
+        Double, Seq[Double], Seq[(String, Double, Double, Double)],
+        Boolean)] = None
+      var attempt = 0
+      while (out.isEmpty && attempt < maxAttempts) {
+        attempt += 1
+        val (p, r, q, m, s) = runLoop()
+        val dirty = passDirty(p, q, m, r)
+        if (!dirty) out = Some((p, r, q, m, s, false))
+        else if (attempt == maxAttempts) out = Some((p, r, q, m, s, true))
+        else {
+          // a discarded attempt: record its audit trail, let the load
+          // window drain, try again
+          val total = r.collect { case (_, Right(v)) => v }.sum
+          discarded +=
+            ((p, q, windowSuspectsOf(p, q, m, r).size, total))
+          Thread.sleep(settleMs)
+        }
       }
+      out.get
     }
     val windowSuspect =
       windowSuspectsOf(controlPre, controlPost, midCtls, results)
@@ -253,14 +286,15 @@ object Bench {
     val ctl = {
       val base =
         f""""control_pre_s":$controlPre%.3f,"control_post_s":$controlPost%.3f"""
-      val rerun = rerunCtl match {
-        case Some((p1, q1)) =>
-          f""","rerun":true,"first_control_pre_s":$p1%.3f,"first_control_post_s":$q1%.3f"""
-        case None => ""
-      }
+      val disc =
+        if (discarded.isEmpty) ""
+        else discarded.map { case (p, q, ns, tot) =>
+          f"""{"control_pre_s":$p%.3f,"control_post_s":$q%.3f,"n_suspect":$ns,"total":$tot%.2f}"""
+        }.mkString(""","discarded_attempts":[""", ",", "]")
       val mids = midCtls.map(v => f"$v%.3f").mkString("[", ",", "]")
       val susp = suspectQueries.map(jstr).mkString("[", ",", "]")
-      base + rerun +
+      base + disc +
+        s""","attempts":${discarded.size + 1}""" +
         s""","control_mid_s":$mids,"suspect_queries":$susp""" +
         s""","contaminated":$contaminated"""
     }
