@@ -34,21 +34,48 @@ object ScaleProbe {
     x & Long.MaxValue
   }
 
-  /** Replica r of a document: r=0 original, r=1 exact copy, r=2 near-dup
-    * (~10% words swapped), r>=3 heavy mutation (distinct). */
+  /** Zipf-vocabulary word for a hash draw: inverse-CDF sampling over
+    * ranks 1..V with P(rank = r) ∝ 1/r — P(rank ≤ x) = ln(x)/ln(V), so
+    * rank = ⌊exp(u·ln V)⌋. The base testdata's documents carry a ~31-
+    * token vocabulary, which makes any postings×queries TERM join
+    * degenerate quadratically (every term's df ≈ N — `VocabProbe`
+    * quantifies it; the r15 standing row knn_sparse_tfidf "42×/decade"
+    * measured the fixture, not the operator). The scaled probe corpora
+    * therefore regenerate text over a realistic 65 536-word Zipf
+    * vocabulary: common terms still exist (df(z1) ≈ N — exactly what
+    * df-pruning is FOR), but the tail is heavy and term-join
+    * selectivity is honest. sf0.01/sf0.001 fixtures are untouched —
+    * oracles and the CORRECTNESS gate never see probe corpora. */
+  private val ZipfV = 65536
+  private def zipfWord(hv: Long): String = {
+    val u = (hv % 1000000L).toDouble / 1000000.0
+    // exp(u·lnV) ∈ [1, V) — floor gives rank ∈ [1, V−1], P(r) ∝ 1/r
+    val rank = math.max(1L,
+      math.exp(u * math.log(ZipfV.toDouble)).toLong)
+    "z" + rank
+  }
+
+  /** Replica r of a document: the FAMILY BASE text is the original's
+    * word count re-drawn from the Zipf vocabulary (seeded by the
+    * family id only — every replica derives from it, so the dup-rate
+    * STRUCTURE the dedup operators exist for is preserved exactly):
+    * r=0 the base, r=1 exact copy, r=2 near-dup (~10% words redrawn),
+    * r>=3 heavy mutation (~50% redrawn, distinct but shingle-sharing,
+    * as before). */
   private def mutate(d: Doc, r: Int): Doc = {
     val nid = d.doc_id * 10 + r
-    val text = r match {
-      case 0 | 1 => d.text
+    val nWords = d.text.count(_ == ' ') + 1
+    def base(i: Int): String = zipfWord(h(d.doc_id, 11L, i.toLong))
+    val text = (r match {
+      case 0 | 1 => (0 until nWords).map(base)
       case _ =>
-        val rate = if (r == 2) 10 else 2 // swap 1-in-rate words
-        val words = d.text.split(' ')
-        words.zipWithIndex.map { case (w, i) =>
+        val rate = if (r == 2) 10 else 2 // redraw 1-in-rate words
+        (0 until nWords).map { i =>
           if (h(d.doc_id, r.toLong, i.toLong) % rate == 0)
-            s"w${h(d.doc_id, r.toLong, i.toLong, 7L) % 50000}"
-          else w
-        }.mkString(" ")
-    }
+            zipfWord(h(d.doc_id, r.toLong, i.toLong, 7L))
+          else base(i)
+        }
+    }).mkString(" ")
     Doc(nid, text, d.lang, d.source, text.length.toLong)
   }
 
