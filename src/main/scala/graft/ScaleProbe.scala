@@ -312,8 +312,11 @@ object ScaleProbe {
     "knn_rptree_recall", "x_compaction_plan",
     // round-16: compaction EXECUTED (write small files, one
     // group-keyed shuffle, rewrite, verify read-back — rows = data
-    // rows this time, the write path priced end-to-end)
-    "x_compaction_exec")
+    // rows this time, the write path priced end-to-end), and the
+    // fixed-|Q| context-pack twin (|Q| = 200 at every decade from 10×
+    // up — isolates per-query cost from the %100 set's 10×/decade
+    // output growth)
+    "x_compaction_exec", "rag_context_pack_fixedq")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

@@ -2049,6 +2049,25 @@ object LlmQueries {
         assigned = Some(ivfIndex(s, dir)))
       Similarity.contextPack(docs(s, dir), cands, "doc_id", "text",
         budgetTokens = 300)
+    }),
+
+    // FIXED-|Q| context packing (round 16): identical chain with the
+    // query set pinned to vec_id < 20000 — 200 queries at EVERY probe
+    // decade from 10× up (the %100 set alone grows 10×/decade, so the
+    // standing rag_context_pack ratio mixes output growth with
+    // per-query cost; this row isolates per-query cost — its probe
+    // ratio should track the corpus-side scan/assignment alone).
+    // At the sf0.01 gate the bound is vacuous (all vec_ids < 20000),
+    // so correctness coverage equals the unpinned row's.
+    "rag_context_pack_fixedq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cands = Similarity.ivfKnnTrained(
+        e, e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 20000),
+        "vec_id", "embedding",
+        k = 10, nProbe = 4, centroids = Some(trainedCentroids(s, dir)),
+        assigned = Some(ivfIndex(s, dir)))
+      Similarity.contextPack(docs(s, dir), cands, "doc_id", "text",
+        budgetTokens = 300)
     })
   )
 
@@ -4053,6 +4072,38 @@ object LlmQueries {
          |  WHERE rk <= 4),
          |qv2 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
          |        WHERE vec_id % 100 = 0),
+         |dsc AS (SELECT q.qid, nb.vec_id AS nid,
+         |          ${dotSql("q.qv", "nb.v")} / (q.qn * nb.nrm) AS sim
+         |        FROM probes p
+         |        JOIN qv2 q ON q.qid = p.qid
+         |        JOIN nb ON nb.cell = p.cell AND nb.vec_id != p.qid),
+         |dr AS (SELECT qid, nid, row_number() OVER (
+         |         PARTITION BY qid ORDER BY sim DESC, nid) AS r
+         |       FROM dsc),
+         |cand AS (SELECT qid, nid, r FROM dr WHERE r <= 10),
+         |tok AS (SELECT doc_id,
+         |          len(regexp_extract_all(lower(text),
+         |            '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_tokens
+         |        FROM documents),
+         |packed AS (SELECT qid, nid, r AS rank, n_tokens,
+         |        (sum(n_tokens) OVER (
+         |           PARTITION BY qid ORDER BY r))::BIGINT AS cum_tokens
+         |      FROM cand JOIN tok ON nid = tok.doc_id)
+         |SELECT qid, nid, rank, n_tokens, cum_tokens FROM packed
+         |WHERE cum_tokens <= 300""".stripMargin,
+
+    // the fixed-|Q| twin: same chain, query set pinned below 20000
+    "rag_context_pack_fixedq" ->
+      s"""${ivfTrainCtes(3, 64)},
+         |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |    SELECT n.vec_id, c.cid, row_number() OVER (
+         |      PARTITION BY n.vec_id
+         |      ORDER BY ${cSim("c")} DESC, c.cid DESC) AS rk
+         |    FROM n CROSS JOIN c3 c
+         |    WHERE n.vec_id % 100 = 0 AND n.vec_id < 20000) t
+         |  WHERE rk <= 4),
+         |qv2 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+         |        WHERE vec_id % 100 = 0 AND vec_id < 20000),
          |dsc AS (SELECT q.qid, nb.vec_id AS nid,
          |          ${dotSql("q.qv", "nb.v")} / (q.qn * nb.nrm) AS sim
          |        FROM probes p
