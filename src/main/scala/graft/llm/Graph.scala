@@ -125,4 +125,120 @@ object Graph {
        |r0 AS (SELECT node, (SELECT init FROM consts) AS r FROM nodes),
        |$rounds""".stripMargin
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge list
+    * — the two-sided centrality PageRank can't express: a node is a good
+    * HUB if it points at good authorities, a good AUTHORITY if good hubs
+    * point at it (link-farm detection, seed-list expansion, quality
+    * priors on bipartite graphs).
+    *
+    * Same exact-arithmetic discipline as [[pageRank]]: scores are
+    * `scale`-scaled longs; each half-iteration is one edge equi-join +
+    * one key-grouped long sum, then L1 normalization by a
+    * provably-single-row global sum (integer division) — long sums are
+    * order-free, so the result is bit-identical across partitionings and
+    * engines, and the oracle unrolls the identical rounds.
+    *
+    * Overflow headroom: normalized scores sum to ≤ `scale`, so every
+    * raw sum ≤ `scale · maxDegree` and every normalization product
+    * ≤ `scale² · maxDegree` — the default `scale` = 10^6 keeps products
+    * under 2^63 for degrees up to ~9·10^6 (host-graph out-degrees are
+    * orders of magnitude below that). `scale` must also exceed the node
+    * count or normalization underflows to zero (required below).
+    *
+    * Scale posture: per round, TWO edge-keyed equi-joins + grouped sums
+    * (src-keyed then dst-keyed) — the standard distributed HITS shape;
+    * no driver-side graph, the only driver values are the two global
+    * normalization scalars per round (broadcast single-row aggregates).
+    * Output: (node, auth_scaled, hub_scaled) for ALL nodes. */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    import org.apache.spark.sql.GraftSql.{persistedView, unpersistCheckpoint}
+    require(edges.schema(srcCol).dataType == edges.schema(dstCol).dataType,
+      s"node id columns must share a type; got $srcCol: " +
+        s"${edges.schema(srcCol).dataType}, $dstCol: " +
+        s"${edges.schema(dstCol).dataType}")
+    val e = persistedView(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = persistedView(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct())
+    val n = nodes.count() // driver scalar: init is a literal
+    require(n > 0, "hits needs a non-empty edge list")
+    require(scale >= 2 * n,
+      s"scale ($scale) must be >= 2x the node count ($n) or integer " +
+        "normalization underflows")
+    var hub = nodes.select(col("node"), lit(scale / n).as("h"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      // authority update: sum incoming hub mass, L1-normalize to scale
+      val araw = hub.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), col("h").as("c"))
+        .groupBy("node").agg(sum("c").as("raw"))
+      val asum = araw.agg(sum("raw").as("s"))
+      val a = nodes.join(araw, Seq("node"), "left")
+        .crossJoin(broadcast(asum))
+        .select(col("node"), expr(
+          s"coalesce((raw * $scale) div s, CAST(0 AS BIGINT))").as("a"))
+      // hub update: sum outgoing authority mass, L1-normalize
+      val hraw = a.join(e, col("node") === col("dst"))
+        .select(col("src").as("node"), col("a").as("c"))
+        .groupBy("node").agg(sum("c").as("raw"))
+      val hsum = hraw.agg(sum("raw").as("s"))
+      val h = nodes.join(hraw, Seq("node"), "left")
+        .crossJoin(broadcast(hsum))
+        .select(col("node"), expr(
+          s"coalesce((raw * $scale) div s, CAST(0 AS BIGINT))").as("h"))
+      // checkpoint the round (truncates the growing two-join lineage),
+      // release the superseded round's storage
+      val both = persistedView(a.join(h, Seq("node"))
+        .select(col("node"), col("a"), col("h")))
+      prev.foreach(unpersistCheckpoint)
+      prev = Some(both)
+      hub = both.select(col("node"), col("h"))
+    }
+    val out = prev.get.select(col("node"), col("a").as("auth_scaled"),
+      col("h").as("hub_scaled"))
+    unpersistCheckpoint(e); unpersistCheckpoint(nodes)
+    out
+  }
+
+  /** The DuckDB twin of [[hits]] as a WITH-clause body: unrolled rounds
+    * generated from the SAME parameters, over an `edges_in` CTE the
+    * caller supplies (columns `src`, `dst`). The final relation
+    * `hits{iters}` yields `(node, auth_scaled, hub_scaled)`. */
+  def hitsSql(
+      edgesCte: String, iters: Int = 3, scale: Long = 1000000L): String = {
+    val rounds = (1 to iters).map { i =>
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS node, sum(p.h)::BIGINT AS raw
+         |        FROM e JOIN $prevH p ON p.node = e.src GROUP BY 1),
+         |as$i AS (SELECT sum(raw)::BIGINT AS s FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT n.node,
+         |          coalesce((ar$i.raw * $scale) // (SELECT s FROM as$i),
+         |                   0)::BIGINT AS a
+         |        FROM nodes n LEFT JOIN ar$i ON n.node = ar$i.node),
+         |hr$i AS MATERIALIZED (SELECT e.src AS node, sum(a$i.a)::BIGINT AS raw
+         |        FROM e JOIN a$i ON a$i.node = e.dst GROUP BY 1),
+         |hs$i AS (SELECT sum(raw)::BIGINT AS s FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT n.node,
+         |          coalesce((hr$i.raw * $scale) // (SELECT s FROM hs$i),
+         |                   0)::BIGINT AS h
+         |        FROM nodes n LEFT JOIN hr$i ON n.node = hr$i.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |e AS (SELECT DISTINCT src, dst FROM edges_in),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |h0 AS (SELECT node,
+       |         ($scale // (SELECT n FROM nn))::BIGINT AS h FROM nodes),
+       |$rounds,
+       |hits$iters AS (SELECT a$iters.node, a$iters.a AS auth_scaled,
+       |                      h$iters.h AS hub_scaled
+       |               FROM a$iters JOIN h$iters
+       |                 ON a$iters.node = h$iters.node)""".stripMargin
+  }
 }

@@ -296,4 +296,65 @@ object Sampling {
       .limit(k)
       .select(col("__id").as(idCol), col("dsir_score"), col("n_tok"))
   }
+
+  /** PER-GROUP QUANTILE BUCKETING — the CCNet split (Wenzek et al.
+    * 2020): each group's rows are ranked by an integral score and cut
+    * into `nBuckets` equal-count buckets (head/middle/tail for
+    * `nBuckets` = 3 over a perplexity score, per language). Bucket `b`'s
+    * upper cutoff is the smallest score whose cumulative count reaches
+    * `ceil(b·n/nBuckets)` (quantile-disc — an actual data value, exact
+    * integer rank arithmetic in both engines; never interpolated FP).
+    * A row's bucket = 1 + #cutoffs strictly below its score, so
+    * coincident cutoffs (degenerate distributions) resolve identically
+    * everywhere.
+    *
+    * Scale shape: the x_quantiles two-level mechanism — distinct
+    * (group, score) counts, then windows partitioned by (group, BIN)
+    * with bin = score div `binWidth`, so every sort partition is
+    * bounded by the VALUE TICKS inside one bin (a resolution constant),
+    * never by group row count; bin offsets come from a per-group
+    * window over bin counts (rows = bins, also resolution-bounded).
+    * The cutoff table (groups × (nBuckets−1) rows) broadcasts; bucket
+    * assignment is one per-row array scan. No corpus-sized sort, no
+    * per-group single partition.
+    *
+    * `df` must carry integral `scoreCol`; output appends `bucket`
+    * (1-based int). */
+  def bucketByGroupQuantiles(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      nBuckets: Int, binWidth: Long): DataFrame = {
+    require(nBuckets >= 2 && binWidth > 0, "need nBuckets >= 2, binWidth > 0")
+    val vf = df.groupBy(col(groupCol).as("__g"), col(scoreCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__bin", expr(s"__v div $binWidth"))
+    val binTot = vf.groupBy("__g", "__bin").agg(sum("__cnt").as("__bcnt"))
+    val byBin = Window.partitionBy("__g").orderBy("__bin")
+    val offs = binTot
+      .withColumn("__off", sum("__bcnt").over(byBin) - col("__bcnt"))
+      .select("__g", "__bin", "__off")
+    val nPerG = binTot.groupBy("__g").agg(sum("__bcnt").as("__n"))
+    val byV = Window.partitionBy("__g", "__bin").orderBy("__v")
+    // pos_b = ceil(b·n/k) as EXACT integer arithmetic: (b·n + k−1) div k
+    val cuts = vf.withColumn("__wcum", sum("__cnt").over(byV))
+      .join(broadcast(offs), Seq("__g", "__bin"))
+      .join(broadcast(nPerG), Seq("__g"))
+      .withColumn("__cum", col("__off") + col("__wcum"))
+      .withColumn("__b", explode(array((1 until nBuckets).map(lit(_)): _*)))
+      .withColumn("__pos",
+        expr(s"(__b * __n + ${nBuckets - 1}) div $nBuckets"))
+      .filter(col("__cum") - col("__cnt") < col("__pos") &&
+        col("__pos") <= col("__cum"))
+      .select(col("__g"), col("__b"), col("__v").as("__cut"))
+    val cutArr = cuts
+      .groupBy("__g")
+      .agg(sort_array(collect_list(struct(col("__b"), col("__cut"))))
+        .as("__cs"))
+      .select(col("__g"),
+        expr("transform(__cs, x -> x.__cut)").as("__cuts"))
+    df.join(broadcast(cutArr), df(groupCol) === cutArr("__g"))
+      .withColumn("bucket",
+        (lit(1) + size(expr(s"filter(__cuts, c -> $scoreCol > c)")))
+          .cast("int"))
+      .drop("__g", "__cuts")
+  }
 }

@@ -398,4 +398,47 @@ object Web {
         when(page > 0, concat(lit("&page="), page.cast("string")))
           .otherwise(lit(""))))
   }
+
+  /** CRAWL FRONTIER SCHEDULING — the politeness stage between
+    * [[robotsFilter]] and fetch: every frontier URL gets a fetch slot
+    * such that no host is hit more often than once per its crawl
+    * delay (RFC 9309 §2.5 Crawl-delay semantics; what Nutch/StormCrawler
+    * call host-level politeness queues).
+    *
+    * `frontier`: rows carrying a CANONICAL url column. `delays`:
+    * (host, delay_s). URLs are ordered within their host by
+    * (priority ASC, url ASC) — `priority` is caller-supplied (smaller =
+    * sooner; a discovery-depth or rank signal) — and the i-th URL of a
+    * host is fetchable at `i * delay_s`.
+    *
+    * Scale shape: ONE window partitioned by host. The per-host
+    * partition is the irreducible unit here — politeness is a per-host
+    * serial constraint, so ANY correct scheduler must totally order
+    * each host's queue; there is nothing to shard below the host.
+    * Partition width is bounded by per-host frontier size, and a crawl
+    * that feeds one host a quadratic frontier has a frontier-budget
+    * problem upstream, not a scheduling problem (real crawlers cap
+    * per-host queue depth the same way). No global sort anywhere.
+    * Output: (url, host, priority, slot, fetch_at_s). */
+  def frontierSchedule(frontier: DataFrame, delays: DataFrame,
+      urlCol: String, priorityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = frontier.select(col(urlCol).as("url"),
+      hostOf(col(urlCol)).as("host"),
+      col(priorityCol).as("priority"))
+    val byHost = Window.partitionBy("host")
+      .orderBy(col("priority").asc, col("url").asc)
+    u.join(delays.select(col("host"), col("delay_s")), Seq("host"))
+      .withColumn("slot", row_number().over(byHost) - lit(1))
+      .select(col("url"), col("host"), col("priority"),
+        col("slot").cast("long").as("slot"),
+        (col("slot").cast("long") * col("delay_s")).as("fetch_at_s"))
+  }
+
+  /** Deterministic per-host crawl-delay fixture: 1 + (h32(host) mod 4)
+    * seconds — the same portable hash both engines share, so the
+    * schedule is oracle-exact. */
+  def syntheticDelays(hosts: DataFrame, hostCol: String): DataFrame =
+    hosts.select(col(hostCol).as("host"),
+      (pmod(TextOps.hash32(col(hostCol)), lit(4L)) + lit(1L)).as("delay_s"))
 }

@@ -1286,6 +1286,21 @@ object CoreQueries {
         .orderBy(col("rank_scaled").desc, col("node")).limit(20)
     }),
 
+    // HITS hubs & authorities (Kleinberg) over the DIRECTED part →
+    // supplier graph — the two-sided centrality PageRank can't express
+    // (a part is a good hub if supplied by authoritative suppliers and
+    // vice versa). Integer fixed point end to end (graft.llm.Graph
+    // .hits): per round two edge equi-joins + grouped long sums, L1
+    // normalization by a single-row global scalar — bit-identical
+    // across engines, oracle unrolled.
+    "graph_hits" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val edges = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.llm.Graph.hits(edges, "src", "dst", iters = 3)
+        .orderBy(col("auth_scaled").desc, col("node")).limit(20)
+    }),
+
     // KMV set algebra — |A∪B| AND |A∩B| estimates (the operation HLL
     // cannot do) over user-day activity sets for two event types. The
     // composite key lifts cardinality past k at sf0.01 (estimator
@@ -2400,6 +2415,17 @@ object CoreQueries {
       s"""${graft.llm.Graph.pageRankSql(edgesCte, iters = 3)}
          |SELECT node, r AS rank_scaled FROM r3
          |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin
+    },
+
+    "graph_hits" -> {
+      val edgesCte =
+        """WITH edges_in AS (
+          |  SELECT (l_partkey * 2)::BIGINT AS src,
+          |         (l_suppkey * 2 + 1)::BIGINT AS dst FROM lineitem)"""
+          .stripMargin
+      s"""${graft.llm.Graph.hitsSql(edgesCte, iters = 3)}
+         |SELECT node, auth_scaled, hub_scaled FROM hits3
+         |ORDER BY auth_scaled DESC, node LIMIT 20""".stripMargin
     },
 
     "sketch_kmv_setops" -> {

@@ -1483,6 +1483,29 @@ object LlmQueries {
         "doc_id", "text", nFeatures = 1024, k = 50)
     }),
 
+    // CCNet perplexity bucketing (Wenzek et al. 2020): every doc scored
+    // by the corpus's own bigram LM (text_lm_score), then cut into
+    // per-LANGUAGE equal-count head/middle/tail terciles — the split
+    // CCNet uses to keep the most-fluent third per language. The score
+    // is the 1e6-quantized nll (integer from here on); cutoffs are
+    // exact integer-rank quantile-disc values via the x_quantiles
+    // two-level binned mechanism (sorts bounded by value ticks per
+    // bin, never by language size); assignment is one broadcast-array
+    // scan per row.
+    "sample_ppl_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = TextAnalysis.lmScore(d, d, "doc_id", "text")
+        .select(col("doc_id"),
+          round(col("nll") * 1e6).cast("long").as("ppl_q"))
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Sampling.bucketByGroupQuantiles(scored, "lang", "ppl_q",
+          nBuckets = 3, binWidth = 125000L)
+        .select(col("doc_id"), col("lang"), col("ppl_q"),
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+    }),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
 
@@ -1944,6 +1967,23 @@ object LlmQueries {
       val hosts = u.select(Web.hostOf(col("url")).as("host")).distinct()
       Web.robotsFilter(u, Web.syntheticRobots(hosts, "host"),
         "doc_id", "url")
+    }),
+
+    // CRAWL FRONTIER SCHEDULING (politeness queues): the distinct
+    // canonical frontier, per-host crawl delays (1 + h32(host) mod 4 —
+    // shared-hash deterministic), priorities h32(url) mod 1000; the
+    // i-th URL of a host (ordered by priority, url) fetches at
+    // i·delay. ONE window partitioned by host — the per-host serial
+    // order IS the politeness constraint, nothing shards below it.
+    "web_frontier_schedule" -> ((s, dir) => {
+      val u = docs(s, dir)
+        .select(Web.canonicalizeUrl(Web.syntheticUrl(col("doc_id")))
+          .as("url"))
+        .distinct()
+        .withColumn("priority", pmod(TextOps.hash32(col("url")), lit(1000L)))
+      val delays = Web.syntheticDelays(
+        u.select(Web.hostOf(col("url")).as("host")).distinct(), "host")
+      Web.frontierSchedule(u, delays, "url", "priority")
     }),
 
     // host-authority ranking over the extracted link graph (the
@@ -2868,6 +2908,54 @@ object LlmQueries {
          |SELECT doc_id, round(s::DOUBLE / n / 1e9, 6) AS dsir_score,
          |       n::BIGINT AS n_tok
          |FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin,
+
+    // the text_lm_score chain verbatim, then 1e6-quantization, per-lang
+    // tercile cutoffs by exact integer rank (quantile-disc: smallest v
+    // with cum >= ceil(b*n/3), the ceil as (b*n+2)//3), and the same
+    // 1 + #cutoffs-below assignment the Spark array scan computes
+    "sample_ppl_buckets" ->
+      s"""WITH $DocsCte,
+         |unic AS (SELECT u, count(*) AS c1 FROM (
+         |           SELECT unnest(w) AS u FROM docs) GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM unic),
+         |bg AS (SELECT doc_id,
+         |         w[pos + 1] || ' ' || w[pos + 2] AS g, w[pos + 1] AS u
+         |       FROM (SELECT doc_id, w,
+         |               unnest(range(0, greatest(len(w) - 1, 0))) AS pos
+         |             FROM docs)),
+         |bic AS (SELECT g, count(*) AS c2 FROM bg GROUP BY 1),
+         |terms AS (SELECT b.doc_id,
+         |            round(ln((coalesce(c.c2, 0) + 1)::DOUBLE
+         |                     / (coalesce(un.c1, 0)
+         |                        + (SELECT v FROM vv))::DOUBLE)
+         |                  * 1e9)::BIGINT AS q
+         |          FROM bg b
+         |          LEFT JOIN bic c ON b.g = c.g
+         |          LEFT JOIN unic un ON b.u = un.u),
+         |lm AS (SELECT doc_id,
+         |         round(-(sum(q)::DOUBLE / 1e9) / count(*)::DOUBLE, 6)
+         |           AS nll
+         |       FROM terms GROUP BY doc_id),
+         |sq AS (SELECT l.doc_id, d.lang,
+         |         CAST(round(l.nll * 1e6) AS BIGINT) AS ppl_q
+         |       FROM lm l JOIN documents d USING (doc_id)),
+         |vf AS (SELECT lang, ppl_q AS v, count(*) AS cnt
+         |       FROM sq GROUP BY 1, 2),
+         |c AS (SELECT lang, v, cnt,
+         |        sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         |        sum(cnt) OVER (PARTITION BY lang) AS n
+         |      FROM vf),
+         |cuts AS (SELECT lang, b.b AS b, v AS cut FROM c
+         |         CROSS JOIN (SELECT unnest([1, 2]) AS b) b
+         |         WHERE cum - cnt < (b.b * n + 2) // 3
+         |           AND (b.b * n + 2) // 3 <= cum),
+         |ca AS (SELECT lang, list(cut ORDER BY b) AS cuts
+         |       FROM cuts GROUP BY 1)
+         |SELECT s.doc_id, s.lang, s.ppl_q,
+         |       CASE 1 + len(list_filter(ca.cuts, c -> s.ppl_q > c))
+         |         WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |         ELSE 'tail' END AS ppl_bucket
+         |FROM sq s JOIN ca USING (lang)""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT doc_id,
@@ -3883,6 +3971,25 @@ object LlmQueries {
          |       length(m.prefix)::INTEGER AS rule_len
          |FROM uu LEFT JOIN m ON uu.doc_id = m.doc_id AND m.rn = 1"""
         .stripMargin,
+
+    "web_frontier_schedule" ->
+      s"""WITH $WebCanonSql,
+         |cu AS (SELECT DISTINCT canon AS url FROM cn),
+         |f AS (SELECT url,
+         |        regexp_extract(url, '^https://([^/]*)', 1) AS host,
+         |        ${h32("url")} % 1000 AS priority
+         |      FROM cu),
+         |dl AS (SELECT host,
+         |         1 + (${h32("host")} % 4) AS delay_s
+         |       FROM (SELECT DISTINCT host FROM f)),
+         |sc AS (SELECT f.url, f.host, f.priority,
+         |         row_number() OVER (PARTITION BY f.host
+         |           ORDER BY f.priority, f.url) - 1 AS slot,
+         |         dl.delay_s
+         |       FROM f JOIN dl USING (host))
+         |SELECT url, host, priority, slot::BIGINT AS slot,
+         |       (slot * delay_s)::BIGINT AS fetch_at_s
+         |FROM sc""".stripMargin,
 
     "web_host_rank" -> {
       val edgesCte =
