@@ -316,7 +316,16 @@ object ScaleProbe {
     // fixed-|Q| context-pack twin (|Q| = 200 at every decade from 10×
     // up — isolates per-query cost from the %100 set's 10×/decade
     // output growth)
-    "x_compaction_exec", "rag_context_pack_fixedq")
+    "x_compaction_exec", "rag_context_pack_fixedq",
+    // round-16 session 2: BPE training (8 vocab-sized weighted pair
+    // aggregations + TakeOrdered(1) argmaxes) and encoding (per-row
+    // 8-replace chain + per-doc sum), SemDeDup (the drop_embed pair
+    // join + a broadcast centroid projection + per-cluster winner agg),
+    // CCNet perplexity terciles (lm_score + the binned two-level rank
+    // mechanism), frontier scheduling (per-host windows), HITS (six
+    // edge equi-joins + grouped long sums over the bipartite graph)
+    "text_bpe_train", "text_bpe_apply", "dedup_semdedup",
+    "sample_ppl_buckets", "web_frontier_schedule", "graph_hits")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

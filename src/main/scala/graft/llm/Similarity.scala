@@ -1148,6 +1148,63 @@ object Similarity {
     df.join(broadcast(losers), col(idCol) === col("__graft_loser"), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup with
+    * the paper's KEEP RULE — within each group of semantic duplicates,
+    * keep the member with the LOWEST cosine similarity to its cluster
+    * centroid (the most atypical exemplar preserves diversity; min-id
+    * keep, [[dropNearDuplicatesByEmbedding]], is the lexical-dedup
+    * convention and discards it). Duplicate groups are connected
+    * components over in-cell cosine pairs ≥ `tau` — the paper's
+    * "within-cluster pairwise similarity" made transitive.
+    *
+    * Scale shape: identical to the drop-embed path (cell equi-join
+    * candidates, per-cell union-find), plus ONE extra per-row
+    * centroid-cosine projection (the centroid table is index metadata —
+    * nList rows, broadcast) and a per-cluster `min(struct(sim, id))`
+    * winner aggregate (map-side combinable, the robots-filter winner
+    * idiom). The centroid cosine is computed in the quantized training
+    * space (`floor(x·2^20)` inputs, exact-integer-derived centroid
+    * components), so both engines see identical IEEE operands —
+    * 6dp-rounded, oracle-exact.
+    *
+    * Output: the surviving rows of `df` (losers anti-joined away). */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      nList: Int = 16, iters: Int = 3,
+      centroids: Option[IndexedSeq[Seq[Double]]] = None,
+      assigned: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      trainIvfKMeans(df, idCol, vecCol, nList, iters))
+    val base = assigned.getOrElse(assignCells(df, idCol, vecCol, cents))
+    val pairs = cosinePairsIvfWithCell(
+      df, idCol, vecCol, tau, nList, iters, Some(cents), Some(base))
+    val clusters = Dedup.connectedComponentsPerKey(
+      pairs, "id_a", "id_b", "cell")
+    // centroid table: index metadata (nList rows) — broadcast literal
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv) }.toDF("cell", "__cv")
+    val csim = base
+      .withColumn("__vqd", quantDouble(col("v")))
+      .withColumn("__qnrm", norm(col("__vqd")))
+      .join(broadcast(centsDf), Seq("cell"))
+      .select(col("id"),
+        round(dot(col("__vqd"), col("__cv")) /
+          (col("__qnrm") * norm(col("__cv"))), 6).as("centroid_sim"))
+    val members = clusters
+      .join(csim, clusters("doc_id") === csim("id"))
+      .select(col("cluster_id"), col("id"), col("centroid_sim"))
+    val winners = members.groupBy("cluster_id")
+      .agg(min(struct(col("centroid_sim"), col("id"))).as("__w"))
+      .select(col("__w.id").as("__keep"))
+    val losers = members
+      .join(winners, members("id") === winners("__keep"), "left_anti")
+      .select(col("id").as("__graft_loser"))
+    df.join(broadcast(losers), col(idCol) === col("__graft_loser"),
+      "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs above `tau`, via bucketed candidates:
     * pairs must share an LSH bucket (approximate recall, exact precision
     * after verification). For the exact-oracle variant at test scale use

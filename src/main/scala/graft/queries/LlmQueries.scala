@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextOps, Web}
+import graft.llm.{Bpe, Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextOps, Web}
 
 /** Driver-contract queries for the LLM-data-pipeline operators (dedup,
   * similarity search, text analysis, multimodal), each with an exact
@@ -70,6 +70,20 @@ object LlmQueries {
   private[graft] def docCount(s: SparkSession, dir: String): Long =
     countCache.computeIfAbsent(tableFingerprint(dir, "documents"),
       _ => docs(s, dir).count())
+
+  /** The learned BPE merge table for `dir`'s documents — trained once
+    * per (content fingerprint, nMerges) and shared by `text_bpe_train`
+    * and `text_bpe_apply` (the trainedCentroids lifecycle: the model is
+    * a deterministic function of the corpus snapshot, 4 small values per
+    * merge, so caching can only save the training aggregations, never
+    * change results; a rewritten parquet retrains). */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Seq[Bpe.Merge]]()
+
+  private[graft] def bpeMerges(
+      s: SparkSession, dir: String, nMerges: Int = 8): Seq[Bpe.Merge] =
+    bpeCache.computeIfAbsent((tableFingerprint(dir, "documents"), nMerges),
+      _ => Bpe.train(docs(s, dir), "text", nMerges))
 
   /** The materialized Jaccard near-dup PAIR set for `dir`'s documents —
     * persisted once per (session, content fingerprint, n, tau) and
@@ -1413,6 +1427,21 @@ object LlmQueries {
         .select("vec_id", "label")
     }),
 
+    // SemDeDup (Abbas et al. 2023): same trained-cell candidate pairs
+    // and per-cell components as dedup_drop_embed, but the paper's keep
+    // rule — each duplicate group keeps its LOWEST-centroid-similarity
+    // member (the most atypical exemplar), not the smallest id. The
+    // centroid cosine is one broadcast join against the nList-row
+    // centroid table; the winner is a map-side-combinable
+    // min(struct(sim, id)) per cluster.
+    "dedup_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.semDedup(e, "vec_id", "embedding", tau = 0.4,
+        centroids = Some(trainedCentroids(s, dir)),
+        assigned = Some(ivfIndex(s, dir)))
+        .select("vec_id", "label")
+    }),
+
     // END-TO-END CURATION PIPELINE — quality rules → exact dedup →
     // near-dup dedup → decontamination, STAGED (Curation.scala): the
     // pipeline's decisions collapse to one small cached drop-set built
@@ -1582,6 +1611,26 @@ object LlmQueries {
           concat_ws(" ", slice(col("__w"), 11, 5)))).as("phrase"))
       TextAnalysis.phraseSearch(d, phrases, "doc_id", "text", n = 5)
     }),
+
+    // BPE VOCABULARY LEARNING (Sennrich et al. 2016): 8 merges learned
+    // over the corpus's own [a-z0-9]+ vocabulary — each round one
+    // map-side-combinable weighted pair count over the VOCAB-sized
+    // (word, count) relation + a TakeOrdered(1) argmax; the merge is a
+    // per-row native replace on the separator-framed symbol string.
+    // Model cached per corpus fingerprint (the trainedCentroids
+    // lifecycle); oracle unrolls the same 8 rounds.
+    "text_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      bpeMerges(s, dir)
+        .map(m => (m.rank, m.lhs, m.rhs, m.freq))
+        .toDF("merge_rank", "lhs", "rhs", "freq")
+    }),
+
+    // encode the corpus with the learned merges: the same 8-replace
+    // chain as a per-row codegen'd expression (no joins until the
+    // per-doc sum); token counts fall out of separator arithmetic
+    "text_bpe_apply" -> ((s, dir) =>
+      Bpe.applyMerges(docs(s, dir), "doc_id", "text", bpeMerges(s, dir))),
 
     // self-scored corpus quality: every doc's nll under the corpus's own
     // bigram model (outliers = least corpus-like text)
@@ -2652,6 +2701,43 @@ object LlmQueries {
          |SELECT e.vec_id, e.label FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
+    // the drop_embed chain (trained cells, in-cell pairs, recursive
+    // min-label components), then the SemDeDup keep rule: per cluster,
+    // the member with the smallest (centroid_sim, id) survives — the
+    // centroid cosine computed in the quantized training space against
+    // the converged c3 centroids, exactly as the Spark side's
+    // broadcast-join projection
+    "dedup_semdedup" ->
+      s"""WITH RECURSIVE ${ivfTrainCtes(3, 64).stripPrefix("WITH ")},
+         |jp AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM nb a JOIN nb b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |gnodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM gnodes
+         |  UNION
+         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |cs AS (SELECT n.vec_id AS id,
+         |         round(${dotSql("n.vq", "c.cv")} /
+         |           (n.qnrm * sqrt(${dotSql("c.cv", "c.cv")})), 6) AS csim
+         |       FROM n JOIN a3 a ON n.vec_id = a.vec_id
+         |       JOIN c3 c ON a.cell = c.cid),
+         |members AS (SELECT comp.cluster_id, comp.id, cs.csim
+         |            FROM comp JOIN cs ON comp.id = cs.id),
+         |win AS (SELECT cluster_id, id FROM (
+         |          SELECT cluster_id, id, row_number() OVER (
+         |            PARTITION BY cluster_id ORDER BY csim, id) AS rn
+         |          FROM members) t WHERE rn = 1),
+         |losers AS (SELECT id FROM members
+         |           WHERE id NOT IN (SELECT id FROM win))
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
     // same plane literals, same left-fold dot, same 1/sqrt scale —
     // both engines compute sqrt(16.0) as the identical IEEE double
     "embed_project" -> {
@@ -2908,6 +2994,33 @@ object LlmQueries {
          |SELECT doc_id, round(s::DOUBLE / n / 1e9, 6) AS dsir_score,
          |       n::BIGINT AS n_tok
          |FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin,
+
+    // the 8 training rounds unrolled: per round one weighted pair count
+    // over the merged vocabulary, the (freq DESC, l, r) argmax, and the
+    // same separator-framed replace — m1..m8 and every merged
+    // vocabulary MATERIALIZED (each is read twice; default inlining
+    // re-evaluates the chain exponentially)
+    "text_bpe_train" ->
+      s"""WITH $DocsCte,
+         |${Bpe.trainSql(8)}
+         |${Bpe.mergeTableSql(8)}""".stripMargin,
+
+    // the training chain again (the cache is engine-side; the oracle
+    // must derive the same merges), then the per-doc replace chain and
+    // separator-arithmetic token counts
+    "text_bpe_apply" ->
+      s"""WITH $DocsCte,
+         |${Bpe.trainSql(8)},
+         |${Bpe.applySql(8)}
+         |SELECT doc_id, count(*) AS n_words,
+         |       sum(length(word))::BIGINT AS n_chars,
+         |       sum((length(s) - length(replace(s, chr(31), ''))) // 2)
+         |         ::BIGINT AS n_bpe_tokens,
+         |       round(
+         |         sum((length(s) - length(replace(s, chr(31), ''))) // 2)
+         |           ::DOUBLE /
+         |         sum(length(word))::DOUBLE, 6) AS compression
+         |FROM ba8 GROUP BY doc_id""".stripMargin,
 
     // the text_lm_score chain verbatim, then 1e6-quantization, per-lang
     // tercile cutoffs by exact integer rank (quantile-disc: smallest v
