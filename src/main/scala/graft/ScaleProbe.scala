@@ -325,7 +325,16 @@ object ScaleProbe {
     // mechanism), frontier scheduling (per-host windows), HITS (six
     // edge equi-joins + grouped long sums over the bipartite graph)
     "text_bpe_train", "text_bpe_apply", "dedup_semdedup",
-    "sample_ppl_buckets", "web_frontier_schedule", "graph_hits")
+    "sample_ppl_buckets", "web_frontier_schedule", "graph_hits",
+    // round-16 session 3: TrustRank (same per-round join shape as
+    // pagerank + an iteration-invariant seed flag), NFC normalization
+    // (pure per-row native expression — the zero-shuffle floor), and
+    // conjunctive boolean search (distinct-term postings restricted by
+    // the query-term equi-join + one grouped count equality)
+    "graph_trustrank", "text_normalize", "text_bool_search",
+    // D4 diversification: the cached cell assignment + one
+    // cell-partitioned bounded window
+    "sample_cluster_balanced")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

@@ -205,6 +205,122 @@ object Graph {
     out
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) — PageRank with
+    * the teleport vector CONCENTRATED on a trusted seed set: trust mass
+    * originates only at seeds and attenuates along links, so pages far
+    * from any seed score ~0 regardless of raw in-degree. This is the
+    * spam-demotion / source-allowlisting signal corpus pipelines layer
+    * over plain PageRank (a link farm can inflate in-degree but cannot
+    * buy proximity to a curated seed list).
+    *
+    * Same exact-arithmetic discipline as [[pageRank]]: `scale`-scaled
+    * long scores, integer division everywhere, dangling mass
+    * redistributed to the SEED distribution (the personalized-PageRank
+    * convention — mass must re-enter through the teleport vector, or
+    * dangling nodes would leak trust to the whole graph). Long sums are
+    * order-free ⇒ bit-identical across partitionings and engines; the
+    * oracle unrolls the identical rounds.
+    *
+    * Scale posture: identical per-round shape to [[pageRank]] (one
+    * src-keyed equi-join + one dst-keyed sum; the only extras are an
+    * iteration-invariant `is_seed` flag carried on the node relation
+    * and the same single-row dangling aggregate). Seeds relation is
+    * joined ONCE at setup — per-iteration cost is independent of |S|. */
+  def trustRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iters: Int = 3, dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen,
+      "need iters >= 1 and 0 <= dampNum <= dampDen")
+    import org.apache.spark.sql.GraftSql.{persistedView, unpersistCheckpoint}
+    require(edges.schema(srcCol).dataType == edges.schema(dstCol).dataType,
+      s"node id columns must share a type; got $srcCol: " +
+        s"${edges.schema(srcCol).dataType}, $dstCol: " +
+        s"${edges.schema(dstCol).dataType}")
+    val e = persistedView(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+    // iteration-invariant node relation: out-degree (NULL = dangling)
+    // plus the seed flag — one setup join, zero per-round seed work
+    val nodeDeg = persistedView(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct()
+        .join(e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("outdeg")), Seq("node"), "left")
+        .join(sd.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+        .select(col("node"), col("outdeg"),
+          coalesce(col("is_seed"), lit(0L)).as("is_seed")))
+    val nSeeds = nodeDeg.filter(col("is_seed") === 1L).count()
+    require(nSeeds > 0, "trustRank needs at least one seed present in the graph")
+    val init = scale / nSeeds          // seeds start with uniform trust
+    val base = (scale / nSeeds) * (dampDen - dampNum) / dampDen
+    var rank = nodeDeg.select(col("node"), col("outdeg"), col("is_seed"),
+      (col("is_seed") * init).as("r"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val contrib = rank
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("in_sum"))
+      val dangling = rank.filter(col("outdeg").isNull)
+        .agg(coalesce(sum("r"), lit(0L)).as("d"))
+      val next = persistedView(nodeDeg
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("outdeg"), col("is_seed"), expr(
+          s"is_seed * $base + ($dampNum * (coalesce(in_sum, CAST(0 AS BIGINT))" +
+            s" + is_seed * (d div $nSeeds))) div $dampDen").as("r")))
+      prev.foreach(unpersistCheckpoint)
+      prev = Some(next)
+      rank = next
+    }
+    val out = rank.select(col("node"), col("r").as("trust_scaled"))
+    unpersistCheckpoint(e); unpersistCheckpoint(nodeDeg)
+    out
+  }
+
+  /** The DuckDB twin of [[trustRank]] as a WITH-clause body: unrolled
+    * iterations from the SAME parameters, over caller-supplied
+    * `edges_in` (src, dst) and `seeds_in` (node) CTEs. The final
+    * relation `t{iters}` yields `(node, r)`. */
+  def trustRankSql(
+      edgesCte: String, seedsCte: String, iters: Int = 3,
+      dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000L): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "t0" else s"t${i - 1}"
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS node, sum($prev.r // o.outdeg)::BIGINT AS in_sum
+         |       FROM $prev JOIN o ON $prev.node = o.src
+         |       JOIN e ON $prev.node = e.src GROUP BY 1),
+         |d$i AS (SELECT coalesce(sum(r), 0)::BIGINT AS d FROM $prev
+         |        WHERE node NOT IN (SELECT src FROM o)),
+         |t$i AS MATERIALIZED (SELECT nodes.node,
+         |          (nodes.is_seed * (SELECT base FROM consts)
+         |           + ($dampNum * (coalesce(c$i.in_sum, 0)
+         |                          + nodes.is_seed *
+         |                            ((SELECT d FROM d$i) // (SELECT s FROM ns))))
+         |             // $dampDen)::BIGINT AS r
+         |        FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |$seedsCte,
+       |e AS (SELECT DISTINCT src, dst FROM edges_in),
+       |allnodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |o AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS (SELECT a.node,
+       |            CASE WHEN s.node IS NULL THEN 0 ELSE 1 END::BIGINT AS is_seed
+       |          FROM allnodes a
+       |          LEFT JOIN (SELECT DISTINCT node FROM seeds_in) s
+       |            ON a.node = s.node),
+       |ns AS (SELECT sum(is_seed)::BIGINT AS s FROM nodes),
+       |consts AS (SELECT ($scale // s) * (${dampDen - dampNum}) // $dampDen AS base,
+       |                  $scale // s AS init FROM ns),
+       |t0 AS (SELECT node, (is_seed * (SELECT init FROM consts))::BIGINT AS r
+       |       FROM nodes),
+       |$rounds""".stripMargin
+  }
+
   /** The DuckDB twin of [[hits]] as a WITH-clause body: unrolled rounds
     * generated from the SAME parameters, over an `edges_in` CTE the
     * caller supplies (columns `src`, `dst`). The final relation

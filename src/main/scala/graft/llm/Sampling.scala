@@ -51,6 +51,32 @@ object Sampling {
     * (monotonicity makes that lossless for the top-k-by-hash selection
     * with probability 1 - ε), so the window sorts a k-ish-sized slice
     * instead of the whole group. */
+  /** D4-style CLUSTER-BALANCED sampling (Tirumala et al. 2023): keep at
+    * most `cap` members per embedding cluster, so over-represented
+    * semantic regions (boilerplate families, template farms) can't
+    * dominate the training mix — the diversification stage that runs
+    * AFTER SemDeDup in the D4 pipeline, expressed over the same trained
+    * k-means cell assignment the ANN/dedup operators share (`assigned`:
+    * one row per (id, cell)).
+    *
+    * Mechanically [[stratifiedSample]] with the cluster as the stratum:
+    * per-cell bounded pick by the deterministic selection hash (ties →
+    * smaller id), one cell-partitioned window — parallelism is the cell
+    * count (nList grows with the corpus in the trained index, so no
+    * cell becomes a straggler partition), output bounded by cells·cap.
+    * Same hash ⇒ composes with the other samplers and is monotone in
+    * `cap`. */
+  def clusterBalancedSample(
+      assigned: DataFrame, idCol: String, cellCol: String, cap: Int,
+      seed: String = "graft"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(col(cellCol))
+      .orderBy(selKey(col(idCol), seed), col(idCol))
+    assigned.withColumn("__graft_cbr", row_number().over(w))
+      .filter(col("__graft_cbr") <= cap)
+      .drop("__graft_cbr")
+  }
+
   def stratifiedSample(
       df: DataFrame, groupCol: String, idCol: String, k: Int,
       seed: String = "graft"): DataFrame = {

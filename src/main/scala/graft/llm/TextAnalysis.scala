@@ -630,4 +630,62 @@ object TextAnalysis {
         col("__g") === col("phrase"))
       .select(col("qid"), col("phrase"), col("doc_id"), col("pos"))
   }
+
+  /** Unicode NFC normalization pass (UAX #15) — the canonical-form
+    * stage every web-ingestion pipeline runs BEFORE hashing: "Café"
+    * spelled `e`+U+0301 and precomposed `é` must fingerprint
+    * identically or exact-dedup/shingle operators silently miss pairs.
+    * Emits per-doc before/after code-point counts, a change flag, and
+    * the md5 of the normalized text (the downstream dedup key).
+    *
+    * Implementation is the native [[graft.functions.NfcNormalize]]
+    * expression (JDK `java.text.Normalizer`, same Unicode tables as
+    * DuckDB's `nfc_normalize` — the oracle is exact on ANY input): a
+    * pure per-row map, no shuffle, whole-stage codegen intact, with an
+    * NFC quick-check fast path that returns all-ASCII rows (the
+    * overwhelming majority of a real corpus) without allocation. */
+  def nfcNormalize(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    val norm = GraftSql.column(
+      graft.functions.NfcNormalize(GraftSql.expression(col(textCol))))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__raw"),
+        norm.as("__nfc"))
+      .select(col("doc_id"),
+        length(col("__raw")).as("n_raw"),
+        length(col("__nfc")).as("n_nfc"),
+        (col("__raw") =!= col("__nfc")).cast("int").as("changed"),
+        md5(col("__nfc")).as("md5_nfc"))
+  }
+
+  /** CONJUNCTIVE BOOLEAN SEARCH — multi-term AND retrieval over an
+    * inverted index, the filter shape behind allowlist/blocklist term
+    * screens and faceted corpus slicing ("every doc containing ALL of
+    * these terms"). `queries`: (qid, term), several rows per qid.
+    * Output one row per (qid, matching doc).
+    *
+    * Scale shape: per-doc DISTINCT terms via a per-row `array_distinct`
+    * (map-side — the postings relation never carries within-doc
+    * duplicates, so its size is bounded by corpus VOCABULARY incidence,
+    * not token count); the equi-join against the query-term relation
+    * immediately restricts flow to the queried terms' postings only —
+    * docs containing none of the terms never shuffle. The AND is one
+    * grouped count equality against each qid's term count (a ≤|Q|-row
+    * broadcast): count(matched terms) = |q| ⇔ all terms present,
+    * because the join key made matches distinct per (qid, doc, term).
+    * No window, no driver loop; the classic rarest-term-first cascade
+    * is subsumed here by the single count-equality shuffle whose volume
+    * is already only the queried postings. */
+  def boolSearch(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val posts = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextOps.words(col(textCol)))).as("term"))
+    val q = queries.select(col("qid"), col("term")).distinct()
+    val need = q.groupBy("qid").agg(count(lit(1)).as("__need"))
+    posts.join(q, Seq("term"))
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("__got"))
+      .join(broadcast(need), Seq("qid"))
+      .filter(col("__got") === col("__need"))
+      .select(col("qid"), col("doc_id"))
+  }
 }

@@ -1301,6 +1301,27 @@ object CoreQueries {
         .orderBy(col("auth_scaled").desc, col("node")).limit(20)
     }),
 
+    // TrustRank (Gyöngyi et al. 2004) — seeded PageRank whose teleport
+    // mass is confined to a trusted seed set (suppliers from the first
+    // five nations), the spam-demotion signal plain PageRank can't
+    // express: in-degree alone buys rank, but not proximity to a
+    // curated allowlist. Same integer fixed-point discipline and
+    // per-round join shape as graph_pagerank; dangling mass re-enters
+    // through the seed distribution (the personalized-PR convention).
+    "graph_trustrank" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
+      val seeds = Tables.read(s, dir, "supplier")
+        .filter(col("s_nationkey") < 5)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      graft.llm.Graph.trustRank(fwd.union(rev), "src", "dst",
+          seeds, "node", iters = 3)
+        .orderBy(col("trust_scaled").desc, col("node")).limit(20)
+    }),
+
     // KMV set algebra — |A∪B| AND |A∩B| estimates (the operation HLL
     // cannot do) over user-day activity sets for two event types. The
     // composite key lifts cardinality past k at sf0.01 (estimator
@@ -2426,6 +2447,23 @@ object CoreQueries {
       s"""${graft.llm.Graph.hitsSql(edgesCte, iters = 3)}
          |SELECT node, auth_scaled, hub_scaled FROM hits3
          |ORDER BY auth_scaled DESC, node LIMIT 20""".stripMargin
+    },
+
+    "graph_trustrank" -> {
+      val edgesCte =
+        """WITH edges_in AS (
+          |  SELECT (l_partkey * 2)::BIGINT AS src,
+          |         (l_suppkey * 2 + 1)::BIGINT AS dst FROM lineitem
+          |  UNION ALL
+          |  SELECT (l_suppkey * 2 + 1)::BIGINT,
+          |         (l_partkey * 2)::BIGINT FROM lineitem)""".stripMargin
+      val seedsCte =
+        """seeds_in AS (
+          |  SELECT (s_suppkey * 2 + 1)::BIGINT AS node FROM supplier
+          |  WHERE s_nationkey < 5)""".stripMargin
+      s"""${graft.llm.Graph.trustRankSql(edgesCte, seedsCte, iters = 3)}
+         |SELECT node, r AS trust_scaled FROM t3
+         |ORDER BY trust_scaled DESC, node LIMIT 20""".stripMargin
     },
 
     "sketch_kmv_setops" -> {

@@ -1464,6 +1464,17 @@ object LlmQueries {
       Sampling.stratifiedSample(docs(s, dir), "lang", "doc_id", 5, "graft")
         .select("doc_id", "lang")),
 
+    // D4-style cluster-balanced sampling (Tirumala et al. 2023): at
+    // most 10 vectors per trained k-means cell — the diversification
+    // stage after SemDeDup, over the SAME cached cell assignment the
+    // ANN/dedup family shares. One cell-partitioned window (parallelism
+    // = cell count, output ≤ cells·cap); oracle replays the identical
+    // integer k-means training then the identical hash-ranked pick.
+    "sample_cluster_balanced" -> ((s, dir) =>
+      Sampling.clusterBalancedSample(
+        ivfIndex(s, dir).select(col("id").as("vec_id"), col("cell")),
+        "vec_id", "cell", cap = 10)),
+
     "sample_uniform_k" -> ((s, dir) =>
       Sampling.uniformK(docs(s, dir), "doc_id", 25, "graft")
         .select("doc_id", "lang", "n_chars")),
@@ -1610,6 +1621,37 @@ object LlmQueries {
           concat_ws(" ", slice(col("__w"), 1, 5)),
           concat_ws(" ", slice(col("__w"), 11, 5)))).as("phrase"))
       TextAnalysis.phraseSearch(d, phrases, "doc_id", "text", n = 5)
+    }),
+
+    // Unicode NFC normalization (UAX #15) — the canonical-form stage a
+    // web pipeline runs before any hashing. The ASCII corpus would make
+    // this a no-op, so odd doc_ids are DECORATED with decomposed
+    // sequences (e+U+0301, U+212B, A+U+030A — each NFC-composes) and
+    // even doc_ids stay raw, exercising both the rewrite and the
+    // quick-check identity fast path. Native expression, pure map;
+    // DuckDB's nfc_normalize implements the same Unicode tables, so the
+    // md5-of-normalized match is exact, not fixture luck.
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.nfcNormalize(
+        docs(s, dir).withColumn("decorated",
+          when(pmod(col("doc_id"), lit(2L)) === 1,
+            concat(col("text"),
+              lit(" Cafe\u0301 \u212B A\u030A")))
+            .otherwise(col("text"))),
+        "doc_id", "decorated")),
+
+    // conjunctive boolean retrieval (docs containing ALL of a query's
+    // terms): per-doc distinct terms map-side, postings restricted to
+    // the queried terms by the equi-join, AND via one grouped
+    // count-equality against the broadcast per-qid term count. q3's
+    // deliberately absent term proves the empty-conjunction path.
+    "text_bool_search" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        ("q1", "join"), ("q1", "customer"),
+        ("q2", "vector"), ("q2", "batch"), ("q2", "table"),
+        ("q3", "spark"), ("q3", "zzqx")).toDF("qid", "term")
+      TextAnalysis.boolSearch(docs(s, dir), q, "doc_id", "text")
     }),
 
     // BPE VOCABULARY LEARNING (Sennrich et al. 2016): 8 merges learned
@@ -2794,6 +2836,14 @@ object LlmQueries {
       s"""${ivfTrainCtes(3, 64)}
          |SELECT vec_id, cell FROM nb""".stripMargin,
 
+    "sample_cluster_balanced" ->
+      s"""${ivfTrainCtes(3, 64)},
+         |ranked AS (SELECT vec_id, cell, row_number() OVER (
+         |    PARTITION BY cell
+         |    ORDER BY ${h32("'graft:' || CAST(vec_id AS VARCHAR)")}, vec_id
+         |  ) AS rn FROM nb)
+         |SELECT vec_id, cell FROM ranked WHERE rn <= 10""".stripMargin,
+
     // fixed-point pooling replayed on the same quantized integers; the
     // unit vector comes from the raw SUMS (uniform scaling cancels), so
     // the only FP steps are one division and one IEEE sqrt on shared
@@ -3350,6 +3400,42 @@ object LlmQueries {
          |          FROM pw)
          |SELECT ph.qid, ph.phrase, posts.doc_id, posts.pos
          |FROM posts JOIN ph ON posts.g = ph.phrase""".stripMargin,
+
+    // decoration replayed with chr() code points (chr is code-point
+    // based in DuckDB); nfc_normalize implements the same Unicode
+    // tables as the JDK normalizer, so lengths and md5 match exactly.
+    // length() counts code points in both engines; INT casts match the
+    // Spark side's Int length type.
+    "text_normalize" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1
+        |    THEN text || ' Cafe' || chr(769) || ' ' || chr(8491)
+        |         || ' A' || chr(778)
+        |    ELSE text END AS s
+        |FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(s) AS INT) AS n_raw,
+        |       CAST(length(nfc_normalize(s)) AS INT) AS n_nfc,
+        |       CASE WHEN s <> nfc_normalize(s) THEN 1 ELSE 0 END AS changed,
+        |       md5(nfc_normalize(s)) AS md5_nfc
+        |FROM t""".stripMargin,
+
+    // postings carry per-doc DISTINCT terms; the AND is the grouped
+    // count equality against each qid's term count
+    "text_bool_search" ->
+      s"""WITH $DocsCte,
+         |q AS (SELECT * FROM (VALUES
+         |        ('q1', 'join'), ('q1', 'customer'),
+         |        ('q2', 'vector'), ('q2', 'batch'), ('q2', 'table'),
+         |        ('q3', 'spark'), ('q3', 'zzqx')) v(qid, term)),
+         |posts AS (SELECT doc_id, unnest(list_distinct(w)) AS term
+         |          FROM docs),
+         |m AS (SELECT q.qid, p.doc_id, count(*) AS got
+         |      FROM posts p JOIN q ON p.term = q.term GROUP BY 1, 2),
+         |need AS (SELECT qid, count(DISTINCT term) AS need FROM q GROUP BY 1)
+         |SELECT m.qid, m.doc_id
+         |FROM m JOIN need ON m.qid = need.qid WHERE m.got = need.need"""
+        .stripMargin,
 
     // the per-doc log-prob sum is a QUANTIZED INTEGER sum in BOTH
     // engines (round(lnp * 1e9)::BIGINT then sum) — commutative and

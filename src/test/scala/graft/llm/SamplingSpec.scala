@@ -32,6 +32,27 @@ class SamplingSpec extends SparkSpec {
     assert(rate > 0.14 && rate < 0.26, s"rate $rate far from 0.2")
   }
 
+  test("cluster-balanced sample caps every cell, monotone in cap") {
+    import spark.implicits._
+    // 3 cells of sizes 12 / 7 / 2
+    val assigned = ((1L to 12L).map(i => (i, 0)) ++
+      (13L to 19L).map(i => (i, 1)) ++ Seq((20L, 2), (21L, 2)))
+      .toDF("id", "cell")
+    def pick(cap: Int) = Sampling
+      .clusterBalancedSample(assigned, "id", "cell", cap)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val p5 = pick(5)
+    val sizes = p5.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map(0 -> 5, 1 -> 5, 2 -> 2))
+    assert(p5.subsetOf(pick(8)), "growing cap must only add rows")
+    assert(pick(5) == p5, "deterministic")
+    // repartition invariance
+    val rp = Sampling.clusterBalancedSample(
+      assigned.repartition(13), "id", "cell", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rp == p5)
+  }
+
   test("stratified sample takes exactly min(k, |group|) per group") {
     val perGroup = Sampling.stratifiedSample(docs, "lang", "doc_id", 5)
       .groupBy("lang").agg(count(lit(1)).as("n"))
