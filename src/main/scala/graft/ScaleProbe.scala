@@ -334,7 +334,13 @@ object ScaleProbe {
     "graph_trustrank", "text_normalize", "text_bool_search",
     // D4 diversification: the cached cell assignment + one
     // cell-partitioned bounded window
-    "sample_cluster_balanced")
+    "sample_cluster_balanced",
+    // round-16 session 4: triangle support (degree-oriented wedge join,
+    // O(m^1.5) bound — host-graph edges grow linearly with the corpus),
+    // linear classifier inference (token explode + nFeatures-row weight
+    // join + per-doc sum), temperature rebalancing (|langs|-row count
+    // aggregate + per-row hash predicate)
+    "graph_triangles", "text_classifier_score", "sample_temperature")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

@@ -151,6 +151,92 @@ object Graph {
     * no driver-side graph, the only driver values are the two global
     * normalization scalars per round (broadcast single-row aggregates).
     * Output: (node, auth_scaled, hub_scaled) for ALL nodes. */
+  /** EXACT PER-NODE TRIANGLE COUNTS over the undirected simple graph
+    * induced by `edges(srcCol, dstCol)` (direction, multi-edges and
+    * self-loops dropped) — the local community signal centrality can't
+    * express: a link farm's star hub closes almost no triangles
+    * relative to its degree, while an organic neighborhood closes many,
+    * so triangle support per node is the standard spam/quality feature
+    * next to PageRank/TrustRank in web-corpus pipelines.
+    *
+    * Algorithm: DEGREE ORIENTATION (Schank & Wagner 2005; the
+    * MapReduce formulation of Suri & Vassilvitskii 2011): orient every
+    * undirected edge from its (degree, node)-smaller endpoint to the
+    * larger. The orientation is an acyclic tournament, so each triangle
+    * {x,y,z} (ordered x→y→z by (degree, node)) materializes EXACTLY
+    * once as the wedge x→y ⋈ y→z closed by the edge x→z — no
+    * per-triangle dedup needed. Out-degrees under this orientation are
+    * bounded by O(√m), so the wedge join's fan-out is O(m^1.5) TOTAL
+    * regardless of the maximum raw degree: the hub that makes a naive
+    * neighbor self-join quadratic only RECEIVES oriented edges here.
+    *
+    * Scale posture: one distinct (simple-graph collapse), one degree
+    * aggregate joined back (both map-side combinable), the wedge
+    * equi-join on the middle vertex, and a closing LEFT SEMI equi-join
+    * on the (x,z) pair — every shuffle key-partitioned, no window, no
+    * driver-side graph state. Counts are exact integers: bit-identical
+    * across engines and partitionings. Returns `(node, tri_cnt)` for
+    * every node on ≥1 triangle. */
+  def triangles(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftSql.{persistedView, unpersistCheckpoint}
+    require(edges.schema(srcCol).dataType == edges.schema(dstCol).dataType,
+      s"node id columns must share a type; got $srcCol: " +
+        s"${edges.schema(srcCol).dataType}, $dstCol: " +
+        s"${edges.schema(dstCol).dataType}")
+    // canonical simple undirected edges (u < v); materialized once —
+    // the degree join and both triangle joins all read it
+    val e = persistedView(edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct())
+    val deg = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    // orientation: (degree, node)-smaller endpoint first. u < v holds
+    // canonically, so on an exact degree tie the canonical order IS the
+    // node-order tiebreak — one comparison decides both components.
+    val o = persistedView(e
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("a"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("b")))
+    val paths = o.select(col("a").as("x"), col("b").as("y"))
+      .join(o.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+    val tri = paths.join(o,
+      paths("x") === o("a") && paths("z") === o("b"), "left_semi")
+    val out = persistedView(tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt")))
+    unpersistCheckpoint(e); unpersistCheckpoint(o)
+    out
+  }
+
+  /** The DuckDB twin of [[triangles]] as a WITH-clause body over an
+    * `edges_in` CTE the caller supplies (columns `src`, `dst`). The
+    * final CTE `tri_counts` yields `(node, tri_cnt)`. */
+  def trianglesSql(edgesCte: String): String =
+    s"""$edgesCte,
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM edges_in WHERE src <> dst),
+       |deg AS (SELECT n, count(*) AS dg
+       |        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) t
+       |        GROUP BY n),
+       |o AS MATERIALIZED (
+       |  SELECT CASE WHEN du.dg <= dv.dg THEN e.u ELSE e.v END AS a,
+       |         CASE WHEN du.dg <= dv.dg THEN e.v ELSE e.u END AS b
+       |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+       |tri AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z
+       |        FROM o p1 JOIN o p2 ON p2.a = p1.b
+       |        WHERE EXISTS (SELECT 1 FROM o
+       |                      WHERE o.a = p1.a AND o.b = p2.b)),
+       |tri_counts AS (SELECT node, count(*) AS tri_cnt
+       |               FROM (SELECT unnest([x, y, z]) AS node FROM tri) n
+       |               GROUP BY node)""".stripMargin
+
   def hits(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, scale: Long = 1000000L): DataFrame = {

@@ -216,6 +216,55 @@ object Sampling {
     s"${hash32Sql(s"'$q:' || CAST($idSql AS VARCHAR)")} < $threshold"
   }
 
+  /** TEMPERATURE-BALANCED group sampling at α = 1/2 — the multilingual
+    * mixture-flattening pass (Conneau & Lample 2019's p_l^α rebalancing,
+    * the XLM/mBERT convention): downsample each group (language, source
+    * domain) so kept counts are proportional to c_l^α instead of c_l,
+    * lifting low-resource groups' SHARE without duplicating rows. Each
+    * row of group l is kept with probability a_l = √(c_min / c_l)
+    * (acceptance ∝ c_l^(α−1) normalized so the rarest group keeps
+    * everything — the largest lossless flattening), decided by the same
+    * (seed, id) selection hash every sampler here uses.
+    *
+    * α is FIXED at 1/2 by design: a_l is then one correctly-rounded
+    * IEEE division of two exact integer counts, one correctly-rounded
+    * `sqrt`, and one correctly-rounded multiply by 2^32 — bit-identical
+    * in any IEEE-754 engine (the meanPoolFixed license). A general α
+    * needs `pow`, which neither Spark nor DuckDB guarantees correctly
+    * rounded, so it would desync oracles by ULPs.
+    *
+    * Scale shape: ONE map-side-combinable group count (output =
+    * |groups| rows — broadcast back by AQE), then a pure per-row hash
+    * predicate; nothing corpus-sized shuffles. Reproducible,
+    * repartition-invariant, and monotone in nothing it shouldn't be:
+    * a group's kept set depends only on (seed, its own count, c_min).
+    * Returns the kept rows of `df` unchanged. */
+  def temperatureSample(
+      df: DataFrame, idCol: String, groupCol: String,
+      seed: String = "graft"): DataFrame = {
+    val cnt = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+    val acc = cnt.crossJoin(
+        cnt.agg(min("__c").as("__cmin")))
+      .select(col(groupCol),
+        (sqrt(col("__cmin").cast("double") / col("__c").cast("double")) *
+          lit(4294967296.0)).as("__thr"))
+    df.join(acc, Seq(groupCol))
+      .filter(selKey(col(idCol), seed).cast("double") < col("__thr"))
+      .drop("__thr")
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
+  /** The DuckDB WITH-fragment + predicate matching [[temperatureSample]]
+    * over a table `t` with columns `idSql` / `groupSql`: caller embeds
+    * `WITH ${temperatureCtes(...)} SELECT ... FROM t JOIN acc USING
+    * (group) WHERE ${temperaturePredicateSql(...)}`. Kept as two pieces
+    * so oracles can project their own columns. */
+  def temperatureCtesSql(table: String, groupSql: String): String =
+    s"""cnt AS (SELECT $groupSql AS g, count(*) AS c FROM $table GROUP BY 1),
+       |acc AS (SELECT g, sqrt((SELECT min(c) FROM cnt)::DOUBLE / c::DOUBLE)
+       |               * 4294967296.0 AS thr
+       |        FROM cnt)""".stripMargin
+
   /** Deterministic WEIGHTED Bernoulli sample: keep a row with
     * probability min(1, rate · weight) — "sample proportional to token
     * count" without RNG state: the same (seed, id) selection hash the

@@ -688,4 +688,46 @@ object TextAnalysis {
       .filter(col("__got") === col("__need"))
       .select(col("qid"), col("doc_id"))
   }
+
+  /** LINEAR QUALITY-CLASSIFIER INFERENCE over hashed bag-of-words
+    * features — the fastText-shaped scoring pass behind
+    * classifier-based corpus filtering (GPT-3's WebText quality model,
+    * LLaMA's Wikipedia-reference classifier): score every document with
+    * a trained linear model w over features f = hash32(token) mod
+    * nFeatures, keep docs whose logit clears 0. The MODEL is an input
+    * relation `weights(featCol, weightCol)` of integer fixed-point
+    * weights — training happens offline; this operator is the
+    * corpus-wide inference pass, which is where the 100 TB cost lives.
+    *
+    * Scale shape: one token explode → per-row feature hash → equi-join
+    * against the weight relation (≤ nFeatures rows BY CONSTRUCTION —
+    * that is the point of the hashing trick; AQE broadcasts it, and a
+    * million-feature model is still an ordinary hash join) → ONE
+    * map-side-combinable per-doc long sum. The logit is an exact
+    * integer (commutative long sum of integer weights — bit-identical
+    * across engines and partitionings); the mean score is one
+    * correctly-rounded division rounded to 6dp. Missing features
+    * (buckets absent from `weights`) contribute 0 via the left join,
+    * so a sparse model relation is equivalent to a dense one padded
+    * with zeros. Returns (doc_id, n_tokens, logit_fixed, score, keep).
+    */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, featCol: String, weightCol: String,
+      nFeatures: Int = 4096): DataFrame = {
+    require(nFeatures > 0, "need positive nFeatures")
+    val w = weights.select(col(featCol).cast("long").as("__f"),
+      col(weightCol).cast("long").as("__w"))
+    df.select(col(idCol).as("doc_id"),
+        explode(TextOps.words(col(textCol))).as("__t"))
+      .select(col("doc_id"),
+        pmod(TextOps.hash32(col("__t")), lit(nFeatures.toLong)).as("__f"))
+      .join(w, Seq("__f"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__w"), lit(0L))).as("logit_fixed"))
+      .select(col("doc_id"), col("n_tokens"), col("logit_fixed"),
+        round(col("logit_fixed").cast("double") /
+          col("n_tokens").cast("double"), 6).as("score"),
+        (col("logit_fixed") > 0).as("keep"))
+  }
 }

@@ -1464,6 +1464,17 @@ object LlmQueries {
       Sampling.stratifiedSample(docs(s, dir), "lang", "doc_id", 5, "graft")
         .select("doc_id", "lang")),
 
+    // temperature-balanced (α = 1/2) language rebalancing — the
+    // XLM-style p_l^α flattening: each language kept with probability
+    // √(c_min/c_l) (the rarest language keeps everything), so kept
+    // counts track c_l^(1/2) and low-resource languages gain SHARE
+    // without row duplication. One |langs|-row count aggregate + a
+    // per-row hash predicate; the lang skew is the corpus's own
+    // (en ≈ 3.4× fr at every SF).
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureSample(
+        docs(s, dir).select("doc_id", "lang"), "doc_id", "lang", "graft")),
+
     // D4-style cluster-balanced sampling (Tirumala et al. 2023): at
     // most 10 vectors per trained k-means cell — the diversification
     // stage after SemDeDup, over the SAME cached cell assignment the
@@ -1652,6 +1663,22 @@ object LlmQueries {
         ("q2", "vector"), ("q2", "batch"), ("q2", "table"),
         ("q3", "spark"), ("q3", "zzqx")).toDF("qid", "term")
       TextAnalysis.boolSearch(docs(s, dir), q, "doc_id", "text")
+    }),
+
+    // fastText-shaped LINEAR CLASSIFIER INFERENCE (the GPT-3/LLaMA
+    // classifier-based quality filter's scoring pass): hashed
+    // bag-of-words features joined against a 4096-bucket integer weight
+    // relation (the trained model — synthesized here deterministically
+    // from the bucket id so both engines hold the identical model), one
+    // map-side-combinable per-doc long sum. The weight table is
+    // nFeatures-row by construction; AQE broadcasts it.
+    "text_classifier_score" -> ((s, dir) => {
+      val w = s.range(4096).select(col("id").as("f"),
+        (pmod(graft.llm.TextOps.hash32(
+          concat(lit("w:"), col("id").cast("string"))), lit(2001L))
+          - lit(1000L)).as("wt"))
+      TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        w, "f", "wt")
     }),
 
     // BPE VOCABULARY LEARNING (Sennrich et al. 2016): 8 merges learned
@@ -2089,6 +2116,16 @@ object LlmQueries {
       graft.llm.Graph.pageRank(webEdges(s, dir), "src_host", "dst_host",
           iters = 3)
         .select(col("node").as("host"), col("rank_scaled"))),
+
+    // per-host triangle support over the undirected host graph — the
+    // local community signal next to rank: a link farm's star hub
+    // closes almost no triangles relative to its degree. Degree
+    // orientation (Schank & Wagner) bounds the wedge join at O(m^1.5)
+    // total, independent of the hub's raw degree; exact integer counts.
+    // Same session-shared [[webEdges]] extraction as the rank family.
+    "graph_triangles" -> ((s, dir) =>
+      graft.llm.Graph.triangles(webEdges(s, dir), "src_host", "dst_host")
+        .select(col("node").as("host"), col("tri_cnt"))),
 
     // HYBRID RETRIEVAL — reciprocal-rank fusion of the dense (brute
     // cosine over embeddings) and sparse (TF-IDF inverted index over
@@ -3008,6 +3045,15 @@ object LlmQueries {
          |  ) AS rn FROM documents) t
          |WHERE rn <= 5""".stripMargin,
 
+    // α = 1/2 acceptance √(c_min/c_l)·2^32 replayed on exact integer
+    // counts: one correctly-rounded division, one IEEE sqrt, one
+    // multiply — the same three FP steps the Spark predicate performs
+    "sample_temperature" ->
+      s"""WITH ${Sampling.temperatureCtesSql("documents", "lang")}
+         |SELECT doc_id, lang FROM documents JOIN acc ON lang = acc.g
+         |WHERE ${h32("'graft:' || CAST(doc_id AS VARCHAR)")}::DOUBLE
+         |      < acc.thr""".stripMargin,
+
     "sample_mixture" ->
       s"""SELECT doc_id, lang, 'en' AS mixture_source FROM documents
          |WHERE lang = 'en'
@@ -3436,6 +3482,24 @@ object LlmQueries {
          |SELECT m.qid, m.doc_id
          |FROM m JOIN need ON m.qid = need.qid WHERE m.got = need.need"""
         .stripMargin,
+
+    // the synthetic 4096-bucket integer model rebuilt from the same
+    // hash ((hash32('w:'||f) % 2001) - 1000), the identical hashed
+    // feature mapping, an exact integer logit sum, and ONE rounded
+    // division for the mean score
+    "text_classifier_score" ->
+      s"""WITH $DocsCte,
+         |wt AS (SELECT f, (${h32("'w:' || f")} % 2001) - 1000 AS wt
+         |       FROM range(4096) t(f)),
+         |feat AS (SELECT doc_id, ${h32("tok")} % 4096 AS f
+         |         FROM (SELECT doc_id, unnest(w) AS tok FROM docs) u),
+         |s AS (SELECT doc_id, count(*) AS n_tokens,
+         |             sum(coalesce(wt, 0))::BIGINT AS logit_fixed
+         |      FROM feat LEFT JOIN wt USING (f) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, logit_fixed,
+         |       round(logit_fixed::DOUBLE / n_tokens::DOUBLE, 6) AS score,
+         |       logit_fixed > 0 AS keep
+         |FROM s""".stripMargin,
 
     // the per-doc log-prob sum is a QUANTIZED INTEGER sum in BOTH
     // engines (round(lnp * 1e9)::BIGINT then sum) — commutative and
@@ -4202,6 +4266,22 @@ object LlmQueries {
           |  FROM documents)""".stripMargin
       s"""${graft.llm.Graph.pageRankSql(edgesCte, iters = 3)}
          |SELECT node AS host, r AS rank_scaled FROM r3""".stripMargin
+    },
+
+    // the same analytic edge relation, undirected/simplified, then the
+    // identical degree orientation and the two exact-integer joins
+    "graph_triangles" -> {
+      val edgesCte =
+        """WITH edges_in AS (
+          |  SELECT 'site' || ((doc_id // 4) % 50) || '.example' AS src,
+          |         'site' || (((doc_id // 4) + 7) % 50) || '.example' AS dst
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT 'site' || ((doc_id // 4) % 50) || '.example',
+          |         'site' || ((doc_id // 4) % 7) || '.example'
+          |  FROM documents)""".stripMargin
+      s"""${graft.llm.Graph.trianglesSql(edgesCte)}
+         |SELECT node AS host, tri_cnt FROM tri_counts""".stripMargin
     },
 
     // RRF fusion: both sub-retrieval chains replayed (dense brute

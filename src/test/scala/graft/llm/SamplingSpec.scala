@@ -187,4 +187,29 @@ class SamplingSpec extends SparkSpec {
     val samMean = lo.agg(avg("w")).head().getDouble(0)
     assert(samMean > popMean, s"sample mean $samMean vs population $popMean")
   }
+
+  test("temperatureSample: rarest group fully kept, kept counts track " +
+    "sqrt(c_l), repartition-invariant") {
+    import spark.implicits._
+    // 4 groups with counts 1600 / 400 / 100 / 100: acceptance
+    // sqrt(100/c) = 0.25 / 0.5 / 1 / 1
+    val d = ((1 to 1600).map(i => (i.toLong, "a")) ++
+      (2001 to 2400).map(i => (i.toLong, "b")) ++
+      (3001 to 3100).map(i => (i.toLong, "c")) ++
+      (4001 to 4100).map(i => (i.toLong, "d"))).toDF("doc_id", "g")
+    val kept = Sampling.temperatureSample(d, "doc_id", "g")
+    val byG = kept.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the two min-count groups keep EVERYTHING (acceptance exactly 1)
+    assert(byG("c") == 100L && byG("d") == 100L)
+    // hash-uniform binomial around 400 and 200 — generous 5-sigma bands
+    assert(byG("a") > 310 && byG("a") < 490, s"group a kept ${byG("a")}")
+    assert(byG("b") > 130 && byG("b") < 270, s"group b kept ${byG("b")}")
+    // schema passes through unchanged; output is a subset of the input
+    assert(kept.columns.toSeq == d.columns.toSeq)
+    assert(kept.exceptAll(d).isEmpty)
+    // repartition invariance
+    val again = Sampling.temperatureSample(d.repartition(13), "doc_id", "g")
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
 }

@@ -35,7 +35,7 @@ $J graft.Bench >> /tmp/r16_bench.log 2>/tmp/r16_bench.err
 echo "bench rc=$? $(date)" >> /tmp/r16_bench.log
 
 echo "=== probe100 start $(date)" | tee /tmp/r16_probe100.log
-SPARK_GRAFT_PROBE_ONLY=dedup_exact,dedup_drop_exact,dedup_jaccard_pairs,dedup_jaccard_pairs_capped,dedup_minhash_lsh,dedup_simhash,dedup_clusters,dedup_drop_near,dedup_pairs_against,dedup_ingest,dedup_containment_pairs,dedup_spans,dedup_paragraphs,text_tfidf,text_bm25,text_quality_filter,text_pii_redact,text_lm_score,text_entropy,text_ngram_diversity,text_encode_ids,text_chunks_overlap,text_phrase_search,sample_token_budget,sample_pack_sequences,sample_dsir,pipe_curate,web_boilerplate_strip,web_text_extract,web_crawl_merge,web_crawl_delta,stream_crawl_merge,web_edges_build,rag_context_pack,rag_context_pack_fixedq,knn_rptree_forest,knn_rptree_recall,x_compaction_exec,knn_sparse_tfidf_pruned,text_bpe_train,text_bpe_apply,dedup_semdedup,sample_ppl_buckets,web_frontier_schedule,graph_hits,graph_trustrank,text_normalize,text_bool_search,sample_cluster_balanced \
+SPARK_GRAFT_PROBE_ONLY=dedup_exact,dedup_drop_exact,dedup_jaccard_pairs,dedup_jaccard_pairs_capped,dedup_minhash_lsh,dedup_simhash,dedup_clusters,dedup_drop_near,dedup_pairs_against,dedup_ingest,dedup_containment_pairs,dedup_spans,dedup_paragraphs,text_tfidf,text_bm25,text_quality_filter,text_pii_redact,text_lm_score,text_entropy,text_ngram_diversity,text_encode_ids,text_chunks_overlap,text_phrase_search,sample_token_budget,sample_pack_sequences,sample_dsir,pipe_curate,web_boilerplate_strip,web_text_extract,web_crawl_merge,web_crawl_delta,stream_crawl_merge,web_edges_build,rag_context_pack,rag_context_pack_fixedq,knn_rptree_forest,knn_rptree_recall,x_compaction_exec,knn_sparse_tfidf_pruned,text_bpe_train,text_bpe_apply,dedup_semdedup,sample_ppl_buckets,web_frontier_schedule,graph_hits,graph_trustrank,text_normalize,text_bool_search,sample_cluster_balanced,graph_triangles,text_classifier_score,sample_temperature \
 $J graft.ScaleProbe tmp_bench10x tmp_scale100 >> /tmp/r16_probe100.log 2>/tmp/r16_probe100.err
 echo "probe100 rc=$? $(date)" >> /tmp/r16_probe100.log
 
