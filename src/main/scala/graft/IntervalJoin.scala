@@ -64,6 +64,50 @@ object IntervalJoin {
       .drop("__graft_ab", "__graft_bb")
   }
 
+  /** FORWARD AS-OF JOIN — for each anchor row, the FIRST event of the
+    * same key strictly after the anchor's timestamp and within
+    * `horizonSeconds` — the next-action attribution shape (next click
+    * after an impression, next purchase after a visit) that the PIT
+    * family's backward as-of cannot express by symmetry (its TTL looks
+    * back; attribution looks forward).
+    *
+    * Plan: equi-join on `keys` with the range residual
+    * `anchor.ts < e.ts <= anchor.ts + horizon` (Catalyst/AQE pick
+    * hash/SMJ/broadcast as sizes dictate — J2's license), then ONE
+    * map-side-combinable `min(struct(ts, id))` winner per anchor (total
+    * order — ties on ts break by event id, bit-identical across
+    * engines), and a final LEFT attachment so anchors with no
+    * successor survive with NULLs (J4's convention). Per-anchor
+    * candidate volume is bounded by the key's event rate × horizon —
+    * the same argument that sizes the backward TTL join.
+    *
+    * Returns all of `anchors`' columns plus `(next_event_id, next_ts)`.
+    * `anchors` must carry a unique `anchorIdCol`; `keys` must be
+    * non-empty (the keyless forward form is [[pointInInterval]] +
+    * a winner aggregate). */
+  def firstAfterWithin(
+      anchors: DataFrame, anchorIdCol: String, anchorTsCol: String,
+      events: DataFrame, eventIdCol: String, eventTsCol: String,
+      keys: Seq[String], horizonSeconds: Long): DataFrame = {
+    require(keys.nonEmpty, "firstAfterWithin needs equi keys")
+    require(horizonSeconds > 0, "horizonSeconds must be > 0")
+    val e = events.select(
+      (keys.map(k => col(k).as(s"__e_$k")) :+
+        col(eventIdCol).as("__e_id") :+ col(eventTsCol).as("__e_ts")): _*)
+    val cond = keys.map(k => e(s"__e_$k") === anchors(k))
+      .reduce(_ && _) &&
+      e("__e_ts") > anchors(anchorTsCol) &&
+      e("__e_ts") <= anchors(anchorTsCol) +
+        expr(s"INTERVAL $horizonSeconds SECONDS")
+    val winner = anchors.join(e, cond, "inner")
+      .groupBy(col(anchorIdCol))
+      .agg(min(struct(col("__e_ts"), col("__e_id"))).as("__w"))
+      .select(col(anchorIdCol),
+        col("__w.__e_id").as("next_event_id"),
+        col("__w.__e_ts").as("next_ts"))
+    anchors.join(winner, Seq(anchorIdCol), "left")
+  }
+
   def pointInInterval(
       points: DataFrame, tsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,

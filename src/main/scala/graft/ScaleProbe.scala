@@ -340,7 +340,13 @@ object ScaleProbe {
     // linear classifier inference (token explode + nFeatures-row weight
     // join + per-doc sum), temperature rebalancing (|langs|-row count
     // aggregate + per-row hash predicate)
-    "graph_triangles", "text_classifier_score", "sample_temperature")
+    "graph_triangles", "text_classifier_score", "sample_temperature",
+    // round-16 session 5: PMI collocations (two token-explode counts +
+    // vocabulary-keyed joins + TakeOrdered), video scene detection
+    // (partition-local demux + one per-video window bounded by
+    // frames-per-asset), forward as-of (user-keyed equi-join + range
+    // residual + min(struct) winner)
+    "text_collocations", "mm_video_scenes", "x_asof_forward")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

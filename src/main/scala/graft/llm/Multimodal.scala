@@ -1325,6 +1325,73 @@ object Multimodal {
       }
   }
 
+  /** SCENE-STRUCTURED video fixture payloads: real AVI-MJPEG containers
+    * whose frame sequence is RUNS of identical frames — scene s of
+    * doc `id` repeats the md5-derived frame `"sc<id>_<s>"` for
+    * `1 + (id + s) % 3` frames, across `2 + id % 4` scenes. Adjacent
+    * scenes always differ (distinct keys ⇒ distinct digests ⇒ distinct
+    * COM segments ⇒ distinct bytes — the full-entropy trick of
+    * [[synthesizeNearDupVideos]]), so the analytic scene structure is
+    * recoverable from byte identity alone and the oracle can state it
+    * in closed form. */
+  def synthesizeSceneVideos(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def frame(key: String): Array[Byte] = {
+          val digest = md.digest(key.getBytes("UTF-8"))
+          val hex = digest.map(b => f"$b%02x").mkString
+          val gray = java.lang.Integer.parseInt(hex.substring(0, 2), 16)
+          val w = 8 + java.lang.Integer.parseInt(hex.substring(2, 4), 16) % 13
+          val h = 8 + java.lang.Integer.parseInt(hex.substring(4, 6), 16) % 11
+          ImageCodec.withComment(
+            ImageCodec.encodeJpeg(w, h, (gray << 16) | (gray << 8) | gray),
+            digest)
+        }
+        it.map { id =>
+          val jpegs = (0 until (2 + id % 4).toInt).flatMap { s =>
+            val f = frame(s"sc${id}_$s")
+            Seq.fill((1 + (id + s) % 3).toInt)(f)
+          }
+          (id, AviMjpeg.encode(jpegs))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("modality", lit("video/x-msvideo"))
+  }
+
+  /** SCENE-CHANGE DETECTION over demuxed frame content: a scene
+    * boundary is a frame whose raw codec bytes differ from its
+    * predecessor's — exact for I-frame-only codecs (MJPEG, ProRes,
+    * archival intra-only masters), where identical content compresses
+    * to identical bytes; for inter-frame codecs the same plan slots a
+    * perceptual distance over [[decodeFrames]] + [[imageAHash]] in
+    * place of the byte hash. The shot-boundary count per asset is the
+    * standard sampling prior for frame extraction (sample per scene,
+    * not per second) and a cheap static/slideshow detector.
+    *
+    * Scale shape: the demux is the partition-local flatMap every video
+    * op shares; the transition scan is ONE window partitioned by video
+    * — the irreducible unit (scene structure IS a per-video sequential
+    * property), bounded by frames-per-asset, never corpus-sized; the
+    * rollup is a map-side-combinable per-video aggregate. Output:
+    * (doc_id, n_frames, n_scenes) with exact integer counts. */
+  def sceneChanges(videos: DataFrame): DataFrame = {
+    val frames = demuxFrames(videos).toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("frame_bytes")).as("__fh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("__prev", lag(col("__fh"), 1).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("__prev").isNull || col("__prev") =!= col("__fh"),
+          lit(1L)).otherwise(lit(0L))).as("n_scenes"))
+  }
+
   /** One sampled frame of a (pretend-)video payload. */
   final case class Frame(
       doc_id: Long, frame_idx: Int, offset: Long, frame_sha: String)

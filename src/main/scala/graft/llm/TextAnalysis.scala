@@ -689,6 +689,61 @@ object TextAnalysis {
       .select(col("qid"), col("doc_id"))
   }
 
+  /** PMI COLLOCATION MINING (Church & Hanks 1990) — the corpus-analysis
+    * pass that surfaces multiword expressions ("new york", "machine
+    * learning") for tokenizer vocab curation and boilerplate forensics:
+    * rank adjacent token pairs by pointwise mutual information
+    * PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) = c_xy/N_pairs
+    * and p(x) = c_x/N_tokens, keeping pairs with support ≥ `minCount`
+    * (raw PMI is a small-count amplifier; the gate is the standard
+    * fix). Returns the top `k` by (pmi_scaled DESC, gram).
+    *
+    * Determinism across engines: both PMI operands are EXACT integer
+    * products accumulated in decimal(38,0) — numerator c_xy·N_tok²,
+    * denominator N_pairs·c_x·c_y, each < 10^38 for corpora to ~10^12
+    * tokens — cast once to double (correctly rounded in both engines),
+    * ONE correctly-rounded division, one engine-local `ln`, then the
+    * 1e9 quantization whose final round absorbs sub-quantum ulp
+    * differences (the text_lm_score / dsir license).
+    *
+    * Scale shape: one bigram explode (linear in corpus tokens) and one
+    * token explode, each feeding a map-side-combinable count; the two
+    * unigram joins are VOCABULARY-sized relations on vocabulary keys
+    * (the pair relation is ≤ observed-bigram-types rows after its own
+    * aggregation, not corpus-sized); selection is a distributed
+    * TakeOrdered — no global sort, no window. */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long = 5, k: Int = 50): DataFrame = {
+    val toks = df.select(TextOps.words(col(textCol)).as("__w"))
+    val uni = toks.select(explode(col("__w")).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    val pairs = toks
+      .select(explode(TextOps.wordNgrams("__w", 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    // single-row totals, broadcast back (exact longs)
+    val totT = uni.agg(sum("__c").as("__nt"))
+    val totP = toks.select(
+        (greatest(size(col("__w")) - 1, lit(0))).cast("long").as("__np"))
+      .agg(sum("__np").as("__np"))
+    val dec = "decimal(38,0)"
+    pairs
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .join(uni.select(col("__t").as("w1"), col("__c").as("c1")), Seq("w1"))
+      .join(uni.select(col("__t").as("w2"), col("__c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totP))
+      .select(col("gram"), col("n_pair"), col("c1"), col("c2"),
+        round(log(
+          (col("n_pair").cast(dec) * col("__nt").cast(dec) *
+            col("__nt").cast(dec)).cast("double") /
+          (col("__np").cast(dec) * col("c1").cast(dec) *
+            col("c2").cast(dec)).cast("double")) * lit(1e9), 0)
+          .cast("long").as("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("gram"))
+      .limit(k)
+  }
+
   /** LINEAR QUALITY-CLASSIFIER INFERENCE over hashed bag-of-words
     * features — the fastText-shaped scoring pass behind
     * classifier-based corpus filtering (GPT-3's WebText quality model,

@@ -488,6 +488,22 @@ object CoreQueries {
         .select("event_id", "window_id")
     }),
 
+    // FORWARD as-of: first same-user event within 1h after each anchor
+    // (next-action attribution — the direction the PIT family's
+    // backward TTL can't express); equi-join + range residual, one
+    // min(struct) winner, left attachment preserves anchors with no
+    // successor
+    "x_asof_forward" -> ((s, dir) => {
+      val e = events(s, dir)
+      val anchors = e.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("anchor_id"), col("user_id"),
+          col("ts"))
+      graft.IntervalJoin.firstAfterWithin(
+        anchors, "anchor_id", "ts",
+        e.select("event_id", "user_id", "ts"), "event_id", "ts",
+        Seq("user_id"), horizonSeconds = 86400)
+    }),
+
     // Interval-OVERLAP join (the other keyless range-join form): 1h
     // activity windows × 2h maintenance windows, each overlapping pair
     // emitted exactly once via the canonical-bucket dedup
@@ -1986,6 +2002,24 @@ object CoreQueries {
         |             ts + INTERVAL 1 HOUR AS we
         |      FROM events WHERE event_id % 997 = 0) w
         |  ON e.ts >= w.ws AND e.ts < w.we""".stripMargin,
+
+    // the same (ts, id)-ordered winner via a row_number over the
+    // horizon-restricted match relation; left join keeps anchors with
+    // no successor
+    "x_asof_forward" ->
+      """WITH a AS (SELECT event_id AS anchor_id, user_id, ts
+        |           FROM events WHERE event_id % 97 = 0),
+        |j AS (SELECT a.anchor_id, e.event_id AS eid, e.ts AS ets
+        |      FROM a JOIN events e
+        |        ON e.user_id = a.user_id AND e.ts > a.ts
+        |       AND e.ts <= a.ts + INTERVAL 86400 SECONDS),
+        |w AS (SELECT anchor_id, eid, ets, row_number() OVER (
+        |        PARTITION BY anchor_id ORDER BY ets, eid) AS rn
+        |      FROM j)
+        |SELECT a.anchor_id, a.user_id, a.ts,
+        |       w.eid AS next_event_id, w.ets AS next_ts
+        |FROM a LEFT JOIN w ON w.anchor_id = a.anchor_id AND w.rn = 1"""
+        .stripMargin,
     "x_skew_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents

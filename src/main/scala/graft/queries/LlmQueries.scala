@@ -1591,6 +1591,14 @@ object LlmQueries {
     "text_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(docs(s, dir), "text", k = 20)),
 
+    // PMI collocation mining (Church & Hanks 1990): top-50 adjacent
+    // token pairs by pointwise mutual information at support ≥ 5 —
+    // exact-integer decimal(38,0) operands, one correctly-rounded
+    // division, 1e9-quantized ln, distributed TakeOrdered
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(docs(s, dir), "text",
+        minCount = 5, k = 50)),
+
     // per-doc character Shannon entropy (gibberish/boilerplate signal):
     // zero-shuffle per-row fold, quantized-integer determinism
     "text_entropy" -> ((s, dir) =>
@@ -1899,6 +1907,15 @@ object LlmQueries {
     // itself is session-cached ([[videoPairs]]) so the dedup consumer
     // below doesn't re-demux and re-join (the jaccardPairs lifecycle).
     "mm_video_near_dup" -> ((s, dir) => videoPairs(s, dir)),
+
+    // SCENE-CHANGE DETECTION: real AVI demux → per-video byte-hash
+    // transition scan (one window bounded by frames-per-asset) over
+    // scene-structured fixtures whose run-length structure the oracle
+    // states in closed form — a demux bug, frame-order bug, or hash
+    // error breaks the match
+    "mm_video_scenes" -> ((s, dir) =>
+      Multimodal.sceneChanges(
+        Multimodal.synthesizeSceneVideos(docs(s, dir), "doc_id"))),
 
     // the dedup consumer: shared-frame pairs → connected components →
     // drop every non-minimum member (the mm_image_dedup skeleton on the
@@ -3272,6 +3289,33 @@ object LlmQueries {
          |SELECT token, count(*) AS n FROM t
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
+    // both PMI operands as exact HUGEINT products (the decimal(38,0)
+    // twin), cast once to double, one division, one ln, the shared
+    // 1e9 quantization
+    "text_collocations" ->
+      s"""WITH $DocsCte,
+         |bg AS (SELECT unnest(list_transform(
+         |         range(1, greatest(len(w) - 1, 0) + 1),
+         |         i -> array_to_string(w[i:i+1], ' '))) AS gram
+         |       FROM docs),
+         |pc AS (SELECT gram, count(*) AS n_pair FROM bg
+         |       GROUP BY 1 HAVING count(*) >= 5),
+         |uni AS (SELECT unnest(w) AS t FROM docs),
+         |uc AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+         |nt AS (SELECT sum(c)::HUGEINT AS nt FROM uc),
+         |np AS (SELECT sum(greatest(len(w) - 1, 0))::HUGEINT AS np
+         |       FROM docs),
+         |j AS (SELECT gram, n_pair, string_split(gram, ' ')[1] AS w1,
+         |             string_split(gram, ' ')[2] AS w2
+         |      FROM pc)
+         |SELECT j.gram, j.n_pair, u1.c AS c1, u2.c AS c2,
+         |       round(ln((j.n_pair::HUGEINT * nt.nt * nt.nt)::DOUBLE /
+         |                (np.np * u1.c::HUGEINT * u2.c::HUGEINT)::DOUBLE)
+         |             * 1e9, 0)::BIGINT AS pmi_scaled
+         |FROM j JOIN uc u1 ON u1.t = j.w1 JOIN uc u2 ON u2.t = j.w2,
+         |     nt, np
+         |ORDER BY pmi_scaled DESC, gram LIMIT 50""".stripMargin,
+
     // replays the whole quantized tf-idf chain — tf, df, integer
     // weights, exact norms/dots, IEEE sqrt+divide — then ranks with
     // row_number on the SAME unrounded sim the TopKAgg orders by
@@ -3933,6 +3977,17 @@ object LlmQueries {
     // replayed exactly; on this fixture family frames top out at df 4,
     // so the gate keeps everything — the blowup case is spec-proved on a
     // planted ubiquitous frame in PairCapSpec.
+    // the planted run-length structure in closed form: n_frames =
+    // Σ_{s<2+id%4} (1 + (id+s)%3), n_scenes = 2 + id%4 — adjacent
+    // scenes differ by construction (distinct digests in the COM
+    // segment), so byte-hash transitions recover exactly the scenes
+    "mm_video_scenes" ->
+      """SELECT doc_id,
+        |  list_sum(list_transform(range(0, 2 + doc_id % 4),
+        |    s -> 1 + (doc_id + s) % 3))::BIGINT AS n_frames,
+        |  (2 + doc_id % 4)::BIGINT AS n_scenes
+        |FROM documents""".stripMargin,
+
     "mm_video_near_dup" ->
       """WITH keys0 AS (
         |  SELECT doc_id, 'vf' || (doc_id // 4) || '_' || j.j AS k

@@ -114,4 +114,51 @@ class IntervalJoinSpec extends SparkSpec {
       n.contains("BroadcastNestedLoopJoin") || n.contains("CartesianProduct")),
       s"plan nodes: $nodes")
   }
+
+  test("firstAfterWithin: winner, horizon, tie-break and NULL corners") {
+    import spark.implicits._
+    val anchors = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // next at 10:10
+      (2L, 10L, ts("2024-01-01 23:00:00")),  // nothing within 1h
+      (3L, 20L, ts("2024-01-01 10:00:00")))  // tie on ts → min event id
+      .toDF("anchor_id", "user_id", "ts")
+    val events = Seq(
+      (100L, 10L, ts("2024-01-01 10:10:00")),
+      (101L, 10L, ts("2024-01-01 10:20:00")),
+      (102L, 10L, ts("2024-01-02 08:00:00")),
+      (103L, 20L, ts("2024-01-01 10:05:00")),
+      (104L, 20L, ts("2024-01-01 10:05:00")),
+      (105L, 30L, ts("2024-01-01 10:00:30")),  // other user — never
+      (106L, 10L, ts("2024-01-01 10:00:00")))  // equal ts — strict >
+      .toDF("event_id", "user_id", "ts")
+    val got = IntervalJoin.firstAfterWithin(
+        anchors, "anchor_id", "ts", events, "event_id", "ts",
+        Seq("user_id"), 3600)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == Map(1L -> Some(100L), 2L -> None, 3L -> Some(103L)))
+  }
+
+  test("firstAfterWithin == naive window formulation on sf0.001 events") {
+    val e = Tables.read(spark, sf(), "events")
+    val anchors = e.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("anchor_id"), col("user_id"), col("ts"))
+    val got = IntervalJoin.firstAfterWithin(
+        anchors, "anchor_id", "ts",
+        e.select("event_id", "user_id", "ts"), "event_id", "ts",
+        Seq("user_id"), 86400)
+      .select("anchor_id", "next_event_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val naive = anchors.as("a")
+      .join(e.select(col("event_id").as("eid"), col("user_id").as("u"),
+        col("ts").as("ets")),
+        col("u") === col("a.user_id") && col("ets") > col("a.ts") &&
+          col("ets") <= col("a.ts") + expr("INTERVAL 86400 SECONDS"), "left")
+      .groupBy(col("anchor_id"))
+      .agg(min(struct(col("ets"), col("eid"))).as("w"))
+      .select(col("anchor_id"), coalesce(col("w.eid"), lit(-1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && got.exists(_._2 >= 0))
+  }
 }
