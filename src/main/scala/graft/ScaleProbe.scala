@@ -346,7 +346,10 @@ object ScaleProbe {
     // (partition-local demux + one per-video window bounded by
     // frames-per-asset), forward as-of (user-keyed equi-join + range
     // residual + min(struct) winner)
-    "text_collocations", "mm_video_scenes", "x_asof_forward")
+    "text_collocations", "mm_video_scenes", "x_asof_forward",
+    // champion-list sparse retrieval: per-query candidates bounded by
+    // |query terms|·championC — the corpus-independent lexical probe
+    "knn_sparse_tfidf_champion")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

@@ -252,21 +252,41 @@ object Similarity {
     * the classic production setting. */
   def sparseTfidfKnn(docs: DataFrame, idCol: String, textCol: String,
       queryPred: Column, k: Int, maxDfFraction: Double = 1.0): DataFrame = {
+    val (wts, norms) = tfidfIndex(docs, idCol, textCol, maxDfFraction)
+    val qrel = broadcast(
+      wts.filter(queryPred)
+        .join(norms, "doc_id")
+        .select(col("doc_id").as("qid"), col("term"),
+          col("w").as("qw"), col("nsq").as("qnsq")))
+    val dots = wts.join(qrel, "term")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "qnsq", "doc_id")
+      .agg(sum(col("w") * col("qw")).as("dot"))
+    val scored = dots.join(norms, "doc_id")
+      .select(col("qid"), col("doc_id").as("nid"),
+        (col("dot").cast("double") /
+          (sqrt(col("qnsq").cast("double")) *
+            sqrt(col("nsq").cast("double")))).as("sim"))
+    topK(scored, k)
+  }
+
+  /** The shared quantized TF-IDF posting index: `(wts, norms)` with
+    * `wts(doc_id, term, w)` and `norms(doc_id, nsq)`, df-gated at
+    * `maxDfFraction`. localCheckpoint'ed: wts feeds THREE consumers
+    * (norms, the query-side relation, the posting probe) and norms
+    * feeds two — without it the corpus explode + tf/df aggregation
+    * chain re-runs per consumer (measured 7.7 s → 3.8 s at sf0.1); the
+    * checkpointed postings relation is ~|docs|·|vocab-per-doc| rows of
+    * longs, far smaller than the text corpus (the shingleSets rationale
+    * in Dedup). */
+  private def tfidfIndex(docs: DataFrame, idCol: String, textCol: String,
+      maxDfFraction: Double): (DataFrame, DataFrame) = {
     val n = docs.count() // licensed driver scalar (the tfIdf license)
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(graft.llm.TextOps.words(col(textCol))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= lit(math.ceil(n * maxDfFraction).toLong))
-    // localCheckpoint: wts feeds THREE consumers (norms, the query-side
-    // relation, the posting probe) and norms feeds two — without it the
-    // corpus explode + tf/df aggregation chain re-runs per consumer
-    // (measured 7.7 s → 3.8 s at sf0.1; the residual is the genuine
-    // postings-probe volume — this corpus's 31-term vocabulary makes
-    // every query-doc pair share terms, the dense worst case a real
-    // 1e5-term vocabulary never hits); the checkpointed postings
-    // relation is ~|docs|·|vocab-per-doc| rows of longs, far smaller
-    // than the text corpus (the shingleSets rationale in Dedup)
     val wts = tf.join(broadcast(dfreq), "term")
       .withColumn("w",
         round(col("tf") * log(lit(n.toDouble) / col("df")) * 1000)
@@ -277,13 +297,53 @@ object Similarity {
     val norms = wts.groupBy("doc_id")
       .agg(sum(col("w") * col("w")).as("nsq"))
       .localCheckpoint()
+    (wts, norms)
+  }
+
+  /** CHAMPION-LIST sparse retrieval (Manning/Raghavan/Schütze,
+    * Introduction to Information Retrieval §7.1.3 — "champion lists" /
+    * impact-ordered posting truncation): candidate generation probes
+    * only each query term's `championC` HIGHEST-WEIGHT postings, so
+    * per-query candidate volume is ≤ |query terms| · championC —
+    * CORPUS-SIZE-INDEPENDENT. This is the lever that keeps lexical
+    * retrieval subquadratic on a Zipfian vocabulary, where mid-rank
+    * head terms hold df ≈ 0.1–0.5·N and a df gate alone leaves the
+    * postings probe quadratic (measured 58×/decade on the Zipf probe
+    * corpus for the df-gated [[sparseTfidfKnn]], which stays declared
+    * as the exact full-postings contrast). Candidates are then scored
+    * EXACTLY — the full shared-term dot and true norms of each
+    * candidate pair (the ivfpq_rerank two-stage shape) — so truncation
+    * costs recall only, never score error on returned results.
+    *
+    * Plan: the shared [[tfidfIndex]]; champion lists via the bounded
+    * [[graft.functions.TopKAgg]] per term ((w DESC, doc_id) total
+    * order — map-side-combinable, ≤ championC state per term, NO
+    * window over postings); candidate (qid, nid) distinct from the
+    * champion ⋈ query-term equi-join; exact scoring via candidate ⋈
+    * postings-by-doc ⋈ query-terms-by-(qid, term); bounded top-k. */
+  def sparseTfidfChampionKnn(docs: DataFrame, idCol: String,
+      textCol: String, queryPred: Column, k: Int, championC: Int,
+      maxDfFraction: Double = 1.0): DataFrame = {
+    require(championC > 0, "championC must be positive")
+    val (wts, norms) = tfidfIndex(docs, idCol, textCol, maxDfFraction)
+    val topc = udaf(new graft.functions.TopKAgg(championC))
+    val champions = wts.groupBy("term")
+      .agg(topc(col("w").cast("double"), col("doc_id")).as("top"))
+      .select(col("term"), explode(col("top")).as("c"))
+      .select(col("term"), col("c.id").as("doc_id"))
     val qrel = broadcast(
       wts.filter(queryPred)
         .join(norms, "doc_id")
         .select(col("doc_id").as("qid"), col("term"),
           col("w").as("qw"), col("nsq").as("qnsq")))
-    val dots = wts.join(qrel, "term")
+    val cand = champions
+      .join(qrel.select(col("qid"), col("term")), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
+      .select("qid", "doc_id").distinct()
+    val dots = cand
+      .join(wts, Seq("doc_id"))
+      .join(qrel.select(col("qid"), col("term"), col("qw"), col("qnsq")),
+        Seq("qid", "term"))
       .groupBy("qid", "qnsq", "doc_id")
       .agg(sum(col("w") * col("qw")).as("dot"))
     val scored = dots.join(norms, "doc_id")

@@ -1185,6 +1185,16 @@ object LlmQueries {
         queryPred = col("doc_id") % 50 === 0, k = 5,
         maxDfFraction = 0.5)),
 
+    // CHAMPION-LIST retrieval (IR §7.1.3): candidate probes touch only
+    // each query term's 32 highest-weight postings, making per-query
+    // candidate volume corpus-size-independent — the lever the Zipf
+    // probe corpus showed the df gate alone lacks (58×/decade for the
+    // full-postings probe; champion candidates are bounded by
+    // construction). Scoring stays exact on the generated candidates.
+    "knn_sparse_tfidf_champion" -> ((s, dir) =>
+      Similarity.sparseTfidfChampionKnn(docs(s, dir), "doc_id", "text",
+        queryPred = col("doc_id") % 50 === 0, k = 5, championC = 32)),
+
     "knn_lsh_bucketed" -> ((s, dir) => {
       val e = emb(s, dir)
       // plane count scales with the corpus (⌈log₂N⌉ → ~N buckets,
@@ -3373,6 +3383,48 @@ object LlmQueries {
          |           sum(d.wt * q.qw)::BIGINT AS dot
          |         FROM wts d JOIN q USING (term)
          |         WHERE d.doc_id <> q.qid GROUP BY 1, 2, 3),
+         |scored AS (SELECT qid, nid,
+         |             dot::DOUBLE / (sqrt(qnsq::DOUBLE) * sqrt(nsq::DOUBLE))
+         |               AS sim
+         |           FROM dots JOIN norms ON nid = norms.doc_id),
+         |r AS (SELECT qid, nid, sim, row_number() OVER (
+         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM scored)
+         |SELECT qid, nid, rank, round(sim, 6) AS sim
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // the identical tf-idf chain WITHOUT the df gate, the champion
+    // truncation as a row_number over the posting relation ((wt DESC,
+    // doc_id) — the TopKAgg order), exact re-scoring on the candidate
+    // set, the shared unrounded-sim ranking
+    "knn_sparse_tfidf_champion" ->
+      s"""WITH $DocsCte,
+         |t AS (SELECT doc_id, unnest(w) AS term FROM docs),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |wts AS MATERIALIZED (SELECT doc_id, term,
+         |          round(tf * ln(n::DOUBLE / df) * 1000)::BIGINT AS wt
+         |        FROM tf JOIN dfreq USING (term), nn
+         |        WHERE round(tf * ln(n::DOUBLE / df) * 1000)::BIGINT > 0),
+         |norms AS (SELECT doc_id, sum(wt*wt)::BIGINT AS nsq
+         |          FROM wts GROUP BY 1),
+         |q AS MATERIALIZED (
+         |      SELECT wts.doc_id AS qid, term, wt AS qw, nsq AS qnsq
+         |      FROM wts JOIN norms USING (doc_id)
+         |      WHERE doc_id % 50 = 0),
+         |ch AS (SELECT term, doc_id FROM (
+         |         SELECT term, doc_id, row_number() OVER (
+         |           PARTITION BY term ORDER BY wt DESC, doc_id) AS rn
+         |         FROM wts) WHERE rn <= 32),
+         |cand AS (SELECT DISTINCT q.qid, ch.doc_id
+         |         FROM ch JOIN q USING (term)
+         |         WHERE ch.doc_id <> q.qid),
+         |dots AS (SELECT q.qid, q.qnsq, d.doc_id AS nid,
+         |           sum(d.wt * q.qw)::BIGINT AS dot
+         |         FROM cand JOIN wts d ON d.doc_id = cand.doc_id
+         |         JOIN q ON q.qid = cand.qid AND q.term = d.term
+         |         GROUP BY 1, 2, 3),
          |scored AS (SELECT qid, nid,
          |             dot::DOUBLE / (sqrt(qnsq::DOUBLE) * sqrt(nsq::DOUBLE))
          |               AS sim

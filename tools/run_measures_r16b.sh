@@ -9,7 +9,7 @@ OPENS=$(printf -- "--add-opens %s=ALL-UNNAMED " java.base/java.lang java.base/ja
 J="java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx24g -cp target/scala-2.13/classes:/opt/spark/jars/*"
 
 echo "=== probe100b start $(date)" | tee /tmp/r16b_probe100.log
-SPARK_GRAFT_PROBE_ONLY=graph_triangles,text_classifier_score,sample_temperature,text_collocations,mm_video_scenes,x_asof_forward \
+SPARK_GRAFT_PROBE_ONLY=graph_triangles,text_classifier_score,sample_temperature,text_collocations,mm_video_scenes,x_asof_forward,knn_sparse_tfidf_champion \
 $J graft.ScaleProbe tmp_bench10x tmp_scale100 >> /tmp/r16b_probe100.log 2>/tmp/r16b_probe100.err
 echo "probe100b rc=$? $(date)" >> /tmp/r16b_probe100.log
 echo ALL_DONE
