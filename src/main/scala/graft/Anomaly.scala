@@ -81,4 +81,36 @@ object Anomaly {
         (c * n - s) * (c * n - s) > lit(k2) * (n * q - s * s))
       .drop(nC, mC, gC, sC, qC)
   }
+
+  /** WINSORIZATION — robust per-group outlier CLIPPING (the feature-
+    * engineering counterpart of [[zscoreOutliers]]'s flagging): every
+    * value is clamped into [cut(loPermille), cut(hiPermille)] of its
+    * OWN group's distribution, the standard tail-taming transform for
+    * skewed features (Tukey; the p1/p99 clip every feature store
+    * applies before scaling). Rows keep their identity — only the new
+    * `<valueCol>_w` column changes.
+    *
+    * Cuts are EXACT integer-rank order statistics (the p-th permille =
+    * the ⌈p·n/1000⌉-th smallest value, never an interpolated float)
+    * from [[graft.llm.Sampling.groupPermilleCuts]]'s two-level binned
+    * scan — no per-group global sort, windows bounded by bin
+    * resolution. The ≤ 2·|groups|-row cut table broadcasts; the clamp
+    * is one per-row `least(greatest(...))`. Deterministic and
+    * engine-exact on quantized (long) values. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      loPermille: Int = 50, hiPermille: Int = 950,
+      binWidth: Long = 1000L): DataFrame = {
+    require(loPermille < hiPermille, "need loPermille < hiPermille")
+    val cuts = graft.llm.Sampling
+      .groupPermilleCuts(df, groupCol, valueCol,
+        Seq(loPermille, hiPermille), binWidth)
+      .groupBy("group_key")
+      .agg(
+        min(when(col("permille") === loPermille, col("cut"))).as("__lo"),
+        min(when(col("permille") === hiPermille, col("cut"))).as("__hi"))
+    df.join(broadcast(cuts), df(groupCol) === cuts("group_key"))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("group_key", "__lo", "__hi")
+  }
 }

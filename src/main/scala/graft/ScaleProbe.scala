@@ -349,7 +349,20 @@ object ScaleProbe {
     "text_collocations", "mm_video_scenes", "x_asof_forward",
     // champion-list sparse retrieval: per-query candidates bounded by
     // |query terms|·championC — the corpus-independent lexical probe
-    "knn_sparse_tfidf_champion")
+    "knn_sparse_tfidf_champion",
+    // round-16 session 6: multi-source BFS (per-round frontier equi-join
+    // + anti-join — work tracks frontier edges, not corpus), epoch
+    // upsampling (broadcast epoch table + map-side explode, zero
+    // shuffle), winsorization (binned exact-rank cuts + broadcast
+    // clamp), OOV audit (vocab contraction + TakeOrdered(V) + broadcast
+    // membership join). x_entity_resolution is deliberately NOT probed:
+    // its input is the UNSCALED customer dim, and the 64-word synthetic
+    // name vocabulary caps q-gram diversity, so a probe row would price
+    // the fixture's degenerate gram df, not the operator (the
+    // knn_sparse_tfidf / VocabProbe lesson) — real name corpora carry
+    // gram diversity that grows with the data, which is what bounds the
+    // Gravano filter's join fan-out.
+    "graph_bfs_depth", "sample_epochs", "x_winsorize", "text_oov_rate")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

@@ -443,4 +443,95 @@ object Graph {
        |               FROM a$iters JOIN h$iters
        |                 ON a$iters.node = h$iters.node)""".stripMargin
   }
+
+  /** MULTI-SOURCE BFS HOP DISTANCE from a seed set over the directed
+    * graph `edges(srcCol, dstCol)` — the crawl-depth / link-distance
+    * signal next to the centrality family (OPIC-style frontier
+    * prioritization, Common-Crawl's seed-distance stratification,
+    * Gyöngyi's "trust attenuates with distance" argument made literal):
+    * depth(v) = length of the shortest directed path from ANY seed,
+    * computed as `maxHops` rounds of frontier relaxation. Nodes not
+    * reached within `maxHops` are absent (the caller's outer join
+    * decides a sentinel).
+    *
+    * Exactness: depths are small integers produced by set algebra only
+    * (join / distinct / anti-join) — no FP, no tie-breaks; the result
+    * is independent of partitioning and engine by construction.
+    *
+    * Scale posture: round r is ONE src-keyed equi-join of the CURRENT
+    * FRONTIER (not the full reached set) against the edge list, a
+    * distinct on the frontier's span, and one key-partitioned LEFT ANTI
+    * join against the reached relation — the textbook distributed BFS
+    * (Pregel's message set, expressed relationally). Per-round work is
+    * O(edges out of frontier); the reached relation is persisted and
+    * grows monotonically, `maxHops` bounds the plan size. No windows,
+    * no driver-side graph; the only driver state is the loop counter.
+    *
+    * Seeds outside the graph's node set are dropped (semi join) so both
+    * engines agree on the universe. Returns `(node, depth)` for every
+    * node within `maxHops` of a seed. */
+  def bfsDepth(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 12, "maxHops must be in [1, 12]")
+    import org.apache.spark.sql.GraftSql.{persistedView, unpersistCheckpoint}
+    require(edges.schema(srcCol).dataType == edges.schema(dstCol).dataType,
+      s"node id columns must share a type; got $srcCol: " +
+        s"${edges.schema(srcCol).dataType}, $dstCol: " +
+        s"${edges.schema(dstCol).dataType}")
+    val e = persistedView(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val d0 = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .withColumn("depth", lit(0L))
+    var reached = persistedView(d0)
+    var frontier = reached
+    // every persisted per-round frame EXCEPT the final reached relation
+    // (which is the result) is released once the loop is done — each
+    // round's union is eagerly materialized, so parents are safe to drop
+    val retired = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to maxHops) {
+      val next = persistedView(frontier
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .withColumn("depth", lit(r.toLong)))
+      retired += reached
+      retired += next
+      reached = persistedView(reached.unionByName(next))
+      frontier = next
+    }
+    retired.foreach(unpersistCheckpoint)
+    unpersistCheckpoint(e)
+    reached
+  }
+
+  /** The DuckDB twin of [[bfsDepth]] as a WITH-clause body over
+    * `edges_in` (columns `src`, `dst`) and `seeds_in` (column `node`)
+    * CTEs the caller supplies — the same `maxHops` rounds unrolled, each
+    * MATERIALIZED so the engine relaxes frontiers exactly once like the
+    * Spark loop. The final CTE `bfs$maxHops` yields `(node, depth)`. */
+  def bfsDepthSql(edgesCte: String, seedsCte: String,
+      maxHops: Int = 4): String = {
+    val rounds = (1 to maxHops).map { r =>
+      val prevD = s"bfs${r - 1}"
+      val prevF = if (r == 1) "bfs0" else s"f${r - 1}"
+      s"""f$r AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node FROM e
+         |  JOIN $prevF p ON p.node = e.src
+         |  WHERE e.dst NOT IN (SELECT node FROM $prevD)),
+         |bfs$r AS MATERIALIZED (
+         |  SELECT node, depth FROM $prevD
+         |  UNION ALL SELECT node, $r FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |$seedsCte,
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges_in),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |bfs0 AS (SELECT DISTINCT s.node, 0 AS depth FROM seeds_in s
+       |         WHERE s.node IN (SELECT node FROM nodes)),
+       |$rounds""".stripMargin
+  }
 }

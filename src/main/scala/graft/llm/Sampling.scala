@@ -206,6 +206,73 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** FRACTIONAL-EPOCH UPSAMPLING — the data-mixing semantics training
+    * runs actually consume (the Pile / LLaMA / Gopher mixture tables
+    * quote per-source EPOCHS like wikipedia×2.4: every document repeats
+    * floor(e) times, and a uniformly-chosen e−floor(e) fraction repeats
+    * once more). [[mixture]] DOWN-samples to proportions; this is the
+    * complementary UP-sampling leg — together they realize an arbitrary
+    * mixture row.
+    *
+    * Epochs are exact rationals `num/den` per group (no FP: a 2.4-epoch
+    * source is (12, 5)): a row repeats `num div den` times, plus once
+    * more iff `hash32(seed, id) mod den < num mod den` — the same
+    * (seed, id) selection-hash discipline as every sampler here, so the
+    * extra-copy pick is reproducible, engine-portable, and independent
+    * of partitioning. Expected copies = num/den EXACTLY.
+    *
+    * Scale posture: one broadcast ≤|groups|-row epoch table, one per-row
+    * `explode(sequence(...))` — output size Σ e_g·|g| with NO shuffle at
+    * all (the explode is map-side); the `epoch` column (0-based copy
+    * index) lets downstream shuffles or pack-sequences salt on it so
+    * replicas don't co-locate. Rows of groups absent from `epochs` are
+    * dropped (epoch 0/1 keeps a source unchanged). */
+  def epochsUpsample(df: DataFrame, idCol: String, groupCol: String,
+      epochs: Seq[(String, Long, Long)], seed: String = "graft")
+      : DataFrame = {
+    require(epochs.nonEmpty, "epochsUpsample needs at least one group")
+    require(epochs.forall { case (_, n, d) => n >= 0 && d > 0 },
+      "epochs must be non-negative rationals with positive denominators")
+    val et = epochs.map { case (g, n, d) =>
+      struct(lit(g).as("__g"), lit(n).as("__n"), lit(d).as("__d"))
+    }
+    df.withColumn("__et", array(et: _*))
+      .withColumn("__e", expr(
+        s"element_at(map_from_entries(transform(__et, " +
+          s"x -> struct(x.__g, struct(x.__n, x.__d)))), " +
+          s"CAST($groupCol AS STRING))"))
+      .filter(col("__e").isNotNull)
+      .withColumn("__copies",
+        expr("__e.__n div __e.__d") +
+          when(pmod(selKey(col(idCol), seed), col("__e.__d"))
+            < col("__e.__n") % col("__e.__d"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(expr("sequence(0, __copies - 1)")))
+      .drop("__et", "__e", "__copies")
+  }
+
+  /** The DuckDB twin of [[epochsUpsample]] over table/CTE `table`
+    * (id column `idSql`, group column `groupSql`): the same epoch
+    * VALUES rows, integer copy count, hash-picked extra copy and a
+    * generate_series expansion. Yields `table.*` plus `epoch`. */
+  def epochsUpsampleSql(table: String, idSql: String, groupSql: String,
+      epochs: Seq[(String, Long, Long)], seed: String = "graft"): String = {
+    val q = seed.replace("'", "''")
+    val rows = epochs.map { case (g, n, d) =>
+      s"('${g.replace("'", "''")}', ${n}::BIGINT, ${d}::BIGINT)"
+    }.mkString(", ")
+    s"""SELECT t.*, gs.epoch
+       |FROM (SELECT t0.*,
+       |        (e.n // e.d)
+       |          + CASE WHEN ${hash32Sql(s"'$q:' || CAST($idSql AS VARCHAR)")}
+       |                   % e.d < e.n % e.d THEN 1 ELSE 0 END AS __copies
+       |      FROM $table t0
+       |      JOIN (VALUES $rows) e(g, n, d)
+       |        ON CAST($groupSql AS VARCHAR) = e.g) t,
+       |     LATERAL (SELECT unnest(range(0, t.__copies)) AS epoch) gs
+       |WHERE t.__copies > 0""".stripMargin
+  }
+
   /** The DuckDB fragment matching [[bernoulliSample]]'s predicate, for
     * oracle builders. */
   def bernoulliSql(idSql: String, fraction: Double, seed: String): String = {
@@ -431,5 +498,46 @@ object Sampling {
         (lit(1) + size(expr(s"filter(__cuts, c -> $scoreCol > c)")))
           .cast("int"))
       .drop("__g", "__cuts")
+  }
+
+  /** EXACT per-group order statistics at arbitrary permille ranks —
+    * [[bucketByGroupQuantiles]]'s mechanism generalized from equal-count
+    * bucket edges to caller-chosen ranks (winsorization bounds, p99
+    * monitoring cuts): for each group g with n rows and each requested
+    * permille p, the value at integer rank `(p·n + 999) div 1000`
+    * (= ⌈p·n/1000⌉ — the p-th-permille order statistic, never
+    * interpolated FP).
+    *
+    * Same two-level binned posture: a (group, value) count contraction,
+    * per-bin offsets via a window whose row count is BINS per group (a
+    * resolution constant set by `binWidth`, never data volume), the
+    * in-bin cumulative ordered by value inside one bin only. Returns
+    * `(group, permille, cut)` — |groups|·|permilles| rows. */
+  def groupPermilleCuts(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      permilles: Seq[Int], binWidth: Long): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "permilles must be in [1, 1000]")
+    require(binWidth > 0, "need binWidth > 0")
+    val vf = df.groupBy(col(groupCol).as("__g"), col(scoreCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__bin", expr(s"__v div $binWidth"))
+    val binTot = vf.groupBy("__g", "__bin").agg(sum("__cnt").as("__bcnt"))
+    val byBin = Window.partitionBy("__g").orderBy("__bin")
+    val offs = binTot
+      .withColumn("__off", sum("__bcnt").over(byBin) - col("__bcnt"))
+      .select("__g", "__bin", "__off")
+    val nPerG = binTot.groupBy("__g").agg(sum("__bcnt").as("__n"))
+    val byV = Window.partitionBy("__g", "__bin").orderBy("__v")
+    vf.withColumn("__wcum", sum("__cnt").over(byV))
+      .join(broadcast(offs), Seq("__g", "__bin"))
+      .join(broadcast(nPerG), Seq("__g"))
+      .withColumn("__cum", col("__off") + col("__wcum"))
+      .withColumn("permille", explode(array(permilles.map(lit(_)): _*)))
+      .withColumn("__pos", expr("(permille * __n + 999) div 1000"))
+      .filter(col("__cum") - col("__cnt") < col("__pos") &&
+        col("__pos") <= col("__cum"))
+      .select(col("__g").as("group_key"), col("permille"),
+        col("__v").as("cut"))
   }
 }

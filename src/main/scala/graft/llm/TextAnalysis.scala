@@ -785,4 +785,33 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("score"),
         (col("logit_fixed") > 0).as("keep"))
   }
+
+  /** VOCABULARY COVERAGE / OUT-OF-VOCABULARY RATE — the tokenizer-fit
+    * diagnostic run before committing a vocab (SentencePiece's
+    * character_coverage report; the OOV audit of the classic fixed-vocab
+    * era, still the per-language signal that flags transliteration,
+    * encoding damage and domain drift): per document, the fraction of
+    * tokens outside the corpus's own top-`vocabSize` word list.
+    *
+    * The vocab is the (count DESC, term ASC) top-V of the corpus word
+    * frequency — one map-side-combinable count contraction (state
+    * bounded by the DISTINCT vocabulary, not corpus tokens) and a
+    * distributed TakeOrdered(V); the V-row relation broadcasts into a
+    * per-token left join, and the per-doc rollup is one combinable
+    * aggregate. oov_permille is an exact integer ratio — no FP for
+    * engines to disagree on. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 256): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.words(col(textCol))).as("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1L).as("__in_v"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in_v").isNull, 1)).as("n_oov"))
+      .withColumn("oov_permille", expr("(1000 * n_oov) div n_tokens"))
+  }
 }

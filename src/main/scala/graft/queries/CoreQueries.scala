@@ -1145,6 +1145,41 @@ object CoreQueries {
     // cardinality); σ=0 and n=1 groups flag nothing by construction.
     // Long-range check: |terms| ≤ 9·n²·max(c)² ≈ 2e18 at n=10⁴
     // events/user and c ≤ 5×10⁴ cents — inside Long with margin.
+    // ENTITY RESOLUTION — the record-linkage primitive: match each
+    // clean entity name against a deterministically-dirtied feed
+    // (1-in-4 one-char substitution, 1-in-4 one-char deletion) under
+    // edit distance ≤ 2. Candidates via Gravano et al.'s positional
+    // q-gram count filter (ONE gram equi-join + |Δpos| ≤ k residual +
+    // a grouped distinct-position count ≥ max(len)−q+1−k·q), then the
+    // exact integer levenshtein verify — output is the TRUE edit-
+    // distance join, the filter only prunes. Planted dirt is recovered
+    // with recall 1.0 by the filter theorem (each edit destroys ≤ q
+    // grams); the 64-word name vocabulary has pairwise distance ≥ 3,
+    // so word-level mismatches can never sneak under k.
+    "x_entity_resolution" -> ((s, dir) => {
+      val f = graft.llm.Fuzzy
+      val c = Tables.read(s, dir, "customer")
+      val left = c.select(col("c_custkey").as("id"),
+        f.erName(col("c_custkey")).as("name"))
+      val right = c.select(col("c_custkey").as("id"),
+        f.erDirty(f.erName(col("c_custkey")), col("c_custkey")).as("name"))
+      f.qgramEditJoin(left, right, "id", "name", q = 3, k = 2)
+    }),
+
+    // WINSORIZATION — per-event-type p5/p95 clipping of the quantized
+    // value (robust feature scaling): exact integer-rank cuts at
+    // ⌈p·n/1000⌉ from the two-level binned scan (windows bounded by
+    // bin count, never rows), broadcast cut table, per-row clamp.
+    "x_winsorize" -> ((s, dir) =>
+      Anomaly.winsorize(
+        events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("value_cents")),
+        groupCol = "event_type", valueCol = "value_cents",
+        loPermille = 50, hiPermille = 950, binWidth = 1000L)
+        .select("event_id", "event_type", "value_cents",
+          "value_cents_w")),
+
     "x_anomaly_zscore" -> ((s, dir) =>
       Anomaly.zscoreOutliers(
         events(s, dir).filter(col("value").isNotNull)
@@ -2261,6 +2296,36 @@ object CoreQueries {
         |  AND s_suppkey IN (
         |    SELECT bs.l_suppkey FROM bs JOIN bp USING (l_partkey)
         |    WHERE bs.supp_qty * 5 > bp.part_qty)""".stripMargin,
+
+    // the p-th permille = the ⌈p·n/1000⌉-th smallest value — replayed
+    // via a per-group sorted list and the identical integer rank
+    "x_winsorize" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |                  round(value * 100)::BIGINT AS value_cents
+        |           FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type, count(*) AS n,
+        |             list_sort(list(value_cents)) AS vs
+        |      FROM e GROUP BY 1),
+        |c AS (SELECT event_type,
+        |             vs[CAST((50 * n + 999) // 1000 AS INT)] AS lo,
+        |             vs[CAST((950 * n + 999) // 1000 AS INT)] AS hi
+        |      FROM g)
+        |SELECT event_id, e.event_type, value_cents,
+        |       least(greatest(value_cents, lo), hi) AS value_cents_w
+        |FROM e JOIN c USING (event_type)""".stripMargin,
+
+    // the same generated names, dirt, grams, count filter and verify
+    "x_entity_resolution" -> {
+      val f = graft.llm.Fuzzy
+      val nameSql = f.erNameSql("c_custkey")
+      s"""WITH lrel AS (SELECT c_custkey AS id, $nameSql AS name
+         |              FROM customer),
+         |rrel0 AS (SELECT c_custkey AS id, $nameSql AS name FROM customer),
+         |rrel AS (SELECT id, ${f.erDirtySql("name", "id")} AS name
+         |         FROM rrel0),
+         |${f.qgramEditJoinSql("lrel", "rrel", q = 3, k = 2)}
+         |SELECT l_id, r_id, edit_dist FROM er_out""".stripMargin
+    },
 
     "x_anomaly_zscore" ->
       """WITH e AS (SELECT user_id, event_id,

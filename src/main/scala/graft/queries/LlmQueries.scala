@@ -21,6 +21,15 @@ object LlmQueries {
 
   /** Fixed BM25 probe query, shared by the Spark query and its oracle. */
   private val Bm25Terms = Seq("join", "vector", "customer")
+
+  /** Seed hosts for the BFS crawl-depth query, shared with its oracle. */
+  private val BfsSeedHosts =
+    Seq("site0.example", "site1.example", "site2.example")
+
+  /** Per-language epoch rationals for sample_epochs, shared with its
+    * oracle: integer, fractional, sub-1, and an absent group (es). */
+  private val EpochTable: Seq[(String, Long, Long)] =
+    Seq(("de", 5L, 2L), ("fr", 2L, 1L), ("en", 1L, 1L), ("zh", 1L, 2L))
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
@@ -1524,6 +1533,16 @@ object LlmQueries {
       Sampling.trainTestSplit(docs(s, dir), "doc_id", 0.9, 0.05, "graft")
         .select("doc_id", "lang", "split")),
 
+    // fractional-epoch mixture UPSAMPLING (the Pile/LLaMA mixture-table
+    // semantics — [[Sampling.mixture]]'s complementary leg): de×5/2,
+    // fr×2, en×1, zh×1/2, es dropped. Exact rational epochs — floor
+    // copies per row plus a hash-picked extra; broadcast epoch table +
+    // map-side explode, NO shuffle, output Σ e_g·|g| by construction.
+    "sample_epochs" -> ((s, dir) =>
+      Sampling.epochsUpsample(docs(s, dir), "doc_id", "lang",
+        epochs = EpochTable, seed = "graft")
+        .select("doc_id", "lang", "epoch")),
+
     // longer docs proportionally more likely — token-weighted corpus
     // thinning at a deterministic per-char rate
     "sample_weighted" -> ((s, dir) =>
@@ -1619,6 +1638,15 @@ object LlmQueries {
 
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdf(docs(s, dir), "doc_id", "text", k = 3)),
+
+    // vocabulary coverage / OOV-rate audit against the corpus's own
+    // top-16 word list (the tokenizer-fit diagnostic): one vocab count
+    // contraction + TakeOrdered(16), broadcast join, per-doc combinable
+    // rollup; oov_permille is an exact integer ratio. V = 16 keeps the
+    // 31-word fixture vocabulary split so the gate carries signal.
+    "text_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(docs(s, dir), "doc_id", "text",
+        vocabSize = 16)),
 
     "text_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
@@ -2153,6 +2181,21 @@ object LlmQueries {
     "graph_triangles" -> ((s, dir) =>
       graft.llm.Graph.triangles(webEdges(s, dir), "src_host", "dst_host")
         .select(col("node").as("host"), col("tri_cnt"))),
+
+    // multi-source BFS hop distance from a seed-host allowlist over the
+    // directed host graph — the crawl-depth / link-distance signal
+    // (seed-distance stratification; trust attenuating with distance
+    // made literal). Four frontier-relaxation rounds, each ONE src-keyed
+    // equi-join of the CURRENT frontier + one anti-join against the
+    // reached set — set algebra only, no FP, partition-invariant. Same
+    // session-shared [[webEdges]] extraction as the rank family.
+    "graph_bfs_depth" -> ((s, dir) => {
+      val seeds = (s.range(1).select(
+        explode(array(BfsSeedHosts.map(lit(_)): _*)).as("host")))
+      graft.llm.Graph.bfsDepth(webEdges(s, dir), "src_host", "dst_host",
+          seeds, "host", maxHops = 4)
+        .select(col("node").as("host"), col("depth"))
+    }),
 
     // HYBRID RETRIEVAL — reciprocal-rank fusion of the dense (brute
     // cosine over embeddings) and sparse (TF-IDF inverted index over
@@ -3090,6 +3133,13 @@ object LlmQueries {
          |WHERE lang != 'en'
          |  AND ${Sampling.bernoulliSql("doc_id", 0.25, "graft/rest")}""".stripMargin,
 
+    // the identical epoch VALUES table, integer copy counts and
+    // hash-picked fractional copy, expanded by a LATERAL range
+    "sample_epochs" ->
+      s"""SELECT doc_id, lang, epoch FROM (
+         |${Sampling.epochsUpsampleSql("documents", "doc_id", "lang",
+             EpochTable, "graft")}) u""".stripMargin,
+
     // per-feature smoothed log-probability-ratio — p(f) = (count+1)/
     // (total_tokens+nFeatures) for each corpus, the ratio formed from
     // exact BIGINT products and ONE double division, the ln quantized
@@ -3478,6 +3528,19 @@ object LlmQueries {
 
     // rank on the ROUNDED score (matches the Spark side) so sub-6dp ln()
     // library differences can't reorder ties; remaining ties break on term
+    // identical top-16 (count DESC, term) vocab and integer permille
+    "text_oov_rate" ->
+      s"""WITH $DocsCte,
+         |t AS (SELECT doc_id, unnest(w) AS term FROM docs),
+         |wc AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+         |v AS (SELECT term FROM wc ORDER BY c DESC, term LIMIT 16)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |       count(*) FILTER (v.term IS NULL) AS n_oov,
+         |       (1000 * count(*) FILTER (v.term IS NULL)) // count(*)
+         |         AS oov_permille
+         |FROM t LEFT JOIN v ON t.term = v.term
+         |GROUP BY 1""".stripMargin,
+
     "text_tfidf" ->
       s"""WITH $DocsCte,
          |t AS (SELECT doc_id, unnest(w) AS term FROM docs),
@@ -4389,6 +4452,24 @@ object LlmQueries {
           |  FROM documents)""".stripMargin
       s"""${graft.llm.Graph.trianglesSql(edgesCte)}
          |SELECT node AS host, tri_cnt FROM tri_counts""".stripMargin
+    },
+
+    // the same analytic edge relation, then the identical four unrolled
+    // frontier-relaxation rounds from the same VALUES seed list
+    "graph_bfs_depth" -> {
+      val edgesCte =
+        """WITH edges_in AS (
+          |  SELECT 'site' || ((doc_id // 4) % 50) || '.example' AS src,
+          |         'site' || (((doc_id // 4) + 7) % 50) || '.example' AS dst
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT 'site' || ((doc_id // 4) % 50) || '.example',
+          |         'site' || ((doc_id // 4) % 7) || '.example'
+          |  FROM documents)""".stripMargin
+      val seedsCte = "seeds_in AS (SELECT unnest([" +
+        BfsSeedHosts.map(h => s"'$h'").mkString(", ") + "]) AS node)"
+      s"""${graft.llm.Graph.bfsDepthSql(edgesCte, seedsCte, maxHops = 4)}
+         |SELECT node AS host, depth FROM bfs4""".stripMargin
     },
 
     // RRF fusion: both sub-retrieval chains replayed (dense brute

@@ -1,0 +1,75 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Positional q-gram edit-distance join: equality with the brute-force
+  * levenshtein join (the filter only prunes — Gravano et al.'s count
+  * bound is complete), the planted-dirt recovery guarantee, and the
+  * fixture vocabulary's separation claim. */
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private val names = Seq(
+    "anchor bramble cascade", "anchor bramble cascadX", // sub at tail
+    "anchor brmble cascade",                            // deletion
+    "dolphin ember fortress", "dolphin ember fortress", // exact dup
+    "glacier harvest island", "glcier hrvest island",   // 2 deletions
+    "meadow nocturne orchard", "meadow nocturne prairie") // word swap: far
+
+  test("join equals the brute-force levenshtein join (filter only prunes)") {
+    val left = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name")
+    val got = Fuzzy.qgramEditJoin(left, left, "id", "name", q = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (a, i) <- names.zipWithIndex; (b, j) <- names.zipWithIndex
+      d = lev(a, b) if d <= 2
+    } yield (i.toLong, j.toLong, d.toLong)).toSet
+    assert(got == want)
+    // the fixture exercises every distance class and a true negative
+    assert(want.exists(_._3 == 0) && want.exists(_._3 == 1) &&
+      want.exists(_._3 == 2))
+    assert(!want.contains((7L, 8L, 1L)) &&
+      lev(names(7), names(8)) > 2) // word swap stays out
+  }
+
+  test("erDirty perturbations are recovered with recall 1.0 at distance <= 1") {
+    val keys = (1L to 400L).toDF("k")
+    val clean = keys.select(col("k").as("id"),
+      Fuzzy.erName(col("k")).as("name"))
+    val dirty = keys.select(col("k").as("id"),
+      Fuzzy.erDirty(Fuzzy.erName(col("k")), col("k")).as("name"))
+    val pairs = Fuzzy.qgramEditJoin(clean, dirty, "id", "name", q = 3, k = 2)
+      .filter(col("l_id") === col("r_id"))
+      .select("l_id", "edit_dist")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.keySet == (1L to 400L).toSet) // every key matches itself
+    assert(pairs.values.forall(d => d == 0L || d == 1L))
+    assert(pairs.values.exists(_ == 1L)) // some rows really were dirtied
+  }
+
+  test("ErWords: 64 words, pairwise edit distance >= 3 (the separation claim)") {
+    assert(Fuzzy.ErWords.size == 64 && Fuzzy.ErWords.distinct.size == 64)
+    for (a <- Fuzzy.ErWords; b <- Fuzzy.ErWords if a < b)
+      assert(lev(a, b) >= 3, s"'$a' vs '$b'")
+    assert(Fuzzy.ErWords.forall(w => !w.exists(_.isDigit)))
+  }
+
+  test("strings shorter than q are never candidates") {
+    val l = Seq((1L, "ab"), (2L, "abcdef")).toDF("id", "name")
+    val got = Fuzzy.qgramEditJoin(l, l, "id", "name", q = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 2L)))
+  }
+}
