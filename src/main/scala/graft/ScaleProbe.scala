@@ -362,7 +362,11 @@ object ScaleProbe {
     // knn_sparse_tfidf / VocabProbe lesson) — real name corpora carry
     // gram diversity that grows with the data, which is what bounds the
     // Gravano filter's join fan-out.
-    "graph_bfs_depth", "sample_epochs", "x_winsorize", "text_oov_rate")
+    "graph_bfs_depth", "sample_epochs", "x_winsorize", "text_oov_rate",
+    // binary-quantization rerank: 64-bit sketches, 4×16-bit banded
+    // candidates (fan-out governed by band occupancy ≈ N/65536), exact
+    // cosine rerank on survivors only
+    "knn_binary_rerank")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

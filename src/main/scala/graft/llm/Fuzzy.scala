@@ -20,10 +20,13 @@ import TextOps.{hash32, hash32Sql}
   * within a ±k position band, and the lengths differ by ≤ k. Both
   * per-side counts are thresholded (one-sided counting against
   * max(len) can false-negative when the other string is longer), and
-  * every condition is
-  * relational: ONE equi-join on the gram string with an |Δpos| ≤ k
-  * residual, one map-side-combinable distinct-position count per
-  * candidate pair, one integer threshold. Survivors are verified with
+  * every condition is relational: ONE equi-join on (gram, position)
+  * with the ±k band folded INTO the key by replicating each left gram
+  * at positions p−k..p+k — the join's fan-out is then the true
+  * band-matched pair set itself, (2k+1)× smaller than a gram-only key
+  * whose band filter runs after the blowup — one map-side-combinable
+  * distinct-position count per candidate pair, one integer threshold.
+  * Survivors are verified with
   * the exact Wagner–Fischer `levenshtein` both engines implement
   * identically over integer DP — so the operator's output is the TRUE
   * edit-distance join, the filter only prunes.
@@ -50,6 +53,13 @@ object Fuzzy {
       // length < q produces no grams in either engine (Spark's sequence
       // would otherwise run DESCENDING on a negative span)
       .filter(length(col(nameCol)) >= q)
+      // parallelism floor: the inputs are BYTE-tiny relations (names),
+      // so AQE broadcasts one side and the join would otherwise run in
+      // the other side's raw scan partitioning — a single small parquet
+      // file means ONE task grinding the entire gram-match output (at
+      // real scale inputs arrive in many partitions and this repartition
+      // is a no-op-cost shuffle of the small name relation)
+      .repartition(col(idCol))
       .select(col(idCol).as(s"${p}id"), col(nameCol).as(s"${p}nm"),
         length(col(nameCol)).cast("long").as(s"${p}len"))
       .withColumn("__x", explode(expr(
@@ -57,7 +67,17 @@ object Fuzzy {
           s"i -> struct(substr(${p}nm, i, $q) AS g, CAST(i AS BIGINT) AS p))")))
       .select(col(s"${p}id"), col(s"${p}nm"), col(s"${p}len"),
         col("__x.g").as(s"${p}g"), col("__x.p").as(s"${p}p"))
+    // the ±k position band is part of the EQUI-KEY, not a post-join
+    // residual: the left grams replicate at positions p−k..p+k and the
+    // join matches (gram, position) exactly — so the join's fan-out is
+    // the true band-matched pair set, (2k+1)× smaller than a gram-only
+    // key whose residual filter runs after the blowup. Each true
+    // (lp, rp) pair matches exactly once (δ = rp − lp is unique), so
+    // the distinct-position counts are unaffected.
     val lg = grams(left, "l")
+      .withColumn("__d", explode(array((-k to k).map(lit(_)): _*)))
+      .withColumn("ljp", col("lp") + col("__d"))
+      .drop("__d")
     val rg = grams(right, "r")
     // completeness: k edits leave ≥ len − q + 1 − k·q grams of EACH
     // side untouched, and an untouched gram band-matches — so both
@@ -66,7 +86,7 @@ object Fuzzy {
     // when the other string is longer)
     val cand = lg.join(rg,
         col("lg") === col("rg") &&
-          abs(col("lp") - col("rp")) <= k &&
+          col("ljp") === col("rp") &&
           abs(col("llen") - col("rlen")) <= k)
       .groupBy("lid", "rid", "lnm", "rnm", "llen", "rlen")
       .agg(countDistinct(col("lp")).as("__lhits"),

@@ -627,6 +627,70 @@ object Similarity {
     topK(cand, k)
   }
 
+  /** BINARY-QUANTIZATION ANN WITH EXACT RERANK — the memory-tier ANN
+    * between the LSH buckets and SQ8 (FAISS's binary index / the
+    * "binary quantization" production layout): every vector compresses
+    * to a 64-BIT SIGN SKETCH (bit j = sign of <v, plane_j> over the
+    * shared deterministic plane matrix — a 32× smaller scanned index at
+    * dim 64 float), candidates are all corpus vectors within hamming
+    * `hammingMax` of the query's sketch, and survivors are re-scored
+    * with EXACT cosine on the full vectors, so quantization costs
+    * recall only, never score error (the ivfpq_rerank contract).
+    *
+    * Candidate generation is the 4×16-bit BANDED equi-join shared with
+    * the fingerprint dedup family ([[graft.llm.Dedup.hammingPairs64]]):
+    * two pigeonholes — 4 bands, ≤ 3 differing bits — guarantee every
+    * pair within the hamming radius shares at least one exact band, so
+    * sketch-level recall is EXACT (never all-pairs; fan-out is governed
+    * by 16-bit band occupancy ≈ N/65536 per band value). Cross-band
+    * duplicate candidates collapse by a (qid, nid) group-min before the
+    * bounded top-k — sims are identical wherever a pair meets (the
+    * multi-table convention). The sketch is two 32-plane
+    * [[graft.functions.PlaneBucket]] halves (lo, hi) — one native loop
+    * per half, plan size constant in the plane count. */
+  def binaryRerankKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      hammingMax: Int = 3, dim: Int = 64): DataFrame = {
+    require(hammingMax >= 0 && hammingMax <= 3,
+      "banded recall is exact only for hammingMax <= bands-1 = 3")
+    val signs = planeSigns(64, dim)
+    def sketch(df: DataFrame, id: String, idOut: String, v: String,
+        vOut: String, nOut: String): DataFrame = df
+      .select(col(id).as(idOut), col(v).as(vOut))
+      .withColumn(nOut, norm(col(vOut)))
+      .withColumn("__lo", bucketExpr(col(vOut), signs.slice(0, 32)))
+      .withColumn("__hi", bucketExpr(col(vOut), signs.slice(32, 64)))
+      .withColumn("__b", explode(array(
+        struct(lit(0).as("band"),
+          col("__lo").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(1).as("band"),
+          shiftright(col("__lo"), 16).bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(2).as("band"),
+          col("__hi").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(3).as("band"),
+          shiftright(col("__hi"), 16).bitwiseAND(lit(65535L)).as("bv")))))
+      .select(col(idOut), col(vOut), col(nOut),
+        col("__lo"), col("__hi"), col("__b.band").as("band"),
+        col("__b.bv").as("bv"))
+    val v = sketch(corpus, idCol, "nid", vecCol, "v", "nrm")
+    val q = sketch(queries, idCol, "qid", vecCol, "qv", "qn")
+      .withColumnRenamed("__lo", "qlo").withColumnRenamed("__hi", "qhi")
+    // NO self-exclusion: unlike the query-is-corpus-member LSH/IVF
+    // entries, the binary tier's natural caller probes with EXTERNAL
+    // vectors (a corrupted/truncated embedding hunting its source), so
+    // an id match is a retrieval HIT, not an identity artifact —
+    // excluding ids here is the caller's concern.
+    val cand = v.join(broadcast(q), Seq("band", "bv"))
+      .filter(
+        (bit_count(col("__lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("__hi").bitwiseXOR(col("qhi")))) <= hammingMax)
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      .groupBy("qid", "nid").agg(min("sim").as("sim"))
+    topK(cand, k)
+  }
+
   /** RECALL@k EVALUATION of an approximate knn result against the exact
     * brute-force baseline — the metric an embedding pipeline watches
     * when tuning nPlanes/nTables/nProbe. Both inputs use the (qid, nid)

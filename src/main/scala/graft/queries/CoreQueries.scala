@@ -1156,9 +1156,18 @@ object CoreQueries {
     // with recall 1.0 by the filter theorem (each edit destroys ≤ q
     // grams); the 64-word name vocabulary has pairwise distance ≥ 3,
     // so word-level mismatches can never sneak under k.
+    // The %10 key subset bounds the GATE's cost, not the operator's
+    // design: the fixture's 64-word vocabulary gives every q-gram a
+    // document frequency ~N/250 (real names carry gram diversity that
+    // grows with the data), so the candidate count is quadratic in the
+    // fixture's N by construction — the same degenerate-vocabulary
+    // class the sparse-retrieval probes license and VocabProbe
+    // quantifies. 150 entities at sf0.01 still exercise both dirt
+    // classes and the clean path.
     "x_entity_resolution" -> ((s, dir) => {
       val f = graft.llm.Fuzzy
       val c = Tables.read(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(10L)) === 0)
       val left = c.select(col("c_custkey").as("id"),
         f.erName(col("c_custkey")).as("name"))
       val right = c.select(col("c_custkey").as("id"),
@@ -2318,9 +2327,11 @@ object CoreQueries {
     "x_entity_resolution" -> {
       val f = graft.llm.Fuzzy
       val nameSql = f.erNameSql("c_custkey")
-      s"""WITH lrel AS (SELECT c_custkey AS id, $nameSql AS name
-         |              FROM customer),
-         |rrel0 AS (SELECT c_custkey AS id, $nameSql AS name FROM customer),
+      s"""WITH cust AS (SELECT c_custkey FROM customer
+         |              WHERE c_custkey % 10 = 0),
+         |lrel AS (SELECT c_custkey AS id, $nameSql AS name
+         |              FROM cust),
+         |rrel0 AS (SELECT c_custkey AS id, $nameSql AS name FROM cust),
          |rrel AS (SELECT id, ${f.erDirtySql("name", "id")} AS name
          |         FROM rrel0),
          |${f.qgramEditJoinSql("lrel", "rrel", q = 3, k = 2)}

@@ -1238,6 +1238,25 @@ object LlmQueries {
         dim = 64)
     }),
 
+    // BINARY-QUANTIZATION ANN with exact rerank: 64-bit sign sketches,
+    // hamming ≤ 3 candidates via the 4×16-bit banded equi-join (exact
+    // sketch-level recall by pigeonhole), full-precision cosine rerank.
+    // Queries are CORRUPTED probes — each id%100 vector with its first
+    // two elements zeroed (a lossy-decoded / truncated embedding
+    // searching for its source): every probe lands within the radius
+    // of its source vector, so the gate exercises the whole
+    // sketch → band → hamming → rerank chain, not an empty join.
+    "knn_binary_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"), expr(
+          "transform(embedding, (x, i) -> " +
+            "CASE WHEN i < 2 THEN CAST(0.0 AS FLOAT) ELSE x END)")
+          .as("embedding"))
+      Similarity.binaryRerankKnn(e, q, "vec_id", "embedding",
+        k = 5, hammingMax = 3, dim = 64)
+    }),
+
     // recall@5 of the 4-table LSH index vs the exact brute-force
     // baseline — the tuning metric for any approximate index
     "knn_recall_lsh" -> ((s, dir) => {
@@ -2642,6 +2661,55 @@ object LlmQueries {
     "knn_lsh_multitable" ->
       s"""WITH ${multiTableCtes(4)}
          |SELECT qid, nid, rank, round(sim, 6) AS sim FROM rmt
+         |WHERE rank <= 5""".stripMargin,
+
+    // binary-quantization rerank: the same 64-plane sign sketch split
+    // into (lo, hi) 32-bit halves; candidates = hamming ≤ 3 pairs. The
+    // Spark side reaches them through the 4×16-bit banded equi-join,
+    // which by pigeonhole finds EXACTLY the hamming ≤ 3 set the direct
+    // filter below declares — result-identical, so the oracle states
+    // the semantics while the join mechanics are spec/plan-audited.
+    // Probes re-derive norm and sketch from the zeroed vector.
+    "knn_binary_rerank" ->
+      s"""WITH v AS (SELECT vec_id,
+         |            list_transform(embedding, x -> x::DOUBLE) AS v
+         |          FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
+         |${planesSql(64)},
+         |pb AS (SELECT n.vec_id, p.j, ${dotSql("n.v", "p.s")} AS d
+         |       FROM n CROSS JOIN planes p),
+         |sk AS (SELECT vec_id,
+         |         sum(CASE WHEN j < 32 AND d > 0
+         |             THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS lo,
+         |         sum(CASE WHEN j >= 32 AND d > 0
+         |             THEN (1::BIGINT << (j - 32)) ELSE 0::BIGINT END)::BIGINT AS hi
+         |       FROM pb GROUP BY 1),
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, sk.lo, sk.hi
+         |       FROM n JOIN sk USING (vec_id)),
+         |q0 AS (SELECT vec_id AS qid,
+         |         list_transform(range(1, len(v) + 1),
+         |           i -> CASE WHEN i <= 2 THEN 0.0 ELSE v[i] END) AS qv
+         |       FROM v WHERE vec_id % 100 = 0),
+         |qn AS (SELECT qid, qv, sqrt(${dotSql("qv", "qv")}) AS qn FROM q0),
+         |qpb AS (SELECT qid, p.j, ${dotSql("qn.qv", "p.s")} AS d
+         |        FROM qn CROSS JOIN planes p),
+         |qsk AS (SELECT qid,
+         |          sum(CASE WHEN j < 32 AND d > 0
+         |              THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS qlo,
+         |          sum(CASE WHEN j >= 32 AND d > 0
+         |              THEN (1::BIGINT << (j - 32)) ELSE 0::BIGINT END)::BIGINT AS qhi
+         |        FROM qpb GROUP BY 1),
+         |qb AS (SELECT qn.qid, qn.qv, qn.qn, qsk.qlo, qsk.qhi
+         |       FROM qn JOIN qsk USING (qid)),
+         |cand AS (SELECT qb.qid, nb.vec_id AS nid,
+         |           ${dotSql("qb.qv", "nb.v")} / (qb.qn * nb.nrm) AS sim
+         |         FROM qb JOIN nb
+         |           ON bit_count(xor(qb.qlo, nb.lo))
+         |              + bit_count(xor(qb.qhi, nb.hi)) <= 3),
+         |r AS (SELECT qid, nid, sim, row_number() OVER (
+         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM cand)
+         |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
          |WHERE rank <= 5""".stripMargin,
 
     // recall@5 of the 4-table LSH index against exact brute force
