@@ -1478,6 +1478,22 @@ object Similarity {
     * fixed ε in projection units would need per-corpus tuning). */
   val RpSpillPermille = 150
 
+  /** Spill is confined to the TOP `RpSpillLevels` levels of every tree.
+    * The recall argument: a boundary at level l separates ~2^−(l+1) of
+    * the corpus from the query's path, so the EARLY splits are where a
+    * true neighbor is most likely lost — spilling there buys most of
+    * the recall. The cost argument is what makes the cap load-bearing:
+    * an every-level spill multiplies probed leaves by
+    * (1 + 2·sp/1000)^depth, which under [[autoDepth]] grows as
+    * N^log₂(1.3) ≈ N^0.38 per query — measured 24.8×/decade at the
+    * 100× probe. Capped at the top 3 levels the multiplier is
+    * ≤ 1.3³ ≈ 2.2 CONSTANT in corpus size, so the leaf-occupancy
+    * argument (per-query candidate work independent of N) survives the
+    * recall lever; the corpus-scale recall dial is nTrees, exactly as
+    * in Annoy. At the [[autoDepth]] floor of 3 (small corpora) every
+    * level spills — the sf0.01 gate semantics are unchanged. */
+  val RpSpillLevels = 3
+
   /** [[trainRpTree]] plus a rank-calibrated SPILL BAND per node: for
     * each (level, node), the values at sample ranks
     * `max(1, medRank − band)` and `min(cnt, medRank + band)` with
@@ -1662,7 +1678,13 @@ object Similarity {
       case (d, (p, l)) => d.withColumn(s"__p$l", projQ(col("v"), p))
     }.withColumn("__node", lit(0L))
     splits.zipWithIndex.foldLeft(projs) {
-      case (d, (med, l)) => rpDescendSpill(d, med, s"__p$l", l)
+      // below RpSpillLevels the band is ignored and the query routes
+      // single-path like the corpus (see the RpSpillLevels scaladoc)
+      case (d, (med, l)) if l < RpSpillLevels =>
+        rpDescendSpill(d, med, s"__p$l", l)
+      case (d, (med, l)) =>
+        rpDescend(d, med.map { case (n, (m, _, _)) => n -> m },
+          s"__p$l", l)
     }.select(col("vec_id"), col("v"), col("nrm"),
       col("__node").as("leaf"))
   }

@@ -1048,6 +1048,7 @@ object LlmQueries {
     * with no duplicates. */
   private def rpQuerySpillCtes(t: Int): String = {
     val maxD = 10
+    val spillLevels = graft.llm.Similarity.RpSpillLevels
     val cols = (0 until maxD).map(l => s"p$l").mkString(", ")
     val levels = (0 until maxD).map { l =>
       val gate = s"(SELECT count(*) FROM embeddings) > ${256L * (1L << l)}"
@@ -1058,13 +1059,18 @@ object LlmQueries {
       val spillBit =
         s"qd$l * 2 + (CASE WHEN p$l > m${l}_$t.m THEN 0 ELSE 1 END)"
       val spillGate = if (l < 3) "" else s"$gate AND "
-      s"""qn${l + 1}_$t AS MATERIALIZED (
-         |  SELECT qid, qv, qn, $cols, $main AS qd${l + 1}
-         |  FROM qn${l}_$t LEFT JOIN m${l}_$t ON qn${l}_$t.qd$l = m${l}_$t.nd$l
+      // the spill arm exists only at the top RpSpillLevels levels —
+      // below them the query routes single-path like the corpus (the
+      // constant-probed-leaf-multiplier cap; Similarity.RpSpillLevels)
+      val spillArm = if (l >= spillLevels) ""
+        else s"""
          |  UNION ALL
          |  SELECT qid, qv, qn, $cols, $spillBit AS qd${l + 1}
          |  FROM qn${l}_$t JOIN m${l}_$t ON qn${l}_$t.qd$l = m${l}_$t.nd$l
-         |  WHERE ${spillGate}p$l > m${l}_$t.lo AND p$l <= m${l}_$t.hi)"""
+         |  WHERE ${spillGate}p$l > m${l}_$t.lo AND p$l <= m${l}_$t.hi"""
+      s"""qn${l + 1}_$t AS MATERIALIZED (
+         |  SELECT qid, qv, qn, $cols, $main AS qd${l + 1}
+         |  FROM qn${l}_$t LEFT JOIN m${l}_$t ON qn${l}_$t.qd$l = m${l}_$t.nd$l$spillArm)"""
         .stripMargin
     }.mkString(",\n")
     s"""qn0_$t AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn,
