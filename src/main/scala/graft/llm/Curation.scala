@@ -36,11 +36,11 @@ import TextOps._
   *  but over narrow `(id, md5)` pairs; document text never re-moves.)
   *
   * The pipeline's decisions therefore collapse to three SMALL id sets —
-  * exact losers, near-dup losers, contaminated docs — bounded by the
-  * duplicate/contamination rate (single-digit percent on a real corpus),
-  * and the result is ONE corpus pass: re-apply the per-row quality
-  * predicate (pure column exprs, no shuffle) and broadcast-anti-join the
-  * drop set. Reference scope: composition of feast-hive-style filtered
+  * exact losers, near-dup losers, contaminated docs — sized by the
+  * duplicate/contamination rate (single-digit percent on a clean corpus,
+  * corpus-proportional on a raw crawl), and the result is ONE corpus
+  * pass: re-apply the per-row quality predicate (pure column exprs, no
+  * shuffle) and anti-join the drop set (AQE broadcasts it when it fits). Reference scope: composition of feast-hive-style filtered
   * retrieval (hive.py:527-721's staged query assembly) with the
   * extension dedup family; the staging mirrors how the reference
   * materializes each CTE stage once rather than inlining it per
@@ -118,13 +118,14 @@ object Curation {
   /** The curated corpus: quality-predicate pass ∘ anti-join against
     * [[dropSet]] — one corpus scan, zero wide shuffles of document text.
     * `drops` may be the lazy [[dropSet]] or a persisted copy of it (the
-    * amortized path). Broadcast is the licensed default: the drop set is
-    * bounded by the duplicate + contamination rate; on a pathological
-    * ≫10%-duplicate corpus drop the hint and take the shuffled anti join
-    * (same result — the [[Dedup.dropNearDuplicates]] caveat). */
+    * amortized path). No broadcast hint: the drop set scales with the
+    * duplicate + contamination MASS, which at web-crawl density is
+    * corpus-proportional — a forced hint would collect it to the driver
+    * and OOM; AQE broadcasts at runtime when the set actually fits
+    * (the [[Dedup.dropNearDuplicates]] rule). */
   def curate(
       corpus: DataFrame, idCol: String, textCol: String,
       drops: DataFrame): DataFrame =
     corpus.filter(TextAnalysis.qualityKeepExpr(col(textCol)))
-      .join(broadcast(drops), col(idCol) === col("__graft_drop"), "left_anti")
+      .join(drops, col(idCol) === col("__graft_drop"), "left_anti")
 }

@@ -743,20 +743,23 @@ object Dedup {
     val flagged = scores
       .filter(col("contamination") >= tau)
       .select(col("doc_id").as("__graft_contam"))
-    corpus.join(broadcast(flagged),
+    // no broadcast hint: the flagged set is contamination-mass
+    // proportional (a dirty corpus can flag a large fraction) — AQE
+    // picks broadcast when the runtime size actually fits
+    corpus.join(flagged,
       col(idCol) === col("__graft_contam"), "left_anti")
   }
 
   /** End-to-end near-dup dedup MATERIALIZATION: the input rows minus
     * non-representative cluster members — i.e. each near-dup cluster
     * keeps exactly its smallest-id document, everything unclustered
-    * passes through. Pairs → components → BROADCAST LEFT ANTI join: the
-    * loser set is bounded by the duplicate count, which on a typical
-    * corpus (single-digit-percent near-dup rate) is far smaller than the
-    * corpus, so the hint is the right default plan. On a pathological
-    * corpus (≫10% duplicates) the loser set can exceed executor memory —
-    * there the caller should anti-join the `connectedComponents` output
-    * without the hint (shuffled anti join, same result). */
+    * passes through. Pairs → components → LEFT ANTI join with NO
+    * broadcast hint: the loser set is the DUPLICATE SET, and at
+    * web-crawl dup density (30–50 %) that is corpus-proportional — a
+    * forced hint (which Spark always honors on an equi-anti-join) would
+    * collect it to the driver and OOM at scale. AQE picks broadcast at
+    * runtime when the loser side actually fits, which on a typical
+    * single-digit-percent-dup corpus it does — same plan, no cliff. */
   def dropNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5): DataFrame =
@@ -772,7 +775,7 @@ object Dedup {
     val losers = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("__graft_loser"))
-    df.join(broadcast(losers), col(idCol) === col("__graft_loser"), "left_anti")
+    df.join(losers, col(idCol) === col("__graft_loser"), "left_anti")
   }
 
   /** Near-dup dedup that keeps the highest-QUALITY member of each
@@ -785,8 +788,9 @@ object Dedup {
     * via a lexicographic (quality, -doc_id) argmax, so the winner is
     * unique even under equal scores. Same plan skeleton as
     * [[dropNearDuplicatesFromPairs]]: pairs → components → per-cluster
-    * argmax (map-side combinable `max_by`) → broadcast LEFT ANTI; the
-    * loser set is bounded by the duplicate count. */
+    * argmax (map-side combinable `max_by`) → LEFT ANTI with no
+    * broadcast hint (the loser set is dup-mass proportional — AQE
+    * broadcasts at runtime when it fits). */
   def keepBestPerCluster(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
       scores: DataFrame): DataFrame = {
@@ -796,10 +800,10 @@ object Dedup {
       .groupBy("cluster_id")
       .agg(max_by(col("doc_id"),
         struct(col("quality"), -col("doc_id"))).as("keep"))
-    val losers = clusters.join(broadcast(winners), "cluster_id")
+    val losers = clusters.join(winners, "cluster_id")
       .filter(col("doc_id") =!= col("keep"))
       .select(col("doc_id").as("__graft_loser"))
-    df.join(broadcast(losers), col(idCol) === col("__graft_loser"), "left_anti")
+    df.join(losers, col(idCol) === col("__graft_loser"), "left_anti")
   }
 
   /** The (doc_id, lo, hi) 64-bit fingerprint relation behind

@@ -512,7 +512,12 @@ object Graph {
     * `edges_in` (columns `src`, `dst`) and `seeds_in` (column `node`)
     * CTEs the caller supplies — the same `maxHops` rounds unrolled, each
     * MATERIALIZED so the engine relaxes frontiers exactly once like the
-    * Spark loop. The final CTE `bfs$maxHops` yields `(node, depth)`. */
+    * Spark loop. The reached-set exclusion is spelled NOT EXISTS, not
+    * NOT IN: a NULL node in the reached set would make NOT IN evaluate
+    * to NULL for EVERY frontier row (emptying the frontier), where the
+    * Spark side's left_anti join keeps non-matching rows — NOT EXISTS
+    * has exactly the anti-join's null semantics. The final CTE
+    * `bfs$maxHops` yields `(node, depth)`. */
   def bfsDepthSql(edgesCte: String, seedsCte: String,
       maxHops: Int = 4): String = {
     val rounds = (1 to maxHops).map { r =>
@@ -521,7 +526,8 @@ object Graph {
       s"""f$r AS MATERIALIZED (
          |  SELECT DISTINCT e.dst AS node FROM e
          |  JOIN $prevF p ON p.node = e.src
-         |  WHERE e.dst NOT IN (SELECT node FROM $prevD)),
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM $prevD d WHERE d.node = e.dst)),
          |bfs$r AS MATERIALIZED (
          |  SELECT node, depth FROM $prevD
          |  UNION ALL SELECT node, $r FROM f$r)""".stripMargin

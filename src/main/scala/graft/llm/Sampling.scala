@@ -233,6 +233,14 @@ object Sampling {
     require(epochs.nonEmpty, "epochsUpsample needs at least one group")
     require(epochs.forall { case (_, n, d) => n >= 0 && d > 0 },
       "epochs must be non-negative rationals with positive denominators")
+    // fail fast on duplicate group names: map_from_entries would raise
+    // an opaque runtime DUPLICATED_MAP_KEY, and the DuckDB twin's
+    // VALUES join would instead silently multiply rows — a precondition
+    // both engines must reject identically
+    require(epochs.map(_._1).distinct.size == epochs.size,
+      s"epochsUpsample: duplicate group names in epochs: " +
+        epochs.map(_._1).diff(epochs.map(_._1).distinct).distinct
+          .mkString(", "))
     val et = epochs.map { case (g, n, d) =>
       struct(lit(g).as("__g"), lit(n).as("__n"), lit(d).as("__d"))
     }

@@ -1491,7 +1491,7 @@ object LlmQueries {
     // pipeline's decisions collapse to one small cached drop-set built
     // from the same pair index and contamination scores the standalone
     // queries share, and the query itself is ONE corpus pass — per-row
-    // quality predicate + broadcast anti join. (The one-lazy-plan
+    // quality predicate + drop-set anti join. (The one-lazy-plan
     // composition this replaced re-evaluated its upstream once per
     // consumer — ~5 corpus passes, 2 shingle builds, 7.3 s at sf0.1;
     // CurationSpec proves the staged output row-identical to it.)
@@ -1863,7 +1863,7 @@ object LlmQueries {
 
     // the dedup CONSUMER of the image near-dup pairs: hamming clusters
     // → drop every non-minimum member → the surviving image id set
-    // (pairs → CC → broadcast anti, the dropNearDuplicates skeleton)
+    // (pairs → CC → anti join, the dropNearDuplicates skeleton)
     "mm_image_dedup" -> ((s, dir) => {
       val hashes = Multimodal.imageAHash(
         Multimodal.synthesizeNearDupImages(docs(s, dir), "doc_id"))
@@ -1877,7 +1877,7 @@ object LlmQueries {
       val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("__graft_loser"))
-      hashes.join(broadcast(losers),
+      hashes.join(losers,
           col("doc_id") === col("__graft_loser"), "left_anti")
         .select("doc_id", "lo", "hi")
     }),
@@ -1925,7 +1925,7 @@ object LlmQueries {
       val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("__graft_loser"))
-      fps.join(broadcast(losers),
+      fps.join(losers,
           col("doc_id") === col("__graft_loser"), "left_anti")
         .select("doc_id", "fp", "lo", "hi")
     }),
@@ -1989,7 +1989,7 @@ object LlmQueries {
       val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("__graft_loser"))
-      all.join(broadcast(losers),
+      all.join(losers,
           col("doc_id") === col("__graft_loser"), "left_anti")
     }),
 
@@ -2023,7 +2023,7 @@ object LlmQueries {
       val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("__graft_loser"))
-      all.join(broadcast(losers),
+      all.join(losers,
           col("doc_id") === col("__graft_loser"), "left_anti")
     }),
 

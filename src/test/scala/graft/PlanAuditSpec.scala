@@ -151,4 +151,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(violations.isEmpty,
       s"plan-quality violations:\n  ${violations.mkString("\n  ")}")
   }
+
+  test("no broadcast hint on dup-mass-proportional anti-join sides") {
+    // VERDICT r16 #2: the drop-losers / drop-set / contamination /
+    // near-id relations are the DUPLICATE MASS — corpus-proportional at
+    // web-crawl dup density — and Spark always honors a broadcast hint
+    // on an equi-anti-join, so a forced hint there is a driver OOM at
+    // scale. The library convention names those columns `__graft_*`;
+    // this audit machine-asserts that NO LeftAnti join against such a
+    // relation carries a static BROADCAST hint in any declared query
+    // (AQE may still broadcast at runtime when the side actually fits —
+    // that is the correct, size-aware decision). Structurally-bounded
+    // broadcast anti-joins (e.g. the hot-item df gate, corpus-size-
+    // independent by construction) use other column names and stay
+    // licensed.
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    val dir = sf("sf0.001")
+    val dropCols = Set("__graft_loser", "__graft_drop", "__graft_contam",
+      "__graft_near")
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val lp = fn(spark, dir).queryExecution.optimizedPlan
+        lp.collectWithSubqueries {
+          case j: Join if j.joinType == LeftAnti &&
+              ((j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) &&
+                j.right.output.exists(a => dropCols(a.name))) ||
+               (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+                j.left.output.exists(a => dropCols(a.name)))) =>
+            s"$name: BROADCAST-hinted LeftAnti against a drop relation"
+        }
+    }
+    assert(violations.isEmpty,
+      s"forced-broadcast anti-join violations:\n  " +
+        violations.mkString("\n  "))
+  }
 }

@@ -66,10 +66,63 @@ class FuzzySpec extends SparkSpec {
     assert(Fuzzy.ErWords.forall(w => !w.exists(_.isDigit)))
   }
 
-  test("strings shorter than q are never candidates") {
-    val l = Seq((1L, "ab"), (2L, "abcdef")).toDF("id", "name")
+  test("padded default: short strings (even empty) join exactly") {
+    // lengths 0..6 straddle both the sub-q regime (no bare grams) and
+    // the vacuous-threshold regime (L <= (k-1)q+1 = 4 padded) — the
+    // output must STILL be the exact levenshtein join on every pair
+    val short = Seq((1L, ""), (2L, "a"), (3L, "ab"), (4L, "ac"),
+      (5L, "abc"), (6L, "abcd"), (7L, "abcdef"), (8L, "xyzzy"))
+    val l = short.toDF("id", "name")
     val got = Fuzzy.qgramEditJoin(l, l, "id", "name", q = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (a, sa) <- short; (b, sb) <- short
+      d = lev(sa, sb) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want)
+    // the fixture really exercises the short regime: the empty string
+    // matches every string within 2 edits, including itself at 0
+    assert(want.contains((1L, 1L, 0L)) && want.contains((1L, 3L, 2L)))
+  }
+
+  test("pad=false raises on strings shorter than q (no silent exclusion)") {
+    val l = Seq((1L, "ab"), (2L, "abcdef")).toDF("id", "name")
+    val e = intercept[Exception] {
+      Fuzzy.qgramEditJoin(l, l, "id", "name", q = 3, k = 2, pad = false)
+        .collect()
+    }
+    assert(e.getMessage.contains("shorter than q"))
+    // pre-filtered long strings keep the bare construction working
+    val long = l.filter(length(col("name")) >= 3)
+    val got = Fuzzy.qgramEditJoin(long, long, "id", "name",
+        q = 3, k = 2, pad = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((2L, 2L)))
+  }
+
+  test("both-short completeness arm: true pairs sharing ZERO grams are found") {
+    // 2 substitutions destroy all three 3-grams of a 5-char string:
+    // "abcde" {abc,bcd,cde} vs "aXcdY" {aXc,Xcd,cdY} share none, yet
+    // lev = 2 <= k — only the length-band arm can produce this pair
+    assert(lev("abcde", "aXcdY") == 2)
+    val l = Seq((1L, "abcde"), (2L, "aXcdY"), (3L, "zzzzzzzzzzzz"))
+      .toDF("id", "name")
+    for (pad <- Seq(true, false)) {
+      val got = Fuzzy.qgramEditJoin(l, l, "id", "name", q = 3, k = 2,
+          pad = pad)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == Set((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L),
+        (1L, 2L, 2L), (2L, 1L, 2L)), s"pad=$pad")
+    }
+  }
+
+  test("padded and bare constructions agree on a long-name corpus") {
+    val left = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name")
+    def run(pad: Boolean) =
+      Fuzzy.qgramEditJoin(left, left, "id", "name", q = 3, k = 2, pad = pad)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(pad = true) == run(pad = false))
   }
 }
