@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * generated loop performs the identical IEEE sequence. Every result bit
   * matches across engines.
   *
-  * Scale posture: queries are broadcast (they are the small side by
-  * definition), so brute force never shuffles the corpus for scoring; the
-  * only shuffle is the per-query top-k window, keyed by query id. For
-  * large query sets use [[lshKnn]], which buckets both sides by
-  * random-hyperplane signature so candidates come from an equi-join on
-  * the bucket id. No collect() of vector data anywhere.
+  * Scale posture: the BRUTE baselines keep an explicit broadcast hint on
+  * the query side (all-pairs against a sampled query set is their
+  * contract — the hint documents it). Every pruned retriever (LSH / IVF
+  * / IVF-PQ / RP-tree / binary sketch / champion lists) candidate-joins
+  * on an equi-key with NO query-side hint: a probe-sized query batch
+  * broadcasts via AQE's runtime sizing anyway, and a corpus-vs-corpus
+  * batch (attribution sweeps, all-pairs semdedup at the query tier) is
+  * free to plan as a shuffled equi-join instead of collecting the batch
+  * to the driver. No collect() of vector data anywhere.
   */
 object Similarity {
 
@@ -231,10 +234,11 @@ object Similarity {
     * drop from the index identically on both sides.
     *
     * Plan: one token explode → map-side-combined (doc, term) tf agg →
-    * term-keyed df counts derived from tf (broadcast: |vocab| ≪
-    * |tokens|) → the query-side posting+norm relation BROADCAST against
+    * term-keyed df counts derived from tf (AQE-broadcast when the
+    * vocabulary fits; |vocab| ≪ |tokens| but Heaps-law growing, so no
+    * forced hint) → the query-side posting+norm relation joined against
     * the corpus posting list (equi-join on term — the inverted-index
-    * probe) → (qid, doc) map-side-combined dot agg → norm attach →
+    * probe; AQE broadcasts a probe-sized query side at runtime) → (qid, doc) map-side-combined dot agg → norm attach →
     * bounded [[graft.functions.TopKAgg]]. Candidate volume is
     * Σ_t df(t)·[t ∈ queries] — the classic postings cost, linear in
     * corpus per query term; hot (Zipfian) terms are ordinary shuffle-key
@@ -253,11 +257,14 @@ object Similarity {
   def sparseTfidfKnn(docs: DataFrame, idCol: String, textCol: String,
       queryPred: Column, k: Int, maxDfFraction: Double = 1.0): DataFrame = {
     val (wts, norms) = tfidfIndex(docs, idCol, textCol, maxDfFraction)
-    val qrel = broadcast(
+    // no broadcast hint on the query-term relation: a probe-sized query
+    // set broadcasts via AQE anyway, and a corpus-vs-corpus batch (an
+    // attribution sweep) must be free to plan as a shuffled term join
+    val qrel =
       wts.filter(queryPred)
         .join(norms, "doc_id")
         .select(col("doc_id").as("qid"), col("term"),
-          col("w").as("qw"), col("nsq").as("qnsq")))
+          col("w").as("qw"), col("nsq").as("qnsq"))
     val dots = wts.join(qrel, "term")
       .filter(col("doc_id") =!= col("qid"))
       .groupBy("qid", "qnsq", "doc_id")
@@ -287,7 +294,9 @@ object Similarity {
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= lit(math.ceil(n * maxDfFraction).toLong))
-    val wts = tf.join(broadcast(dfreq), "term")
+    // dfreq is the VOCABULARY relation — Heaps-law growth with the
+    // corpus, so no forced broadcast; AQE broadcasts it when it fits
+    val wts = tf.join(dfreq, "term")
       .withColumn("w",
         round(col("tf") * log(lit(n.toDouble) / col("df")) * 1000)
           .cast("long"))
@@ -331,11 +340,14 @@ object Similarity {
       .agg(topc(col("w").cast("double"), col("doc_id")).as("top"))
       .select(col("term"), explode(col("top")).as("c"))
       .select(col("term"), col("c.id").as("doc_id"))
-    val qrel = broadcast(
+    // no broadcast hint on the query-term relation: a probe-sized query
+    // set broadcasts via AQE anyway, and a corpus-vs-corpus batch (an
+    // attribution sweep) must be free to plan as a shuffled term join
+    val qrel =
       wts.filter(queryPred)
         .join(norms, "doc_id")
         .select(col("doc_id").as("qid"), col("term"),
-          col("w").as("qw"), col("nsq").as("qnsq")))
+          col("w").as("qw"), col("nsq").as("qnsq"))
     val cand = champions
       .join(qrel.select(col("qid"), col("term")), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
@@ -574,7 +586,7 @@ object Similarity {
           col("bkt0") +: (0 until nPlanes).map(j =>
             col("bkt0").bitwiseXOR(lit(1L << j))): _*)))
         .drop("bkt0")
-    val scored = v.join(broadcast(q), Seq("bkt"))
+    val scored = v.join(q, Seq("bkt"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
@@ -619,7 +631,7 @@ object Similarity {
       queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
         .withColumn("qn", norm(col("qv")))
         .withColumn("bkts", buckets(col("qv"))))
-    val cand = v.join(broadcast(q), Seq("t", "bkt"))
+    val cand = v.join(q, Seq("t", "bkt"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
@@ -681,7 +693,7 @@ object Similarity {
     // vectors (a corrupted/truncated embedding hunting its source), so
     // an id match is a retrieval HIT, not an identity artifact —
     // excluding ids here is the caller's concern.
-    val cand = v.join(broadcast(q), Seq("band", "bv"))
+    val cand = v.join(q, Seq("band", "bv"))
       .filter(
         (bit_count(col("__lo").bitwiseXOR(col("qlo"))) +
           bit_count(col("__hi").bitwiseXOR(col("qhi")))) <= hammingMax)
@@ -756,7 +768,7 @@ object Similarity {
       .withColumn("probes", topCells(col("qv"), col("qn"), cpairs, nProbe))
       .select(col("qid"), col("qv"), col("qn"),
         explode(col("probes")).as("cell"))
-    val scored = v.join(broadcast(q), Seq("cell"))
+    val scored = v.join(q, Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
@@ -941,7 +953,7 @@ object Similarity {
       .withColumn("probes", topCells(col("vqd"), col("qqn"), cents, nProbe))
       .select(col("qid"), col("qv"), col("qn"),
         explode(col("probes")).as("cell"))
-    val scored = v.join(broadcast(q), Seq("cell"))
+    val scored = v.join(q, Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
@@ -1136,7 +1148,7 @@ object Similarity {
         element_at(element_at(col("lut"), s + 1),
           element_at(col("codes"), s + 1) + 1))
       .foldLeft(lit(0.0))(_ + _)
-    val scored = nb.join(broadcast(q), Seq("cell"))
+    val scored = nb.join(q, Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (adc / (col("qn") * col("rnrm"))).as("sim"))
@@ -1174,7 +1186,7 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val exact = short.join(v, "nid").join(broadcast(q), "qid")
+    val exact = short.join(v, "nid").join(q, "qid")
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
     topK(exact, k)
@@ -1713,7 +1725,7 @@ object Similarity {
     val q = rpRouted(queries, idCol, vecCol, splits, dim)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("leaf"))
-    val scored = v.join(broadcast(q), Seq("leaf"))
+    val scored = v.join(q, Seq("leaf"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
@@ -1767,7 +1779,7 @@ object Similarity {
       val q = rpRoutedSpill(queries, idCol, vecCol, splits, dim, off)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("nrm").as("qn"), col("leaf"))
-      v.join(broadcast(q), Seq("leaf"))
+      v.join(q, Seq("leaf"))
         .filter(col("nid") =!= col("qid"))
         .select(col("qid"), col("nid"),
           (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))

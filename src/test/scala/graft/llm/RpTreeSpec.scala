@@ -201,4 +201,99 @@ class RpTreeSpec extends SparkSpec {
     }.toSet
     assert(got == want)
   }
+
+  test("levels >= RpSpillLevels route single-path (the capped arm " +
+    "equals rpDescend at depth > RpSpillLevels)") {
+    // ADVICE r16: the cap changes query routing only at tree levels >=
+    // RpSpillLevels, a regime no depth-3 test can reach. Synthetic
+    // banded models make the assertion exact at depth 4:
+    //  - collapsed bands (lo = hi = median — never spills) at the
+    //    capped levels 0..2 and a FULL-WIDTH band at level 3: if the
+    //    cap is honored the level-3 band is IGNORED and the forest
+    //    result must equal the median-only rpTreeKnn bit-for-bit;
+    //  - the SAME full-width band moved to level 2 (inside the cap)
+    //    must widen at least one query's candidate set — proving the
+    //    fixture would detect a band that actually routes.
+    val big: Seq[(Long, Array[Float])] = {
+      val rnd = new scala.util.Random(7)
+      (0L until 512L).map(i =>
+        (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    }
+    val bigDf = big.toDF("vec_id", "embedding")
+    val queries = bigDf.filter($"vec_id" % 37 === 0)
+    assert(Similarity.RpSpillLevels == 3, "fixture assumes the cap at 3")
+    val banded = Similarity.trainRpTreeBanded(bigDf, "vec_id",
+      "embedding", depth = 4, dim = 64)
+    val medians = banded.map(_.map { case (n, (m, _, _)) => n -> m })
+    def collapsed(l: Int) = banded(l).map { case (n, (m, _, _)) =>
+      n -> (m, m, m) }
+    def fullWidth(l: Int) = banded(l).map { case (n, (m, _, _)) =>
+      n -> (m, Long.MinValue, Long.MaxValue) }
+    def runForest(model: IndexedSeq[Map[Long, (Long, Long, Long)]]) =
+      Similarity.rpForestKnn(bigDf, queries, "vec_id", "embedding",
+          k = 512, forest = IndexedSeq(model), dim = 64)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val cappedBand = IndexedSeq(collapsed(0), collapsed(1), collapsed(2),
+      fullWidth(3))
+    val medianOnly = Similarity.rpTreeKnn(bigDf, queries, "vec_id",
+        "embedding", k = 512, splits = medians, dim = 64)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(runForest(cappedBand) == medianOnly,
+      "a band at a capped level must be ignored (single-path routing)")
+    val insideCap = IndexedSeq(collapsed(0), collapsed(1), fullWidth(2),
+      collapsed(3))
+    val widened = runForest(insideCap)
+    assert(medianOnly.subsetOf(widened) && widened.size > medianOnly.size,
+      "a full-width band INSIDE the cap must widen some candidate set")
+  }
+
+  test("large query batches are free to plan as a shuffled leaf join " +
+    "(no forced query-side broadcast)") {
+    // VERDICT r16 #4: the candidate stage carries NO broadcast hint, so
+    // when the query side does NOT fit (modeled by disabling broadcast
+    // sizing outright) the leaf join must plan as a shuffled equi-join —
+    // the corpus-vs-corpus path — and return the identical result. The
+    // tree-descent model joins stay hint-broadcast (driver-state-sized
+    // median tables, the licensed class).
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val splits = Similarity.trainRpTree(corpus, "vec_id", "embedding",
+      depth = 3, dim = 64)
+    val queries = corpus.filter($"vec_id" % 50 === 0)
+    def run() = Similarity.rpTreeKnn(corpus, queries, "vec_id",
+      "embedding", k = 3, splits = splits, dim = 64)
+    val base = run().collect().map(_.toString).sorted
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val qe = run().queryExecution
+      val rows = qe.toRdd.count() // execute THIS QueryExecution (AQE final plan)
+      assert(rows == base.length)
+      def all(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+          case q: QueryStageExec => q +: all(q.plan)
+          case n => Seq(n)
+        }
+      val shuffled = all(qe.executedPlan).exists {
+        case j: SortMergeJoinExec =>
+          j.leftKeys.exists(_.references.exists(_.name == "leaf"))
+        case j: ShuffledHashJoinExec =>
+          j.leftKeys.exists(_.references.exists(_.name == "leaf"))
+        case _ => false
+      }
+      assert(shuffled,
+        "expected the leaf candidate join to plan as a shuffled join " +
+          "with broadcast sizing disabled")
+      val got = run().collect().map(_.toString).sorted
+      assert(got.sameElements(base))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
