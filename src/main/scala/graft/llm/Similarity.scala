@@ -926,6 +926,17 @@ object Similarity {
       .drop("vqd", "qnrm")
   }
 
+  /** Probe-cell PRUNING cap: [[ivfKnnTrained]]'s `pruneCells` path
+    * collects the query batch's DISTINCT probed cell ids (≤ nList ints —
+    * bounded by the index's cell count, never by the corpus or the query
+    * batch) and pushes them into the index scan as an `IN` filter. Past
+    * this many distinct cells the literal list stops paying for itself
+    * (the batch is probing most of the index anyway, and a 10⁵-term IN
+    * bloats the plan), so the scan falls back to the plain equi-join —
+    * results are identical either way (pruning only removes rows that
+    * cannot match the join key). */
+  val PruneCellCap: Int = 4096
+
   /** IVF ANN with the TRAINED [[trainIvfKMeans]] quantizer: cell
     * assignment and query probing happen in the quantized space against
     * literal centroids (per-row map work), candidate lookup is the cell-id
@@ -933,13 +944,27 @@ object Similarity {
     * same plan shape as [[ivfKnn]], representative recall behavior.
     * Pass `assigned` (an [[assignCells]] result) to reuse a prebuilt
     * index instead of re-running the assignment pass.
+    *
+    * `pruneCells = true` turns the candidate lookup into a PRUNED READ —
+    * what an inverted file IS on disk: the distinct probed cells are
+    * collected (≤ nList ints, the [[PruneCellCap]] note) and pushed into
+    * the index scan as an `IN` predicate, so a cell-clustered index
+    * (parquet partitioned by cell at 100 TB; a cell-repartitioned cached
+    * frame locally — see the `ivfIndex` cache) is read at
+    * probed-cell cardinality, not corpus cardinality. Without it every
+    * query batch SCANS THE WHOLE INDEX to feed the hash join — linear in
+    * N per batch, the term the round-16 fixed-|Q| probe measured
+    * dominating the context-pack chain's third decade. Results are
+    * identical with pruning on or off (the filter only drops rows whose
+    * join key cannot match), so the oracle is shared.
     * Output: (qid, nid, rank, sim). */
   def ivfKnnTrained(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nList: Int = 16, nProbe: Int = 4, iters: Int = 3,
       centroids: Option[IndexedSeq[Seq[Double]]] = None,
-      assigned: Option[DataFrame] = None): DataFrame = {
+      assigned: Option[DataFrame] = None,
+      pruneCells: Boolean = false): DataFrame = {
     val centsRaw = centroids
       .getOrElse(trainIvfKMeans(corpus, idCol, vecCol, nList, iters))
     val cents = centsRaw.map(withNormPair)
@@ -953,11 +978,25 @@ object Similarity {
       .withColumn("probes", topCells(col("vqd"), col("qqn"), cents, nProbe))
       .select(col("qid"), col("qv"), col("qn"),
         explode(col("probes")).as("cell"))
-    val scored = v.join(q, Seq("cell"))
+    val vScan = if (pruneCells) prunedByCells(v, q) else v
+    val scored = vScan.join(q, Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
     topK(scored, k)
+  }
+
+  /** The pruned-read step shared by the IVF/IMI candidate stages: filter
+    * the index side to the probe side's distinct `cell` values when the
+    * set is small enough to inline (see [[PruneCellCap]]). The collect
+    * is bounded by the quantizer's cell count — the same driver-state
+    * license as the centroids themselves. */
+  private def prunedByCells(index: DataFrame, probes: DataFrame): DataFrame = {
+    val cells = probes.select(col("cell"))
+      .distinct().limit(PruneCellCap + 1)
+      .collect().map(_.getInt(0))
+    if (cells.length > PruneCellCap) index
+    else index.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
   }
 
   // ---------------------------------------------------------------- PQ

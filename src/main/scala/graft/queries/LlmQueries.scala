@@ -388,8 +388,19 @@ object LlmQueries {
       .filter(k => (k._1 eq s) && k._2 != fp)
       .foreach(k => Option(ivfIndexes.remove(k)).foreach(_.unpersist(false)))
     ivfIndexes.computeIfAbsent((s, fp, iters), _ => {
+      // CELL-CLUSTERED layout: repartition on the cell id and sort rows
+      // by it inside each partition before caching, so the in-memory
+      // columnar batches carry tight cell min/max stats and the pruned
+      // readers' `cell IN (…)` predicate skips non-probed batches
+      // (spark.sql.inMemoryColumnarStorage.partitionPruning) — the
+      // local model of the 100 TB layout, where the index artifact is
+      // parquet `partitionBy(cell-group)` and the same predicate prunes
+      // partitions at the file listing. Row order inside a cell doesn't
+      // affect results (every consumer aggregates or ranks with total
+      // tie-breaks), so the clustering is results-invariant.
       val df = Similarity.assignCells(
         emb(s, dir), "vec_id", "embedding", trainedCentroids(s, dir, iters))
+        .repartition(col("cell")).sortWithinPartitions("cell")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize eagerly so consumers never race the build
       df
@@ -1329,7 +1340,7 @@ object LlmQueries {
       Similarity.ivfKnnTrained(
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 5, nProbe = 4, centroids = Some(trainedCentroids(s, dir)),
-        assigned = Some(ivfIndex(s, dir)))
+        assigned = Some(ivfIndex(s, dir)), pruneCells = true)
     }),
 
     // RP-TREE ANN (Annoy's quantizer): median-split tree at the
@@ -2258,7 +2269,7 @@ object LlmQueries {
       val dense = Similarity.ivfKnnTrained(
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 10, nProbe = 4, centroids = Some(trainedCentroids(s, dir)),
-        assigned = Some(ivfIndex(s, dir)))
+        assigned = Some(ivfIndex(s, dir)), pruneCells = true)
       val sparse = Similarity.sparseTfidfKnn(docs(s, dir), "doc_id",
         "text", queryPred = col("doc_id") % 100 === 0, k = 10,
         maxDfFraction = 0.5)
@@ -2291,7 +2302,7 @@ object LlmQueries {
       val cands = Similarity.ivfKnnTrained(
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 10, nProbe = 4, centroids = Some(trainedCentroids(s, dir)),
-        assigned = Some(ivfIndex(s, dir)))
+        assigned = Some(ivfIndex(s, dir)), pruneCells = true)
       Similarity.mmrRerankCandidates(e, cands, "vec_id", "embedding",
         k = 5)
     }),
@@ -2309,7 +2320,7 @@ object LlmQueries {
       val cands = Similarity.ivfKnnTrained(
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 10, nProbe = 4, centroids = Some(trainedCentroids(s, dir)),
-        assigned = Some(ivfIndex(s, dir)))
+        assigned = Some(ivfIndex(s, dir)), pruneCells = true)
       Similarity.contextPack(docs(s, dir), cands, "doc_id", "text",
         budgetTokens = 300)
     }),
@@ -2328,7 +2339,7 @@ object LlmQueries {
         e, e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 20000),
         "vec_id", "embedding",
         k = 10, nProbe = 4, centroids = Some(trainedCentroids(s, dir)),
-        assigned = Some(ivfIndex(s, dir)))
+        assigned = Some(ivfIndex(s, dir)), pruneCells = true)
       Similarity.contextPack(docs(s, dir), cands, "doc_id", "text",
         budgetTokens = 300)
     })
