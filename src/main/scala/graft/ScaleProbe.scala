@@ -366,7 +366,17 @@ object ScaleProbe {
     // binary-quantization rerank: 64-bit sketches, 4×16-bit banded
     // candidates (fan-out governed by band occupancy ≈ N/65536), exact
     // cosine rerank on survivors only
-    "knn_binary_rerank")
+    "knn_binary_rerank",
+    // round-17: the inverted multi-index (product cells: N^(2/3) cells
+    // for N^(1/3) assignment work/row, in-cell occupancy N^(1/3) —
+    // below the single-level √N floor), its recall row, and the
+    // fixed-|Q| context-pack twin riding it — the r16 third-decade
+    // lever priced head-to-head against rag_context_pack_fixedq
+    "knn_imi", "knn_imi_recall", "rag_context_pack_imi",
+    // production-depth BPE encode: distinct-word contraction + the
+    // constant-plan-size rank-priority expression (depth ladder priced
+    // separately by graft.BpeDepthProbe)
+    "text_bpe_encode")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

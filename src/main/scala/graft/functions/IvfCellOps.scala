@@ -196,3 +196,137 @@ case class TopCells(
 
   override def prettyName: String = "graft_top_cells"
 }
+
+/** Top-`t` PRODUCT cells of the inverted multi-index for one query —
+  * the multi-sequence probe order of Babenko & Lempitsky (2012) §3.1,
+  * truncated at `t` pairs: cell pairs rank by the SUM of the two
+  * half-space similarities, so a fixed candidate budget lands on the
+  * jointly-best cells instead of a p×p box (the box wastes probes on
+  * (weak, weak) corners while missing (1st, p+1-th) pairs the sum
+  * ranks higher).
+  *
+  * Enumeration is the T×T-restricted grid over each half's top-`t`
+  * list: a pair in the global top-t by `(simA + simB)` must have both
+  * half-ranks ≤ t (any pair it dominates per-coordinate outranks it),
+  * so the restriction is lossless under the primary sort; the cell-id
+  * TIE-BREAK is evaluated inside that grid, which is what the oracle
+  * mirrors (rank each half to t, cross, rank pairs). O(kHalf·d + t²)
+  * per query row; kHalf is cube-root-sized, the t² term is constant.
+  *
+  * Determinism: each half similarity is the shared left-to-right
+  * fold / IEEE divide; the pair score is ONE IEEE add of those two
+  * doubles — bit-identical across engines; ties → larger product cell
+  * id (`ORDER BY s DESC, cell DESC`). Inputs are the quantized-double
+  * query halves and their norms (array<double>, never float). */
+case class ImiTopPairs(
+    va: Expression, na: Expression, vb: Expression, nb: Expression,
+    centsA: Seq[Seq[Double]], cnormsA: Seq[Double],
+    centsB: Seq[Seq[Double]], cnormsB: Seq[Double], t: Int)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(va, na, vb, nb)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+
+  @transient private lazy val caArr: Array[Array[Double]] =
+    centsA.map(_.toArray).toArray
+  @transient private lazy val cbArr: Array[Array[Double]] =
+    centsB.map(_.toArray).toArray
+  @transient private lazy val naArr: Array[Double] = cnormsA.toArray
+  @transient private lazy val nbArr: Array[Double] = cnormsB.toArray
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(va, vb).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }) && Seq(na, nb).forall(_.dataType == DoubleType)
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double, array<double>, " +
+          "double)")
+  }
+
+  private def simAt(x: ArrayData, nrm: Double,
+      cents: Array[Array[Double]], cnorms: Array[Double], j: Int): Double = {
+    val cv = cents(j)
+    val n = math.min(x.numElements(), cv.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * cv(i); i += 1 }
+    acc / (nrm * cnorms(j))
+  }
+
+  /** (sim desc, cid desc) bounded top-`p` — the [[TopCells]] insertion. */
+  private def topHalf(x: ArrayData, nrm: Double,
+      cents: Array[Array[Double]], cnorms: Array[Double], p0: Int)
+      : (Array[Double], Array[Int], Int) = {
+    val m = cents.length
+    val p = math.min(p0, m)
+    val bs = new Array[Double](p)
+    val bc = new Array[Int](p)
+    var cnt = 0
+    var j = 0
+    while (j < m) {
+      val s = simAt(x, nrm, cents, cnorms, j)
+      var pos = cnt
+      while (pos > 0 && ((s == bs(pos - 1) && j > bc(pos - 1)) ||
+        java.lang.Double.compare(s, bs(pos - 1)) > 0)) pos -= 1
+      if (pos < p) {
+        val last = math.min(cnt, p - 1)
+        var q = last
+        while (q > pos) { bs(q) = bs(q - 1); bc(q) = bc(q - 1); q -= 1 }
+        bs(pos) = s; bc(pos) = j
+        if (cnt < p) cnt += 1
+      }
+      j += 1
+    }
+    (bs, bc, cnt)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val (a, an, b, bn) =
+      (va.eval(input), na.eval(input), vb.eval(input), nb.eval(input))
+    if (a == null || an == null || b == null || bn == null) return null
+    val kHalf = cbArr.length
+    val (sa, ca, cntA) = topHalf(a.asInstanceOf[ArrayData],
+      an.asInstanceOf[Double], caArr, naArr, t)
+    val (sb, cb, cntB) = topHalf(b.asInstanceOf[ArrayData],
+      bn.asInstanceOf[Double], cbArr, nbArr, t)
+    // rank the T×T grid by (sumSim desc, product cell desc), keep top t
+    val bs = new Array[Double](t)
+    val bc = new Array[Int](t)
+    var cnt = 0
+    var i = 0
+    while (i < cntA) {
+      var j = 0
+      while (j < cntB) {
+        val s = sa(i) + sb(j)
+        val cell = ca(i) * kHalf + cb(j)
+        var pos = cnt
+        while (pos > 0 && ((s == bs(pos - 1) && cell > bc(pos - 1)) ||
+          java.lang.Double.compare(s, bs(pos - 1)) > 0)) pos -= 1
+        if (pos < t) {
+          val last = math.min(cnt, t - 1)
+          var q = last
+          while (q > pos) { bs(q) = bs(q - 1); bc(q) = bc(q - 1); q -= 1 }
+          bs(pos) = s; bc(pos) = cell
+          if (cnt < t) cnt += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(bc.take(cnt))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ImiTopPairs =
+    copy(va = newChildren(0), na = newChildren(1),
+      vb = newChildren(2), nb = newChildren(3))
+
+  override def prettyName: String = "graft_imi_top_pairs"
+}

@@ -141,6 +141,123 @@ object Bpe {
           col("n_chars").cast("double"), 6).as("compression"))
   }
 
+  /** The corpus word-frequency table, driver-collected for in-memory
+    * training: one distributed aggregation + a `TakeOrdered(maxVocab)`
+    * on `(count DESC, word ASC)` — the bounded-driver-state license of
+    * the k-means/median trainers, here bounded by the VOCABULARY CAP.
+    * Capping to the most frequent words is the universal tokenizer-
+    * training practice (100 TB corpora carry 10⁸⁺ distinct "words",
+    * almost all hapax noise; every production BPE trains on a bounded
+    * frequency table); below the cap — every gate corpus — the result
+    * is the full exact relation and [[trainOnCounts]] matches [[train]]
+    * bit-for-bit. */
+  def wordCounts(corpus: DataFrame, textCol: String,
+      maxVocab: Int = 1 << 22): Seq[(String, Long)] =
+    corpus
+      .select(explode(TextOps.words(col(textCol))).as("__w"))
+      .filter(col("__w").rlike("^[a-z0-9]+$"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** In-memory BPE training over a word-frequency table — how every
+    * production tokenizer trains (the statistics depend only on the
+    * vocabulary-sized (word, count) relation, which [[wordCounts]]
+    * aggregates distributively; the merge loop itself is inherently
+    * sequential, so past the corpus pass there is nothing left to
+    * distribute). Semantics are [[train]]'s exactly: weighted adjacent
+    * pair counts, argmax on the (freq DESC, l ASC, r ASC) total order
+    * (ASCII symbols, so String.compareTo equals the engines' binary
+    * collation), left-to-right non-overlapping in-word merges, early
+    * stop on pair exhaustion — spec-pinned equal to the distributed
+    * trainer on the same corpus. */
+  def trainOnCounts(
+      counts: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1, "need nMerges >= 1")
+    var vocab: Array[(Array[String], Long)] = counts
+      .filter(_._1.nonEmpty)
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    for (rank <- 1 to nMerges if !exhausted) {
+      val freq = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          freq.update(k, freq.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (freq.isEmpty) exhausted = true
+      else {
+        val ((l, r), f) = freq.minBy { case ((l, r), f) => (-f, l, r) }
+        merges += Merge(rank, l, r, f)
+        vocab = vocab.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Token count of one word column under `merges` — the constant-
+    * plan-size native encode ([[graft.functions.BpeTokenCount]]). */
+  def tokenCount(word: Column, merges: Seq[Merge]): Column = {
+    import org.apache.spark.sql.GraftSql
+    GraftSql.column(graft.functions.BpeTokenCount(
+      GraftSql.expression(word), merges.map(m => (m.lhs, m.rhs))))
+  }
+
+  /** PRODUCTION-DEPTH corpus encode: same output contract as
+    * [[applyMerges]] (doc_id, n_words, n_chars, n_bpe_tokens,
+    * compression), with the two scale properties the replace chain
+    * lacks —
+    *
+    *   1. the merge table rides along as ONE referenced object inside
+    *      [[graft.functions.BpeTokenCount]] (constant plan size and
+    *      per-row hash lookups vs one generated string pass per merge:
+    *      at 32k merges the chain shape is unusable, this one doesn't
+    *      notice);
+    *   2. the encode runs on the DISTINCT-WORD contraction and joins
+    *      the per-word token count back to the (doc, word) instance
+    *      relation on the word key — the expensive per-word merge loop
+    *      runs vocabulary-many times, not corpus-many (the same
+    *      contraction that makes training tractable; Zipf corpora make
+    *      this decisive). The join is vocabulary-keyed — AQE
+    *      broadcasts it whenever the vocabulary fits, no hint. */
+  def encodeDeep(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val inst = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.words(col(textCol))).as("__w"))
+      .filter(col("__w").rlike("^[a-z0-9]+$"))
+    val wtok = inst.select(col("__w")).distinct()
+      .select(col("__w"),
+        tokenCount(col("__w"), merges).cast("long").as("__nt"))
+    inst.join(wtok, "__w")
+      .select(col("doc_id"), length(col("__w")).cast("long").as("__nc"),
+        col("__nt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("__nc").as("n_chars"),
+        sum("__nt").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_chars").cast("double"), 6).as("compression"))
+  }
+
   /** The DuckDB twin of [[train]] as WITH-clause CTEs over a `docs`
     * relation (columns `doc_id`, `w` = normalized word array — the
     * shared DocsCte). Defines `m1..m{nMerges}` (each `(l, r, freq)`,

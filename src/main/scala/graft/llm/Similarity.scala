@@ -957,6 +957,12 @@ object Similarity {
     * dominating the context-pack chain's third decade. Results are
     * identical with pruning on or off (the filter only drops rows whose
     * join key cannot match), so the oracle is shared.
+    *
+    * WHEN to prune: bounded (serving-shaped) query batches. The collect
+    * is a build-time action (two tiny jobs over the query batch — the
+    * probe step itself), and for a CORPUS-PROPORTIONAL batch the probed
+    * set covers most cells anyway, so such callers leave it off and
+    * keep the zero-job warm build (WarmBuildSpec pins both contracts).
     * Output: (qid, nid, rank, sim). */
   def ivfKnnTrained(
       corpus: DataFrame, queries: DataFrame,
@@ -997,6 +1003,122 @@ object Similarity {
       .collect().map(_.getInt(0))
     if (cells.length > PruneCellCap) index
     else index.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+  }
+
+  // --------------------------------------------------------------- IMI
+
+  /** Per-half centroid count for the INVERTED MULTI-INDEX: the smallest
+    * k with `k³ ≥ N` (floored at 8), so the product codebook's `k²`
+    * cells hold expected `N^(1/3)` vectors each — the occupancy curve a
+    * single-level quantizer can't afford (matching cell granularity
+    * single-level needs nList = N^(2/3) centroids, whose O(N·nList·d)
+    * assignment pass is O(N^(5/3)); the multi-index pays
+    * O(N·2·kHalf·d/2) = O(N^(4/3)) for the same cell count, and at a
+    * deployment-fixed kHalf — FAISS's IMI2x14 shape — the build is
+    * linear in N outright). Exact integer search, mirrored verbatim in
+    * the oracle's scalar subquery (`min k from a range where k³ ≥
+    * count`), so both engines derive the identical codebook size. */
+  def defaultKHalf(n: Long): Int = {
+    val k = Iterator.from(1)
+      .find(k => k.toLong * k * k >= math.max(1L, n)).get
+    math.max(8, k)
+  }
+
+  /** The two half-space coarse quantizers of the INVERTED MULTI-INDEX
+    * (Babenko & Lempitsky, CVPR 2012): the vector splits into its first
+    * and second halves, each trained with its own deterministic
+    * [[trainIvfKMeans]] codebook of `kHalf` centroids — same
+    * fixed-point training space, same `(hash32("ivf:"+id), id)`-seeded
+    * sample for both halves (the id hash is vector-independent, so one
+    * total order seeds both codebooks — also what lets the oracle share
+    * one rank CTE). Returns (first-half centroids, second-half
+    * centroids), each in the quantized space. */
+  def trainImiQuantizers(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      kHalf: Int, iters: Int = 3, dim: Int = 64)
+      : (IndexedSeq[Seq[Double]], IndexedSeq[Seq[Double]]) = {
+    require(dim % 2 == 0, s"dim $dim must split into two halves")
+    val half = dim / 2
+    def halfCorpus(off: Int) = corpus.select(col(idCol),
+      slice(col(vecCol), off, half).as(vecCol))
+    (trainIvfKMeans(halfCorpus(1), idCol, vecCol, kHalf, iters),
+      trainIvfKMeans(halfCorpus(half + 1), idCol, vecCol, kHalf, iters))
+  }
+
+  /** The multi-index BODY: every corpus row with its PRODUCT cell
+    * `cellA·kHalf + cellB` — per-row work is two independent `kHalf`-
+    * centroid argmaxes over the vector halves (O(kHalf·d) per row,
+    * vs O(kHalf²·d) had the k² product cells been materialized as one
+    * flat codebook — the whole point of the product structure). Same
+    * build-once-amortize lifecycle as [[assignCells]]. */
+  def assignImiCells(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centsA: IndexedSeq[Seq[Double]], centsB: IndexedSeq[Seq[Double]],
+      dim: Int = 64): DataFrame = {
+    val half = dim / 2
+    val kHalf = centsA.length
+    val (ca, cb) = (centsA.map(withNormPair), centsB.map(withNormPair))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("vqa", quantDouble(slice(col("v"), 1, half)))
+      .withColumn("vqb", quantDouble(slice(col("v"), half + 1, half)))
+      .withColumn("cell",
+        argmaxCell(col("vqa"), norm(col("vqa")), ca) * lit(kHalf) +
+          argmaxCell(col("vqb"), norm(col("vqb")), cb))
+      .select("id", "v", "nrm", "cell")
+  }
+
+  /** INVERTED-MULTI-INDEX ANN — the second-generation coarse quantizer
+    * (Babenko & Lempitsky, CVPR 2012; FAISS `IMI2xk`): candidate cells
+    * are the PRODUCT of two independent half-space codebooks, so `k²`
+    * cells cost `k` centroids of assignment work per half. Each query
+    * probes its `nPairs` jointly-best product cells in the paper's
+    * MULTI-SEQUENCE order (pairs ranked by the sum of the two half
+    * similarities — [[graft.functions.ImiTopPairs]]), candidates rank
+    * by exact cosine on the full vectors. Per-query candidate work is
+    * `nPairs·N/kHalf²` — with the auto `kHalf = ⌈N^(1/3)⌉` that is
+    * O(N^(1/3)), strictly below the single-level √N floor — and the
+    * candidate read is cell-pruned exactly like [[ivfKnnTrained]]'s
+    * (`pruneCells`). Output: (qid, nid, rank, sim). */
+  def imiKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      kHalf: Int = 8, nPairs: Int = 8,
+      iters: Int = 3, dim: Int = 64,
+      centroids: Option[(IndexedSeq[Seq[Double]], IndexedSeq[Seq[Double]])] =
+        None,
+      assigned: Option[DataFrame] = None,
+      pruneCells: Boolean = true): DataFrame = {
+    val half = dim / 2
+    val (centsA, centsB) = centroids.getOrElse(
+      trainImiQuantizers(corpus, idCol, vecCol, kHalf, iters, dim))
+    val (ca, cb) = (centsA.map(withNormPair), centsB.map(withNormPair))
+
+    val v = assigned.getOrElse(
+      assignImiCells(corpus, idCol, vecCol, centsA, centsB, dim))
+      .withColumnRenamed("id", "nid")
+    val pairs = {
+      import org.apache.spark.sql.GraftSql
+      (vqa: Column, qna: Column, vqb: Column, qnb: Column) =>
+        GraftSql.column(graft.functions.ImiTopPairs(
+          GraftSql.expression(vqa), GraftSql.expression(qna),
+          GraftSql.expression(vqb), GraftSql.expression(qnb),
+          ca.map(_._1), ca.map(_._2), cb.map(_._1), cb.map(_._2), nPairs))
+    }
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("vqa", quantDouble(slice(col("qv"), 1, half)))
+      .withColumn("vqb", quantDouble(slice(col("qv"), half + 1, half)))
+      .withColumn("pc",
+        pairs(col("vqa"), norm(col("vqa")), col("vqb"), norm(col("vqb"))))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(col("pc")).as("cell"))
+    val vScan = if (pruneCells) prunedByCells(v, q) else v
+    val scored = vScan.join(q, Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    topK(scored, k)
   }
 
   // ---------------------------------------------------------------- PQ

@@ -71,6 +71,8 @@ class PlanAuditSpec extends SparkSpec {
       // baseline (recall is measured against it by definition); the
       // forest side under audit is leaf equi-joins only —
       // knn_rptree_forest itself carries NO exemption
+      "knn_imi_recall", // same shape: brute exact side only; knn_imi
+      // itself (product-cell equi-join) carries NO exemption
       "knn_sq8", "knn_pq", "knn_project_rerank", "rag_fusion_rrf",
       "rag_mmr_rerank")
 

@@ -85,4 +85,58 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.train(d.repartition(13), "text", 4)
     assert(a == b && a.size == 4)
   }
+
+  test("the production trainer (word counts + in-memory loop) equals " +
+    "the distributed trainer, shallow and deep") {
+    val d = graft.Tables.read(spark, sf("sf0.001"), "documents")
+    val counts = Bpe.wordCounts(d, "text")
+    assert(Bpe.trainOnCounts(counts, 8) == Bpe.train(d, "text", 8))
+    assert(Bpe.trainOnCounts(counts, 48) == Bpe.train(d, "text", 48))
+  }
+
+  test("the rank-priority deep encode equals the sequential replace " +
+    "chain on trained tables (gate corpus, depth 8 and 64)") {
+    val d = graft.Tables.read(spark, sf("sf0.001"), "documents")
+    val counts = Bpe.wordCounts(d, "text")
+    for (depth <- Seq(8, 64)) {
+      val merges = Bpe.trainOnCounts(counts, depth)
+      val chain = Bpe.applyMerges(d, "doc_id", "text", merges)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val deep = Bpe.encodeDeep(d, "doc_id", "text", merges)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(deep == chain, s"divergence at depth $depth")
+    }
+  }
+
+  test("deep encode == replace chain on random corpora with their own " +
+    "trained tables (fuzz)") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val alphabet = "abcdefgh".take(3 + rnd.nextInt(5))
+      val texts = (0 until 60).map { i =>
+        (0 until 1 + rnd.nextInt(8)).map { _ =>
+          (0 until 1 + rnd.nextInt(9))
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }.mkString(" ")
+      }
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val merges = Bpe.trainOnCounts(Bpe.wordCounts(df, "text"), 24)
+      val chain = Bpe.applyMerges(df, "doc_id", "text", merges)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val deep = Bpe.encodeDeep(df, "doc_id", "text", merges)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(deep == chain, s"fuzz divergence, trial $trial")
+    }
+  }
+
+  test("empty and single-char words encode to their length") {
+    val df = Seq((1L, "a bb a")).toDF("doc_id", "text")
+    val merges = Bpe.trainOnCounts(Bpe.wordCounts(df, "text"), 1)
+    val out = Bpe.encodeDeep(df, "doc_id", "text", merges)
+      .collect().head
+    // 3 words, 4 chars; (b,b) is the only merge → tokens a=1, bb=1, a=1
+    assert(out.getLong(1) == 3L && out.getLong(2) == 4L &&
+      out.getLong(3) == 3L)
+  }
 }

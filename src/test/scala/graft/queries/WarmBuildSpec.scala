@@ -44,4 +44,20 @@ class WarmBuildSpec extends SparkSpec {
           "index metadata must come from the cache, not a re-count")
     }
   }
+
+  test("a cell-PRUNED serving build submits only the bounded probe-cell " +
+    "jobs, never a corpus re-count") {
+    // the pruned read's probe-cell collect is genuine per-batch serving
+    // work (the probe step itself: distinct cells of the query batch,
+    // bounded by the quantizer's cell count) — it costs a couple of
+    // tiny jobs at build, which is the documented contract; anything
+    // beyond that bound would mean the build regressed into re-deriving
+    // index state
+    val name = "rag_context_pack_fixedq"
+    SparkEntry.queries(name)(spark, sf()) // warm: index + centroids
+    val jobs = jobsDuring { SparkEntry.queries(name)(spark, sf()); () }
+    assert(jobs <= 2,
+      s"$name submitted $jobs build-time job(s) — the pruned serving " +
+        "build budget is the probe-cell collect only")
+  }
 }
