@@ -376,7 +376,10 @@ object ScaleProbe {
     // production-depth BPE encode: distinct-word contraction + the
     // constant-plan-size rank-priority expression (depth ladder priced
     // separately by graft.BpeDepthProbe)
-    "text_bpe_encode")
+    "text_bpe_encode",
+    // Aho–Corasick blocklist: one automaton pass per doc — expected
+    // per-row cost flat in lexicon size, ~1×/decade per-row scan
+    "text_blocklist")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup
@@ -384,12 +387,14 @@ object ScaleProbe {
     * own scale rows — cache evicted, then the build (including eager
     * materialization) timed. Row count = pairs in the built graph. */
   val buildFamily: Seq[String] =
-    Seq("mm_video_pairs_build", "mm_mp4_pairs_build", "web_edges_build")
+    Seq("mm_video_pairs_build", "mm_mp4_pairs_build", "web_edges_build",
+      "ivf_index_build", "imi_index_build")
 
   def timeBuild(
       spark: SparkSession, name: String, dir: String): (Double, Long) = {
     graft.queries.LlmQueries.evictPairGraphs(spark)
     graft.queries.LlmQueries.evictWebEdges(spark)
+    graft.queries.LlmQueries.evictAnnIndexes(spark)
     val t0 = System.nanoTime()
     val n = name match {
       case "mm_video_pairs_build" =>
@@ -401,6 +406,18 @@ object ScaleProbe {
         // cache-amortized web_link_graph / web_host_rank rows no longer
         // carry per query
         graft.queries.LlmQueries.webEdges(spark, dir).count()
+      case "ivf_index_build" =>
+        // the full single-level inverted-file lifecycle cold: k-means
+        // train (O(sample·nList·d·iters)) + corpus assignment
+        // (O(N·nList·d), the N^1.5 term under the √N cell default) +
+        // the cell-clustered persist — the pass every knn_ivf/rag row
+        // amortizes per corpus snapshot
+        graft.queries.LlmQueries.ivfIndex(spark, dir).count()
+      case "imi_index_build" =>
+        // the multi-index lifecycle cold: two kHalf-codebook trainings
+        // + the O(N·kHalf·d) product-cell assignment — the build-side
+        // half of the sub-√N claim (kHalf = N^(1/3) ≪ nList = √N)
+        graft.queries.LlmQueries.imiIndex(spark, dir).count()
       case other =>
         throw new IllegalArgumentException(s"unknown build probe: $other")
     }

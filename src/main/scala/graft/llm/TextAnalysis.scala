@@ -814,4 +814,41 @@ object TextAnalysis {
         count(when(col("__in_v").isNull, 1)).as("n_oov"))
       .withColumn("oov_permille", expr("(1000 * n_oov) div n_tokens"))
   }
+
+  /** The corpus-derived BLOCKLIST fixture: the `k` most frequent
+    * `[a-z0-9]+` words of length ≥ `minLen` on the `(count DESC, word
+    * ASC)` total order — one vocabulary-sized aggregation + a
+    * TakeOrdered(k), the bounded-driver-state license of every trained
+    * model here. (A production blocklist is an external lexicon; the
+    * fixture exists so the gate exercises the automaton against text
+    * that actually matches at every scale, probe corpora included.) */
+  def topTerms(df: DataFrame, textCol: String, k: Int,
+      minLen: Int): Seq[String] =
+    df.select(explode(TextOps.words(col(textCol))).as("__w"))
+      .filter(col("__w").rlike("^[a-z0-9]+$") &&
+        length(col("__w")) >= minLen)
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(k)
+      .collect().map(_.getString(0)).toSeq
+
+  /** MULTI-PATTERN BLOCKLIST SCAN — one Aho–Corasick pass per document
+    * over the normalized text ([[graft.functions.AhoCorasickStats]]):
+    * per-row cost O(len + matches) independent of lexicon size, where
+    * the naive `contains` disjunction pays one text pass per pattern.
+    * Occurrences count greedy-non-overlapping per pattern (the
+    * `replace`-arithmetic the oracle mirrors); distinct patterns count
+    * independently. Output: (doc_id, n_matches, n_patterns, blocked) —
+    * every input row, flagged rather than filtered, so both keep and
+    * drop consumers compose. */
+  def blocklistStats(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    val st = GraftSql.column(graft.functions.AhoCorasickStats(
+      GraftSql.expression(TextOps.normText(col(textCol))), patterns))
+    df.select(col(idCol).as("doc_id"), st.as("__st"))
+      .select(col("doc_id"),
+        col("__st.n_matches").as("n_matches"),
+        col("__st.n_patterns").as("n_patterns"),
+        (col("__st.n_matches") > 0).as("blocked"))
+  }
 }

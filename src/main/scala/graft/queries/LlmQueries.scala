@@ -107,6 +107,17 @@ object LlmQueries {
       (tableFingerprint(dir, "documents") + ":counts", nMerges),
       _ => Bpe.trainOnCounts(Bpe.wordCounts(docs(s, dir), "text"), nMerges))
 
+  private val blocklistCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** The 16-term derived blocklist for `dir`'s documents (top words of
+    * length ≥ 4 — see [[TextAnalysis.topTerms]]); cached per corpus
+    * fingerprint like every derived model. */
+  private[graft] def blocklistTerms(
+      s: SparkSession, dir: String): Seq[String] =
+    blocklistCache.computeIfAbsent(tableFingerprint(dir, "documents"),
+      _ => TextAnalysis.topTerms(docs(s, dir), "text", k = 16, minLen = 4))
+
   /** The materialized Jaccard near-dup PAIR set for `dir`'s documents —
     * persisted once per (session, content fingerprint, n, tau) and
     * shared by pair emission, capped emission, clustering and dedup
@@ -227,6 +238,24 @@ object LlmQueries {
       c.keySet.asScala.filter(_._1 eq s).foreach(k =>
         Option(c.remove(k)).foreach(_.unpersist(true)))
     }
+  }
+
+  /** Evict the trained coarse quantizers AND the built/assigned ANN
+    * indexes — the cold-build timing support for the
+    * `ivf_index_build` / `imi_index_build` probe rows: the kNN/RAG
+    * query rows price the (correct) amortized serving path against the
+    * session-cached index, so the O(N·nList·d) train+assign pass a
+    * deployment pays once per corpus snapshot needs its OWN scale row,
+    * exactly like the pair-graph builds. Model caches are keyed by
+    * content fingerprint (no session), so eviction is global. */
+  private[graft] def evictAnnIndexes(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    Seq(ivfIndexes, imiIndexes).foreach { c =>
+      c.keySet.asScala.filter(_._1 eq s).foreach(k =>
+        Option(c.remove(k)).foreach(_.unpersist(true)))
+    }
+    ivfCentroids.clear()
+    imiCentroidCache.clear()
   }
 
   /** Evict the cached [[webEdges]] relation — same cold-build timing
@@ -1999,6 +2028,16 @@ object LlmQueries {
       Bpe.encodeDeep(docs(s, dir), "doc_id", "text",
         bpeDeepMerges(s, dir, 64))),
 
+    // MULTI-PATTERN BLOCKLIST (round 17): one Aho–Corasick pass per doc
+    // over a 16-term corpus-derived lexicon — O(len + matches) per row
+    // regardless of lexicon size (a safety/PII blocklist is 10³–10⁵
+    // terms; the contains-disjunction alternative scans the text once
+    // PER TERM). Greedy non-overlapping per-pattern counts, mirrored by
+    // the oracle's replace arithmetic over the same derived lexicon.
+    "text_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistStats(docs(s, dir), "doc_id", "text",
+        blocklistTerms(s, dir))),
+
     // self-scored corpus quality: every doc's nll under the corpus's own
     // bigram model (outliers = least corpus-like text)
     "text_lm_score" -> ((s, dir) =>
@@ -3563,6 +3602,29 @@ object LlmQueries {
          |           ::DOUBLE /
          |         sum(length(word))::DOUBLE, 6) AS compression
          |FROM ba8 GROUP BY doc_id""".stripMargin,
+
+    // the same derived lexicon (top-16 len≥4 words on (count DESC, word
+    // ASC)), then per (doc, pattern) the greedy non-overlapping
+    // occurrence count as replace arithmetic, aggregated per doc —
+    // the automaton's exact contract
+    "text_blocklist" ->
+      s"""WITH $DocsCte,
+         |pats AS MATERIALIZED (
+         |  SELECT w2 AS word FROM (
+         |    SELECT w2, count(*) AS c FROM (
+         |      SELECT unnest(w) AS w2 FROM docs) t
+         |    WHERE regexp_matches(w2, '^[a-z0-9]+$$') AND len(w2) >= 4
+         |    GROUP BY w2) g
+         |  ORDER BY c DESC, w2 LIMIT 16),
+         |nt AS (SELECT doc_id, $NormSql AS t FROM documents),
+         |occ AS (SELECT nt.doc_id,
+         |          (len(nt.t) - len(replace(nt.t, p.word, '')))
+         |            // len(p.word) AS cnt
+         |        FROM nt CROSS JOIN pats p)
+         |SELECT doc_id, sum(cnt)::BIGINT AS n_matches,
+         |       sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END)::INT AS n_patterns,
+         |       (sum(cnt) > 0) AS blocked
+         |FROM occ GROUP BY doc_id""".stripMargin,
 
     // the 64-round training chain (the SQL trainer must re-derive the
     // driver-trained merges — their equality is part of what this
