@@ -373,6 +373,9 @@ object ScaleProbe {
     // fixed-|Q| context-pack twin riding it — the r16 third-decade
     // lever priced head-to-head against rag_context_pack_fixedq
     "knn_imi", "knn_imi_recall", "rag_context_pack_imi",
+    // the PQ twin: in-cell candidates scanned from 8-byte codes via the
+    // pruned read, floats touched at shortlist cardinality only
+    "rag_context_pack_pq",
     // production-depth BPE encode: distinct-word contraction + the
     // constant-plan-size rank-priority expression (depth ladder priced
     // separately by graft.BpeDepthProbe)

@@ -1275,6 +1275,20 @@ object Similarity {
     * `assigned`/`encoded`/`centroids`/`books` accept the cached
     * artifacts. Output: (qid, nid, rank, sim) — sim is the ADC
     * quantized cosine. */
+  /** The composed IVF-PQ index body — `(nid, cell, codes, rnrm)`: the
+    * coarse cell plus the PQ codes/norm per corpus row, the relation a
+    * deployment materializes ONCE per snapshot (FAISS's IVF-PQ index
+    * file) and the pruned candidate reads scan. Callers cache it
+    * cell-clustered (the `ivfIndex` layout discipline). */
+  def ivfPqIndexBody(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: IndexedSeq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]]): DataFrame =
+    assignCells(corpus, idCol, vecCol, centroids)
+      .select(col("id").as("nid"), col("cell"))
+      .join(pqEncodeCorpus(corpus, idCol, vecCol, books)
+        .select(col("id").as("nid"), col("codes"), col("rnrm")), "nid")
+
   def ivfPqKnn(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -1283,7 +1297,9 @@ object Similarity {
       centroids: Option[IndexedSeq[Seq[Double]]] = None,
       books: Option[IndexedSeq[IndexedSeq[Seq[Double]]]] = None,
       assigned: Option[DataFrame] = None,
-      encoded: Option[DataFrame] = None): DataFrame = {
+      encoded: Option[DataFrame] = None,
+      indexed: Option[DataFrame] = None,
+      pruneCells: Boolean = false): DataFrame = {
     val centsRaw = centroids
       .getOrElse(trainIvfKMeans(corpus, idCol, vecCol, nList, iters))
     val cents = centsRaw.map(withNormPair)
@@ -1291,12 +1307,17 @@ object Similarity {
       trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters, dim))
     // candidate body: (nid, cell, codes, rnrm) — cell from the coarse
     // index, codes+norm from the PQ index; the join is id-to-id on two
-    // deterministic builds of the same snapshot
-    val cells = assigned.getOrElse(assignCells(corpus, idCol, vecCol, centsRaw))
-      .select(col("id").as("nid"), col("cell"))
-    val codes = encoded.getOrElse(pqEncodeCorpus(corpus, idCol, vecCol, bks))
-      .select(col("id").as("nid"), col("codes"), col("rnrm"))
-    val nb = cells.join(codes, "nid")
+    // deterministic builds of the same snapshot (or the prebuilt
+    // cell-clustered `indexed` artifact)
+    val nb = indexed.getOrElse {
+      val cells = assigned
+        .getOrElse(assignCells(corpus, idCol, vecCol, centsRaw))
+        .select(col("id").as("nid"), col("cell"))
+      val codes = encoded
+        .getOrElse(pqEncodeCorpus(corpus, idCol, vecCol, bks))
+        .select(col("id").as("nid"), col("codes"), col("rnrm"))
+      cells.join(codes, "nid")
+    }
     val q = queries.select(col(idCol).as("qid"),
         quantDouble(col(vecCol)).as("qvd"))
       .withColumn("qn", norm(col("qvd")))
@@ -1309,7 +1330,8 @@ object Similarity {
         element_at(element_at(col("lut"), s + 1),
           element_at(col("codes"), s + 1) + 1))
       .foldLeft(lit(0.0))(_ + _)
-    val scored = nb.join(q, Seq("cell"))
+    val nbScan = if (pruneCells) prunedByCells(nb, q) else nb
+    val scored = nbScan.join(q, Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (adc / (col("qn") * col("rnrm"))).as("sim"))
@@ -1337,11 +1359,13 @@ object Similarity {
       centroids: Option[IndexedSeq[Seq[Double]]] = None,
       books: Option[IndexedSeq[IndexedSeq[Seq[Double]]]] = None,
       assigned: Option[DataFrame] = None,
-      encoded: Option[DataFrame] = None): DataFrame = {
+      encoded: Option[DataFrame] = None,
+      indexed: Option[DataFrame] = None,
+      pruneCells: Boolean = false): DataFrame = {
     require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
     val short = ivfPqKnn(corpus, queries, idCol, vecCol,
         k * shortlistFactor, nList, nProbe, iters, m, ksub, dim,
-        centroids, books, assigned, encoded)
+        centroids, books, assigned, encoded, indexed, pruneCells)
       .select(col("qid"), col("nid"))
     val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))

@@ -250,7 +250,7 @@ object LlmQueries {
     * content fingerprint (no session), so eviction is global. */
   private[graft] def evictAnnIndexes(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
-    Seq(ivfIndexes, imiIndexes).foreach { c =>
+    Seq(ivfIndexes, imiIndexes, ivfPqIndexes).foreach { c =>
       c.keySet.asScala.filter(_._1 eq s).foreach(k =>
         Option(c.remove(k)).foreach(_.unpersist(true)))
     }
@@ -458,6 +458,32 @@ object LlmQueries {
         .repartition(col("cell")).sortWithinPartitions("cell")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize eagerly so consumers never race the build
+      df
+    })
+  }
+
+  private val ivfPqIndexes = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
+  /** The composed IVF-PQ index artifact `(nid, cell, codes, rnrm)` —
+    * what a deployment materializes once per snapshot (the FAISS
+    * IVF-PQ index file: 8 code bytes + a norm per vector, grouped by
+    * coarse cell); cached cell-clustered so the pruned candidate read
+    * scans codes, never the float corpus. [[ivfIndex]] lifecycle. */
+  private[graft] def ivfPqIndex(
+      s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val fp = embFingerprint(dir)
+    import scala.jdk.CollectionConverters._
+    ivfPqIndexes.keySet.asScala
+      .filter(k => (k._1 eq s) && k._2 != fp)
+      .foreach(k => Option(ivfPqIndexes.remove(k)).foreach(_.unpersist(false)))
+    ivfPqIndexes.computeIfAbsent((s, fp, iters), _ => {
+      val df = Similarity.ivfPqIndexBody(
+        emb(s, dir), "vec_id", "embedding",
+        trainedCentroids(s, dir, iters), trainedPqBooks(s, dir))
+        .repartition(col("cell")).sortWithinPartitions("cell")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
       df
     })
   }
@@ -990,7 +1016,8 @@ object LlmQueries {
     * [[graft.llm.Similarity.ivfPqRerankKnn]]'s two-stage plan. */
   private def ivfPqOracleSql(
       nProbe: Int, k: Int, iters: Int, dim: Int,
-      m: Int, ksub: Int, rerank: Option[Int] = None): String = {
+      m: Int, ksub: Int, rerank: Option[Int] = None,
+      queryPred: String = "n.vec_id % 100 = 0"): String = {
     val dsub = dim / m
     s"""${ivfTrainCtes(iters, dim)},
        |${pqTrainCtes("pq", m, ksub, iters, dim)},
@@ -998,10 +1025,10 @@ object LlmQueries {
        |    SELECT n.vec_id, c.cid, row_number() OVER (
        |      PARTITION BY n.vec_id
        |      ORDER BY ${cSim("c")} DESC, c.cid DESC) AS rnk
-       |    FROM n CROSS JOIN c$iters c WHERE n.vec_id % 100 = 0) t
+       |    FROM n CROSS JOIN c$iters c WHERE $queryPred) t
        |  WHERE rnk <= $nProbe),
        |q AS (SELECT vec_id AS qid, vq AS qv, qnrm AS qn FROM n
-       |      WHERE vec_id % 100 = 0),
+       |      WHERE $queryPred),
        |lut AS (SELECT q.qid, c.sub, c.cid,
        |          ${pqDotSql("q.qv", "c.sub", "c.cv", dsub)} AS p
        |        FROM q CROSS JOIN pqc$iters c),
@@ -1043,6 +1070,32 @@ object LlmQueries {
            |SELECT qid, nid, rank, round(sim, 6) AS sim FROM rr
            |WHERE rank <= $k""".stripMargin
     })
+  }
+
+  /** The IVF-PQ-retrieved context-pack oracle: the [[ivfPqOracleSql]]
+    * rerank chain (queryPred-restricted) truncated at the exact-rerank
+    * top-`k` candidate list, feeding the shared pack suffix. Built by
+    * excising the chain's final SELECT — the chain and the knn oracle
+    * stay one source of truth. */
+  private def ivfPqPackOracleSql(
+      nProbe: Int, k: Int, kShort: Int, iters: Int, dim: Int,
+      m: Int, ksub: Int, queryPred: String, budget: Int): String = {
+    val full = ivfPqOracleSql(nProbe, k, iters, dim, m, ksub,
+      rerank = Some(kShort), queryPred = queryPred)
+    val cut = full.lastIndexOf("\nSELECT qid, nid, rank,")
+    require(cut > 0, "unexpected ivfPq oracle shape")
+    full.substring(0, cut) + s""",
+       |pc AS (SELECT qid, nid, rank AS r FROM rr WHERE rank <= $k),
+       |tok AS (SELECT doc_id,
+       |          len(regexp_extract_all(lower(text),
+       |            '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_tokens
+       |        FROM documents),
+       |packed AS (SELECT qid, nid, r AS rank, n_tokens,
+       |        (sum(n_tokens) OVER (
+       |           PARTITION BY qid ORDER BY r))::BIGINT AS cum_tokens
+       |      FROM pc JOIN tok ON nid = tok.doc_id)
+       |SELECT qid, nid, rank, n_tokens, cum_tokens FROM packed
+       |WHERE cum_tokens <= $budget""".stripMargin
   }
 
   /** Per-doc pair-emission cap (mirror of `Dedup.capPairsPerDoc`): keep a
@@ -2612,6 +2665,26 @@ object LlmQueries {
         "vec_id", "embedding", k = 10, nPairs = 8,
         centroids = Some(trainedImiQuantizers(s, dir)),
         assigned = Some(imiIndex(s, dir)))
+      Similarity.contextPack(docs(s, dir), cands, "doc_id", "text",
+        budgetTokens = 300)
+    }),
+
+    // IVF-PQ context packing (round 17): the fixedq chain with the
+    // candidate stage scanning PQ CODES in-cell (8 bytes + a norm per
+    // vector — at 100 TB the difference between 25 TB of floats and
+    // 0.8 TB of codes) through the cell-pruned read of the cached
+    // composed index, ADC shortlist 2k, exact-cosine rerank touching
+    // the float corpus at shortlist cardinality only — the other half
+    // of the r16 third-decade lever, priced head-to-head with the
+    // fixedq/imi rows.
+    "rag_context_pack_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cands = Similarity.ivfPqRerankKnn(
+        e, e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 20000),
+        "vec_id", "embedding", k = 10, shortlistFactor = 2, nProbe = 4,
+        centroids = Some(trainedCentroids(s, dir)),
+        books = Some(trainedPqBooks(s, dir)),
+        indexed = Some(ivfPqIndex(s, dir)), pruneCells = true)
       Similarity.contextPack(docs(s, dir), cands, "doc_id", "text",
         budgetTokens = 300)
     })
@@ -5173,6 +5246,14 @@ object LlmQueries {
          |           PARTITION BY qid ORDER BY r))::BIGINT AS cum_tokens
          |      FROM cand JOIN tok ON nid = tok.doc_id)
          |SELECT qid, nid, rank, n_tokens, cum_tokens FROM packed
-         |WHERE cum_tokens <= 300""".stripMargin
+         |WHERE cum_tokens <= 300""".stripMargin,
+
+    // the PQ twin: the knn_ivfpq_rerank chain (fixed-|Q| predicate,
+    // ADC shortlist 20, exact rerank 10) into the shared pack suffix
+    "rag_context_pack_pq" -> ivfPqPackOracleSql(
+      nProbe = 4, k = 10, kShort = 20, iters = 3, dim = 64,
+      m = 8, ksub = 16,
+      queryPred = "n.vec_id % 100 = 0 AND n.vec_id < 20000",
+      budget = 300)
   )
 }
