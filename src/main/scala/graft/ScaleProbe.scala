@@ -391,7 +391,7 @@ object ScaleProbe {
     * materialization) timed. Row count = pairs in the built graph. */
   val buildFamily: Seq[String] =
     Seq("mm_video_pairs_build", "mm_mp4_pairs_build", "web_edges_build",
-      "ivf_index_build", "imi_index_build")
+      "ivf_index_build", "imi_index_build", "ivfpq_index_build")
 
   def timeBuild(
       spark: SparkSession, name: String, dir: String): (Double, Long) = {
@@ -416,6 +416,12 @@ object ScaleProbe {
         // the cell-clustered persist — the pass every knn_ivf/rag row
         // amortizes per corpus snapshot
         graft.queries.LlmQueries.ivfIndex(spark, dir).count()
+      case "ivfpq_index_build" =>
+        // the composed IVF-PQ artifact cold: coarse train+assign plus
+        // the PQ codebook training and the O(N·d·ksub) encode pass —
+        // the 8-bytes-per-vector index the rag_context_pack_pq row
+        // amortizes
+        graft.queries.LlmQueries.ivfPqIndex(spark, dir).count()
       case "imi_index_build" =>
         // the multi-index lifecycle cold: two kHalf-codebook trainings
         // + the O(N·kHalf·d) product-cell assignment — the build-side

@@ -127,9 +127,34 @@ object Similarity {
     * anywhere. Output: (qid, nid, rank, n_tokens, cum_tokens), rows
     * whose cumulative total fits the budget. */
   def contextPack(docs: DataFrame, candidates: DataFrame,
-      idCol: String, textCol: String, budgetTokens: Long): DataFrame = {
+      idCol: String, textCol: String, budgetTokens: Long,
+      pruneIds: Boolean = false): DataFrame = {
     val cand = candidates.select(col("qid"), col("nid"), col("rank"))
-    val hitTokens = docs
+    // pruneIds: the serving-shaped read — candidate ids are k-bounded
+    // per query, so a bounded batch's distinct id set (≤ k·|Q| longs)
+    // inlines as an IN predicate and the docs read becomes a point
+    // lookup (row-group pruning on an ID-ORDERED table; partition
+    // pruning on an id-bucketed one) instead of a corpus scan per
+    // batch — the prunedByCells argument applied to the assembly
+    // stage. Results invariant: the filter only narrows the docs side
+    // to ids the join would keep, and the loud missing-id check below
+    // still fires (a missing id stays missing). Corpus-proportional
+    // batches skip it (the id set stops inlining) — same cap logic.
+    // CALLER CONTRACT: the collect EXECUTES the candidate plan once —
+    // pass a persisted/materialized candidate list, or leave this off
+    // when the docs store is unsorted (nothing prunes; the declared
+    // gate rows leave it off for exactly that reason — the probe
+    // corpora are written unordered, so the id IN buys no row-group
+    // pruning and the collect just re-runs retrieval).
+    val docsScan =
+      if (!pruneIds) docs
+      else {
+        val ids = cand.select(col("nid")).distinct()
+          .limit(PruneIdCap + 1).collect().map(_.getLong(0))
+        if (ids.length > PruneIdCap) docs
+        else docs.filter(col(idCol).isin(ids.map(Long.box): _*))
+      }
+    val hitTokens = docsScan
       .select(col(idCol).as("nid"), col(textCol).as("__text"))
       .join(cand.select("nid").distinct(), "nid")
       .select(col("nid"),
@@ -936,6 +961,11 @@ object Similarity {
     * results are identical either way (pruning only removes rows that
     * cannot match the join key). */
   val PruneCellCap: Int = 4096
+
+  /** Candidate-id inlining cap for [[contextPack]]'s `pruneIds` —
+    * bounded serving batches carry ≤ k·|Q| candidate ids; past this
+    * the literal IN stops paying (same argument as [[PruneCellCap]]). */
+  val PruneIdCap: Int = 65536
 
   /** IVF ANN with the TRAINED [[trainIvfKMeans]] quantizer: cell
     * assignment and query probing happen in the quantized space against
