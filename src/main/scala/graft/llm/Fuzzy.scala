@@ -208,6 +208,144 @@ object Fuzzy {
        |  FROM cand WHERE levenshtein(lnm, rnm) <= $k)""".stripMargin
   }
 
+  /** Partition-signature edit-distance join — the SCALE path for entity
+    * resolution on head-heavy name data. Output identical to
+    * [[qgramEditJoin]] (the true edit join); only candidate generation
+    * differs.
+    *
+    * Why grams aren't enough: every q-gram scheme (Gravano count filter,
+    * Ed-Join frequency prefixes) keys candidates by length-q substrings,
+    * and a name corpus has a BOUNDED gram alphabet with a heavy head —
+    * the most common given name is carried by ~0.5–1.5 % of all people,
+    * so its positional grams alone contribute Θ((p·N)²) join fan-out no
+    * matter how the filter thresholds are tuned. The cure is LONGER
+    * signatures spanning the high-entropy part of the string, which is
+    * what partition schemes give (PassJoin — Li, Deng, Feng, PVLDB 5(1)
+    * 2011: pigeonhole over k+1 disjoint segments; PartEnum — Arasu,
+    * Ganti, Kaushik, VLDB 2006: multi-piece signatures for stronger
+    * pruning).
+    *
+    * This operator uses the TWO-SEGMENT pigeonhole: partition each right
+    * name into k+2 disjoint segments (even split). An optimal alignment
+    * locates each of the ≤ k edits in exactly one right segment, so at
+    * least TWO segments are untouched; each untouched segment appears
+    * verbatim in the left string, shifted by the net indel count before
+    * it. If sA is the earlier copy's shift and sB the later's, then
+    * |sA| + |sB − sA| ≤ k (indels before A plus indels between A and B
+    * never exceed the edit budget). Candidates are therefore ONE
+    * equi-join on (segA, segB, slotA, slotB, rlen): the right side emits
+    * its C(k+2, 2) segment pairs; the left side enumerates right lengths
+    * ℓ ∈ [len−k, len+k] (semi-joined against the observed distinct right
+    * lengths — a value-space-bounded relation, ≤ max name length rows,
+    * broadcast by construction), the segment-pair slots, and the
+    * |sA| + |d| ≤ k shift grid, and extracts the would-be copies by
+    * substring. Survivors dedup to (lid, rid) and verify with the exact
+    * `levenshtein` — the output IS the true edit join, candidates only
+    * prune.
+    *
+    * Scale posture: a candidate needs TWO segments of length
+    * ≈ len/(k+2) matching jointly, so the key space is exponential in
+    * the segment length and the fan-out of a head block (everyone named
+    * "james") is divided by the entropy of the OTHER segment — the
+    * surname-bearing slots. On a corpus with high-entropy surnames the
+    * candidate count is Θ(true pairs + N²/2^(joint segment bits)),
+    * linear until N approaches the joint key space, where any
+    * bounded-alphabet gram scheme is already quadratic in the given-name
+    * head. Names shorter than k+2 (cannot host k+2 nonempty segments)
+    * route through a band-join completeness arm over that ≤ (k+1)-char
+    * subset, disjoint from the main arm by right length.
+    */
+  def segmentPairEditJoin(left: DataFrame, right: DataFrame,
+      idCol: String, nameCol: String, k: Int = 2): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val nSeg = k + 2
+    // even split of a length-L string into nSeg segments: the first
+    // L mod nSeg segments get ⌈L/nSeg⌉ chars, the rest ⌊L/nSeg⌋ — both
+    // sides compute the SAME deterministic boundaries from (slot, L)
+    def q(l: Column): Column =
+      ((l - pmod(l, lit(nSeg.toLong))) / nSeg).cast("long")
+    def segLen(i: Column, l: Column): Column =
+      q(l) + when(i < pmod(l, lit(nSeg.toLong)), 1L).otherwise(0L)
+    def segStart(i: Column, l: Column): Column =
+      lit(1L) + i * q(l) + least(i, pmod(l, lit(nSeg.toLong)))
+    val slotPairs = for {
+      a <- 0 until nSeg; b <- (a + 1) until nSeg
+    } yield (a, b)
+    val pairArr = array(slotPairs.map { case (a, b) =>
+      struct(lit(a.toLong).as("a"), lit(b.toLong).as("b"))
+    }: _*)
+    // the |sA| + |d| ≤ k shift grid (d = sB − sA): 13 cells at k = 2
+    val shiftArr = array((for {
+      sA <- -k to k; d <- -(k - math.abs(sA)) to (k - math.abs(sA))
+    } yield struct(lit(sA.toLong).as("sa"), lit(d.toLong).as("d"))): _*)
+
+    val r0 = right
+      .repartition(col(idCol))
+      .select(col(idCol).as("rid"), col(nameCol).as("rnm"),
+        length(col(nameCol)).cast("long").as("rlen"))
+    val rMain = r0.filter(col("rlen") >= nSeg)
+      .withColumn("__ab", explode(pairArr))
+      .select(col("rid"), col("rnm"), col("rlen"),
+        col("__ab.a").as("ra"), col("__ab.b").as("rb"))
+      .select(col("rid"), col("rnm"), col("rlen"), col("ra"), col("rb"),
+        col("rnm").substr(segStart(col("ra"), col("rlen")).cast("int"),
+          segLen(col("ra"), col("rlen")).cast("int")).as("rsegA"),
+        col("rnm").substr(segStart(col("rb"), col("rlen")).cast("int"),
+          segLen(col("rb"), col("rlen")).cast("int")).as("rsegB"))
+
+    // observed distinct right lengths: bounded by the VALUE SPACE (max
+    // name length), never the corpus — broadcast is structural here
+    val rLens = r0.select(col("rlen").as("ell")).distinct()
+    val l0 = left
+      .repartition(col(idCol))
+      .select(col(idCol).as("lid"), col(nameCol).as("lnm"),
+        length(col(nameCol)).cast("long").as("llen"))
+    val lProbe = l0
+      .withColumn("__t", explode(array((-k to k).map(t => lit(t.toLong)): _*)))
+      .withColumn("ell", col("llen") + col("__t"))
+      .filter(col("ell") >= nSeg)
+      .join(broadcast(rLens), "ell")
+      .withColumn("__ab", explode(pairArr))
+      .withColumn("__sh", explode(shiftArr))
+      .select(col("lid"), col("lnm"), col("llen"), col("ell"),
+        col("__ab.a").as("la"), col("__ab.b").as("lb"),
+        (segStart(col("__ab.a"), col("ell")) + col("__sh.sa")).as("pA"),
+        segLen(col("__ab.a"), col("ell")).as("wA"),
+        (segStart(col("__ab.b"), col("ell")) + col("__sh.sa") +
+          col("__sh.d")).as("pB"),
+        segLen(col("__ab.b"), col("ell")).as("wB"))
+      .filter(col("pA") >= 1 && col("pA") + col("wA") - 1 <= col("llen") &&
+        col("pB") >= 1 && col("pB") + col("wB") - 1 <= col("llen"))
+      .select(col("lid"), col("lnm"), col("ell"), col("la"), col("lb"),
+        col("lnm").substr(col("pA").cast("int"), col("wA").cast("int"))
+          .as("lsegA"),
+        col("lnm").substr(col("pB").cast("int"), col("wB").cast("int"))
+          .as("lsegB"))
+
+    val mainCand = lProbe.join(rMain,
+        col("lsegA") === col("rsegA") && col("lsegB") === col("rsegB") &&
+          col("la") === col("ra") && col("lb") === col("rb") &&
+          col("ell") === col("rlen"))
+      .select(col("lid"), col("rid"), col("lnm"), col("rnm"))
+
+    // completeness arm for rights too short to host k+2 nonempty
+    // segments (rlen ≤ k+1): a length-band join over that tiny subset —
+    // the band rides the equi-key (left replicates at llen−k..llen+k)
+    val rShort = r0.filter(col("rlen") < nSeg)
+    val shortCand = l0
+      .withColumn("__t", explode(array((-k to k).map(t => lit(t.toLong)): _*)))
+      .withColumn("__bl", col("llen") + col("__t"))
+      .join(rShort, col("__bl") === rShort("rlen"))
+      .select(col("lid"), col("rid"), col("lnm"), col("rnm"))
+
+    mainCand.unionByName(shortCand)
+      .distinct()
+      .withColumn("edit_dist", levenshtein(col("lnm"), col("rnm")))
+      .filter(col("edit_dist") <= k)
+      .select(col("lid").as("l_id"), col("rid").as("r_id"),
+        col("edit_dist").cast("long").as("edit_dist"))
+  }
+
   /** The 64-word fixture vocabulary for the entity-resolution query —
     * pairwise edit distance ≥ 3 (verified at generation), so two
     * 3-word names differing in ANY word slot are > k = 2 apart and the
@@ -260,6 +398,81 @@ object Fuzzy {
     when(m === 0L, concat(pre, lit("0"), post))
       .when(m === 1L, concat(pre, post))
       .otherwise(name)
+  }
+
+  // ---- realistic name corpus (the probe-rowable generator) ----------
+  //
+  // The 64-word fixture above deliberately CAPS gram diversity (its
+  // point is a cheap, collision-free gate); a scale row priced on it
+  // would measure the fixture's degenerate gram df, not the operator
+  // (the VocabProbe lesson). erName2 is the probe generator: full names
+  // with the two statistical properties that govern edit-join fan-out
+  // on real person/vendor records —
+  //   * a HEAD-HEAVY given name (two-draw octave-Zipf over 2^16 ranks:
+  //     e = max of two uniform octave draws, rank uniform inside the
+  //     octave — P(top name) ≈ 0.4 %, the US-census ballpark, and the
+  //     head block is what breaks gram schemes), and
+  //   * a HIGH-ENTROPY surname (48 uniform bits — the identity-carrying
+  //     tail every real record corpus has; it is what partition
+  //     signatures exploit and gram df can't see).
+  // Words are rendered as proquints (Wilkerson 2009: 16 consonants ×
+  // 4 vowels alternating, 16 bits per 5-char word) so the character
+  // statistics are pronounceable-name-like and every arithmetic step is
+  // integer-exact in both engines (no exp/log FP to diverge on).
+
+  private val PqCon = "bdfghjklmnprstvz"
+  private val PqVow = "aiou"
+
+  /** 5-char proquint of the low 16 bits of a non-negative long. */
+  def proquint16(v: Column): Column = {
+    def c(shift: Int) = lit(PqCon).substr(
+      (pmod(shiftright(v, shift), lit(16L)) + 1L).cast("int"), lit(1))
+    def w(shift: Int) = lit(PqVow).substr(
+      (pmod(shiftright(v, shift), lit(4L)) + 1L).cast("int"), lit(1))
+    concat(c(12), w(10), c(6), w(4), c(0))
+  }
+
+  /** The DuckDB twin of [[proquint16]]. */
+  def proquint16Sql(vSql: String): String = {
+    def c(div: Long) =
+      s"substr('$PqCon', CAST((($vSql) // $div) % 16 AS INT) + 1, 1)"
+    def w(div: Long) =
+      s"substr('$PqVow', CAST((($vSql) // $div) % 4 AS INT) + 1, 1)"
+    s"(${c(4096)} || ${w(1024)} || ${c(64)} || ${w(16)} || ${c(1)})"
+  }
+
+  /** Deterministic full entity name for a key: `surname given` with a
+    * 15-char uniform-48-bit surname (three proquints) and a 5-char
+    * two-draw-octave-Zipf given name — 21 chars total. Surname first so
+    * the even segment split puts high-entropy characters in every
+    * segment-pair signature. Integer-exact; replayed by [[erName2Sql]]. */
+  def erName2(key: Column): Column = {
+    def h(tag: String) =
+      TextOps.hash32(concat(lit(tag), key.cast("string")))
+    val hg = h("egn:"); val hg2 = h("egm:")
+    val em = greatest(pmod(hg, lit(16L)), pmod(hg2, lit(16L)))
+    val pw = element_at(
+      array((0 to 15).map(i => lit(1L << i)): _*), (em + 1L).cast("int"))
+    val rank = pw + pmod(shiftright(hg, 4), pw)
+    val sur = concat(
+      proquint16(pmod(h("es1:"), lit(65536L))),
+      proquint16(pmod(h("es2:"), lit(65536L))),
+      proquint16(pmod(h("es3:"), lit(65536L))))
+    concat(sur, lit(" "), proquint16(rank))
+  }
+
+  /** The DuckDB twin of [[erName2]]. */
+  def erName2Sql(keySql: String): String = {
+    def h(tag: String) =
+      hash32Sql(s"'$tag' || CAST($keySql AS VARCHAR)")
+    val hg = h("egn:"); val hg2 = h("egm:")
+    val pwList = (0 to 15).map(i => (1L << i).toString).mkString("[", ", ", "]")
+    val pw = s"($pwList[CAST(greatest(($hg) % 16, ($hg2) % 16) AS INT) + 1])"
+    val rank = s"($pw + ((($hg) // 16) % $pw))"
+    val sur = Seq("es1:", "es2:", "es3:")
+      .map(t => proquint16Sql(s"(${h(t)}) % 65536"))
+      .mkString(" || ")
+    s"($sur || ' ' || ${proquint16Sql(rank)})"
   }
 
   /** The DuckDB twin of [[erDirty]] over a name SQL fragment. */

@@ -125,4 +125,66 @@ class FuzzySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(run(pad = true) == run(pad = false))
   }
+
+  // ---- segment-pair partition signature (the scale path) ------------
+
+  test("segmentPairEditJoin equals the brute-force levenshtein join " +
+      "(k = 1 and k = 2, mixed lengths incl. shorts, empties, dups)") {
+    // adversarial mix: the word fixture, short strings below k+2 (the
+    // band arm), boundary-straddling edits, duplicates, near-misses
+    val mixed = names ++ Seq("", "a", "ab", "abc", "abcd", "abcde",
+      "aXcdY",           // shares zero grams with abcde yet lev = 2
+      "abcdefgh", "abXdefgh", "abdefgh", "abcdefghX", // edits per segment
+      "abcdefgh",        // duplicate of a longer string
+      "hgfedcba")        // reversal: far
+    val l = mixed.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name")
+    for (k <- Seq(1, 2)) {
+      val got = Fuzzy.segmentPairEditJoin(l, l, "id", "name", k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (a, i) <- mixed.zipWithIndex; (b, j) <- mixed.zipWithIndex
+        d = lev(a, b) if d <= k
+      } yield (i.toLong, j.toLong, d.toLong)).toSet
+      assert(got == want, s"k=$k")
+      assert(want.exists(_._3 == k.toLong), s"k=$k distance class present")
+    }
+  }
+
+  test("segmentPairEditJoin == qgramEditJoin on the erName2 corpus " +
+      "(two independent candidate schemes, one true join)") {
+    val keys = (1L to 500L).toDF("k")
+    val clean = keys.select(col("k").as("id"),
+      Fuzzy.erName2(col("k")).as("name"))
+    val dirty = keys.select(col("k").as("id"),
+      Fuzzy.erDirty(Fuzzy.erName2(col("k")), col("k")).as("name"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val seg = rows(Fuzzy.segmentPairEditJoin(clean, dirty, "id", "name", k = 2))
+    val gram = rows(Fuzzy.qgramEditJoin(clean, dirty, "id", "name",
+      q = 3, k = 2))
+    assert(seg == gram)
+    // every planted perturbation is recovered (recall 1.0 on the dirt)
+    assert((1L to 500L).forall(i => seg.exists(p => p._1 == i && p._2 == i)))
+  }
+
+  test("erName2: 21-char 'surname given' shape, head-heavy given, " +
+      "high-entropy surname") {
+    val n = 4000L
+    val parts = (1L to n).toDF("k")
+      .select(Fuzzy.erName2(col("k")).as("name"))
+      .select(split(col("name"), " ").as("p"))
+      .select(col("p").getItem(0).as("sur"), col("p").getItem(1).as("giv"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(parts.forall { case (s, g) => s.length == 15 && g.length == 5 })
+    val givCounts = parts.groupBy(_._2).view.mapValues(_.size)
+    // head-heavy given names: the top name is carried by far more rows
+    // than a uniform draw over 2^16 ranks would allow, but is still a
+    // sub-percent share (the census ballpark) — not the 64-word fixture
+    val top = givCounts.values.max
+    assert(top >= 8 && top <= n / 50, s"top given count $top")
+    // high-entropy surnames: essentially no collisions at this n
+    val surDup = parts.groupBy(_._1).count { case (_, v) => v.size > 1 }
+    assert(surDup <= 2, s"surname collisions $surDup")
+  }
 }
