@@ -382,7 +382,24 @@ object ScaleProbe {
     "text_bpe_encode",
     // Aho–Corasick blocklist: one automaton pass per doc — expected
     // per-row cost flat in lexicon size, ~1×/decade per-row scan
-    "text_blocklist")
+    "text_blocklist",
+    // round-17 session 2 (VERDICT r16 #5): entity resolution on the
+    // realistic erName2 corpus (names derived from doc_id — head-heavy
+    // Zipf given + uniform-48-bit surname, so gram diversity grows with
+    // the data). x_er_names_seg is the STANDING scale row (segment-pair
+    // partition signatures: candidates keyed by pairs of ~5-char
+    // segments — the given-name head block is divided by surname
+    // entropy, candidate count ~linear). x_er_names_gram is the
+    // LICENSED contrast (any bounded-alphabet gram scheme pays
+    // Θ((p_head·N)²) fan-out from the given-name head) — priced at the
+    // first decade, skipped at 100× like the dense knn_sparse_tfidf row.
+    "x_er_names_seg", "x_er_names_gram",
+    // corpus-vs-corpus retrieval: the NN-descent k-NN graph — O(N·k²)
+    // per local-join round (candidates = neighbors-of-neighbors with
+    // the reverse side capped at k), vs N × in-cell occupancy for
+    // probing an inverted file with the corpus as the query batch —
+    // expected ~linear per decade
+    "knn_graph")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

@@ -746,6 +746,124 @@ object Similarity {
       .select(col("qid"), col("n_exact"), col("n_hits"),
         round(col("n_hits").cast("double") / col("n_exact"), 6).as("recall"))
 
+  /** Initial-graph LSH plane count for [[nnDescentGraph]]: the smallest
+    * p ≤ 30 with 2^p ≥ N/k (expected bucket occupancy ≈ k — each node
+    * starts with about one bucket's worth of provisional neighbors),
+    * floored at 4. Pure integer shifts/comparisons — the oracle mirrors
+    * it exactly (the autoPlanes discipline). */
+  def nnDescentPlanes(n: Long, k: Int): Int = {
+    val target = math.max(1L, n / k)
+    var p = 0
+    while (p < 30 && (1L << p) < target) p += 1
+    math.max(4, p)
+  }
+
+  /** APPROXIMATE k-NN GRAPH over the whole corpus — NN-DESCENT (Dong,
+    * Moses, Li: "Efficient k-nearest neighbor graph construction for
+    * generic similarity measures", WWW 2011). This is the
+    * CORPUS-VS-CORPUS retrieval shape (SemDeDup at the query tier,
+    * attribution sweeps, diversity mining, graph-ANN index bootstrap)
+    * where every query-batch ANN entry is structurally wrong: both
+    * sides ARE the corpus, so neither can broadcast and per-query index
+    * probing pays N × (in-cell occupancy) — N^1.5 under a √N inverted
+    * file, N^(4/3) under the multi-index. NN-descent instead converges
+    * the whole graph at O(N·k²) work PER ROUND:
+    *
+    *  - INIT: TWO independent hyperplane-LSH tables sized to expected
+    *    occupancy ≈ k each ([[nnDescentPlanes]]) give each node a
+    *    provisional neighbor list — one (table, bucket) equi-join with
+    *    cross-table (qid, nid) group-min dedup, the lshKnnMultiTable
+    *    shape (and its skew license: a pathological bucket is ordinary
+    *    join-key skew). Two tables matter for CONNECTIVITY, not just
+    *    recall: local joins only ever propagate within a connected
+    *    component of the init graph, and a cluster split by one
+    *    projection is bridged by the other.
+    *  - ROUND ("local join"): if u lists v and w as neighbors, v and w
+    *    become candidates OF EACH OTHER — neighbors-of-neighbors
+    *    relationally: E = B ∪ reverse(B) (reverse degree capped at k by
+    *    (sim DESC, id) — Dong's reverse sampling, ρ = 1, keeps hub
+    *    in-degrees from breaking the per-round bound), then ONE
+    *    self-equi-join of E on the shared endpoint, ≤ (2k)² candidate
+    *    pairs per node. Candidates union the current edges (a neighbor
+    *    is never lost — per-node top-k is monotone across rounds),
+    *    dedup, rescore by exact cosine, and keep the per-node top-k via
+    *    the bounded TopKAgg. Iteration-invariant vectors are
+    *    localCheckpoint'ed once; per-round results checkpoint to keep
+    *    lineage flat (the Graph.pageRank discipline).
+    *
+    * Every round is two corpus-key equi-joins + one k²-bounded
+    * self-join — no broadcast of anything corpus-sized, no windows, no
+    * driver state beyond the plane count. Convergence: each round can
+    * only improve per-node lists (union with current edges + top-k);
+    * on clustered corpora 2 rounds from the LSH warm start recover
+    * most of the exact graph (`NnDescentSpec` measures it; the dial is
+    * `rounds`, and k itself — larger lists explore more per round).
+    * Output: (qid, nid, rank, sim) — k rows per node, the knn contract.
+    */
+  def nnDescentGraph(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, rounds: Int = 2, dim: Int = 64): DataFrame = {
+    require(k >= 1 && rounds >= 0)
+    val n = emb.select(col(idCol).as("nid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint()
+    val planes = nnDescentPlanes(n.count(), k)
+    val signs = planeSigns(2 * planes, dim)
+    val b = n
+      .withColumn("__b1", bucketExpr(col("v"), signs.slice(0, planes)))
+      .withColumn("__b2",
+        bucketExpr(col("v"), signs.slice(planes, 2 * planes)))
+      .withColumn("__tb", explode(array(
+        struct(lit(0L).as("t"), col("__b1").as("bk")),
+        struct(lit(1L).as("t"), col("__b2").as("bk")))))
+      .select(col("nid"), col("v"), col("nrm"),
+        col("__tb.t").as("t"), col("__tb.bk").as("bk"))
+    // fresh aliases on every shared-lineage column (corpus self-joins)
+    val q0 = b.select(col("nid").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"), col("t").as("t"), col("bk").as("bk"))
+    val scored0 = b.join(q0, Seq("t", "bk"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      // a pair found by both tables scores identically — group-min dedup
+      .groupBy("qid", "nid").agg(min("sim").as("sim"))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    // per-node top-k with the RAW double sim carried between rounds
+    // (the reverse cap ranks on it); the public rounded/ranked shape is
+    // applied once at the end
+    def keepK(scored: DataFrame): DataFrame = scored
+      .groupBy("qid").agg(topk(col("sim"), col("nid")).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.id").as("nid"), col("e.score").as("sim"))
+    var cur = keepK(scored0).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val rev = cur
+        .select(col("nid").as("qid"), col("qid").as("nid"), col("sim"))
+      val revCapped = keepK(rev)
+      val e = cur.select("qid", "nid")
+        .unionByName(revCapped.select("qid", "nid"))
+        .select(col("qid").as("u"), col("nid").as("x"))
+      val eR = e.select(col("u").as("u2"), col("x").as("y"))
+      val cand = e.join(eR, col("u") === col("u2"))
+        .filter(col("x") =!= col("y"))
+        .select(col("x").as("qid"), col("y").as("nid"))
+        .unionByName(cur.select("qid", "nid"))
+        .distinct()
+      val scored = cand
+        .join(n.select(col("nid").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn")), Seq("qid"))
+        .join(n, Seq("nid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      cur = keepK(scored).localCheckpoint()
+    }
+    // public contract: rank by (sim DESC, nid ASC), round like topK
+    cur.groupBy("qid").agg(topk(col("sim"), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("nid"),
+        (col("pos") + 1).as("rank"),
+        round(col("col.score"), 6).as("sim"))
+  }
+
   /** IVF (inverted-file) ANN — the second scale path, complementing
     * [[lshKnn]]. A coarse quantizer of `nList` centroids partitions the
     * corpus into cells; each query probes its `nProbe` nearest cells and

@@ -1199,6 +1199,69 @@ object LlmQueries {
        |          sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS bkt
        |        FROM pb GROUP BY vec_id)""".stripMargin
 
+  /** NN-descent unrolled CTE chain (2 rounds, fixed k): ends with
+    * `b2(qid, nid, sim, rn)` — the converged per-node top-k — and `n`
+    * (vec_id, v, nrm) still in scope for consumers (the recall row's
+    * brute side). Plane count mirrors [[Similarity.nnDescentPlanes]]
+    * exactly (smallest p with 2^p ≥ greatest(1, N // k), floored at 4). */
+  private def nnDescentCtes(k: Int): String = {
+    def round(r: Int) = {
+      val prev = s"b${r - 1}"
+      s"""rev$r AS (SELECT qid, nid, sim FROM (
+         |  SELECT b.nid AS qid, b.qid AS nid, b.sim, row_number() OVER (
+         |    PARTITION BY b.nid ORDER BY b.sim DESC, b.qid) AS rn
+         |  FROM $prev b) WHERE rn <= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT qid AS u, nid AS x FROM $prev
+         |  UNION ALL SELECT qid, nid FROM rev$r),
+         |c$r AS MATERIALIZED (
+         |  SELECT DISTINCT qid, nid FROM (
+         |    SELECT a.x AS qid, b.x AS nid FROM e$r a JOIN e$r b
+         |      ON a.u = b.u AND a.x != b.x
+         |    UNION ALL SELECT qid, nid FROM $prev)),
+         |s$r AS (SELECT c.qid, c.nid,
+         |          ${dotSql("qa.v", "qb.v")} / (qa.nrm * qb.nrm) AS sim
+         |        FROM c$r c JOIN n qa ON qa.vec_id = c.qid
+         |                   JOIN n qb ON qb.vec_id = c.nid),
+         |b$r AS MATERIALIZED (SELECT qid, nid, sim, rn FROM (
+         |  SELECT qid, nid, sim, row_number() OVER (
+         |    PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+         |  FROM s$r) WHERE rn <= $k)""".stripMargin
+    }
+    s"""v AS (SELECT vec_id,
+       |        list_transform(embedding, x -> x::DOUBLE) AS v
+       |      FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM v),
+       |${planesSql(60)},
+       |np AS (SELECT greatest(4, coalesce((SELECT min(j) FROM
+       |         (SELECT unnest(range(0, 31)) AS j) t
+       |         WHERE (1::BIGINT << j) >= (SELECT greatest(1, count(*) // $k)
+       |                                    FROM embeddings)), 30)) AS p),
+       |pb AS (SELECT n.vec_id, p.j, ${dotSql("n.v", "p.s")} AS d
+       |       FROM n CROSS JOIN planes p
+       |       WHERE p.j < 2 * (SELECT p FROM np)),
+       |bkt AS (SELECT vec_id, j // (SELECT p FROM np) AS tb,
+       |          sum(CASE WHEN d > 0
+       |              THEN (1::BIGINT << (j % (SELECT p FROM np)))
+       |              ELSE 0::BIGINT END)::BIGINT AS bkt
+       |        FROM pb GROUP BY 1, 2),
+       |nb AS MATERIALIZED (
+       |  SELECT n.vec_id, n.v, n.nrm, bkt.tb, bkt.bkt
+       |  FROM n JOIN bkt ON n.vec_id = bkt.vec_id),
+       |s0 AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |         min(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm)) AS sim
+       |       FROM nb a JOIN nb b
+       |         ON a.tb = b.tb AND a.bkt = b.bkt AND a.vec_id != b.vec_id
+       |       GROUP BY 1, 2),
+       |b0 AS MATERIALIZED (SELECT qid, nid, sim FROM (
+       |  SELECT qid, nid, sim, row_number() OVER (
+       |    PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM s0) WHERE rn <= $k),
+       |${round(1)},
+       |${round(2)}""".stripMargin
+  }
+
   /** Corpus-scaled LSH plane count — the exact integer mirror of
     * [[Similarity.autoPlanes]]: the smallest p ≤ 30 with 2^p ≥ N,
     * floored at 8 (no cross-engine log2; pure shifts and comparisons). */
@@ -1461,6 +1524,30 @@ object LlmQueries {
       val e = emb(s, dir)
       Similarity.bruteForceKnn(
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 5)
+    }),
+
+    // CORPUS-VS-CORPUS retrieval: the approximate k-NN GRAPH over the
+    // whole embedding table via NN-descent (Dong et al. WWW 2011) —
+    // the shape where query-batch ANN is structurally wrong (both sides
+    // ARE the corpus; nothing broadcasts, and per-query index probing
+    // would pay N × in-cell occupancy ≥ N^(4/3)). LSH warm start at
+    // expected bucket occupancy ≈ k, then `rounds` neighbor-of-neighbor
+    // local joins at O(N·k²)/round. The oracle unrolls init + both
+    // rounds (reverse cap, local join, union-with-current, rescore,
+    // per-node top-k) — every sim an identical left-fold double.
+    "knn_graph" -> ((s, dir) =>
+      Similarity.nnDescentGraph(emb(s, dir), "vec_id", "embedding",
+        k = 5, rounds = 2)),
+
+    // the graph's measured recall: the converged graph restricted to
+    // the %100 node sample vs the brute exact top-k for those nodes
+    "knn_graph_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnRecall(
+        Similarity.nnDescentGraph(e, "vec_id", "embedding",
+          k = 5, rounds = 2).filter(col("qid") % 100 === 0),
+        Similarity.bruteForceKnn(e, e.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 5))
     }),
 
     // sparse LEXICAL retrieval (tf-idf cosine over an inverted index) —
@@ -2934,6 +3021,40 @@ object LlmQueries {
          |      FROM scored)
          |SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
          |WHERE rank <= 5""".stripMargin,
+
+    // NN-descent unrolled: LSH init (plane count = the exact integer
+    // mirror of Similarity.nnDescentPlanes — smallest p with 2^p >=
+    // greatest(1, N // k), floored at 4), then two rounds of [reverse
+    // cap at k by (sim DESC, id) | E = forward ∪ reverse | local join
+    // on the shared endpoint | ∪ current edges | DISTINCT | rescore |
+    // per-node top-k]. Chain CTEs MATERIALIZED (DuckDB inlines
+    // non-recursive CTEs; e/b are referenced twice per round).
+    "knn_graph" ->
+      s"""WITH ${nnDescentCtes(5)}
+         |SELECT qid, nid, rn AS rank, round(sim, 6) AS sim FROM b2""".stripMargin,
+
+    // the graph's recall row: restrict the converged graph to the %100
+    // node sample and compare against the brute-force exact top-k for
+    // those nodes (the knn_rptree_recall treatment)
+    "knn_graph_recall" ->
+      s"""WITH ${nnDescentCtes(5)},
+         |ap AS (SELECT qid, nid FROM b2 WHERE qid % 100 = 0),
+         |qb AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+         |       WHERE vec_id % 100 = 0),
+         |sb AS (SELECT qb.qid, n.vec_id AS nid,
+         |         ${dotSql("qb.qv", "n.v")} / (qb.qn * n.nrm) AS sim
+         |       FROM qb JOIN n ON n.vec_id != qb.qid),
+         |ex AS (SELECT qid, nid FROM (
+         |         SELECT qid, nid, row_number() OVER (
+         |           PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |         FROM sb) WHERE rank <= 5)
+         |SELECT ex.qid, count(*)::BIGINT AS n_exact,
+         |       sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_hits,
+         |       round(sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)
+         |             ::DOUBLE / count(*), 6) AS recall
+         |FROM ex LEFT JOIN ap USING (qid, nid)
+         |GROUP BY 1""".stripMargin,
 
     // the ten possible median levels unrolled, each gated on the SAME
     // integer count threshold Similarity.autoDepth applies (level l

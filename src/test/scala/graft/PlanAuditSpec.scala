@@ -73,6 +73,10 @@ class PlanAuditSpec extends SparkSpec {
       // knn_rptree_forest itself carries NO exemption
       "knn_imi_recall", // same shape: brute exact side only; knn_imi
       // itself (product-cell equi-join) carries NO exemption
+      "knn_graph_recall", // same shape again: the EXACT side is the
+      // licensed brute baseline over the %100 sample; the NN-descent
+      // graph under audit is LSH-bucket + neighbor-of-neighbor
+      // equi-joins only — knn_graph itself carries NO exemption
       "knn_sq8", "knn_pq", "knn_project_rerank", "rag_fusion_rrf",
       "rag_mmr_rerank")
 
