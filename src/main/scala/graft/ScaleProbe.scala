@@ -389,17 +389,20 @@ object ScaleProbe {
     // the data). x_er_names_seg is the STANDING scale row (segment-pair
     // partition signatures: candidates keyed by pairs of ~5-char
     // segments — the given-name head block is divided by surname
-    // entropy, candidate count ~linear). x_er_names_gram is the
-    // LICENSED contrast (any bounded-alphabet gram scheme pays
-    // Θ((p_head·N)²) fan-out from the given-name head) — priced at the
-    // first decade, skipped at 100× like the dense knn_sparse_tfidf row.
-    "x_er_names_seg", "x_er_names_gram",
+    // entropy, candidate count ~linear). The gram-filter contrast
+    // (x_er_names_gram, gate-checked at sf0.01) is NOT standing-rowed:
+    // its candidate join is alphabet-bounded-quadratic by mechanism
+    // (~0.1·N² rows at 50k names — a median-3 row grinds for most of an
+    // hour pricing a known exponent); graft.ErGramProbe prices both
+    // schemes' candidate stages single-shot, the VocabProbe pattern.
+    "x_er_names_seg",
     // corpus-vs-corpus retrieval: the NN-descent k-NN graph — O(N·k²)
     // per local-join round (candidates = neighbors-of-neighbors with
     // the reverse side capped at k), vs N × in-cell occupancy for
     // probing an inverted file with the corpus as the query batch —
-    // expected ~linear per decade
-    "knn_graph")
+    // expected ~linear per decade; and the dedup composition consuming
+    // it (τ-thresholded edges → min-label components → keep-winner)
+    "knn_graph", "dedup_semdedup_graph")
 
   /** Cold pair-graph BUILD rows (ADVICE r11 medium): the `mm_*_near_dup`
     * probe rows read the session-cached pair graph priced in their dedup

@@ -75,6 +75,17 @@ object Fuzzy {
     * alphabet for any real name corpus. */
   def qgramEditJoin(left: DataFrame, right: DataFrame,
       idCol: String, nameCol: String, q: Int = 3, k: Int = 2,
+      pad: Boolean = true): DataFrame =
+    verifyCandidates(
+      qgramCandidates(left, right, idCol, nameCol, q, k, pad), k)
+
+  /** [[qgramEditJoin]]'s candidate relation (gram-count-filter survivors
+    * ∪ both-short band arm, BEFORE the exact levenshtein verify) —
+    * exposed so scale probes can count candidates, the quantity the
+    * filter's fan-out argument is about. Columns
+    * `(lid, rid, lnm, rnm, llen, rlen)`. */
+  def qgramCandidates(left: DataFrame, right: DataFrame,
+      idCol: String, nameCol: String, q: Int = 3, k: Int = 2,
       pad: Boolean = true): DataFrame = {
     require(q >= 2 && k >= 1 && k <= q, s"need q >= 2, 1 <= k <= q")
     // gram count of a length-L name: L + q − 1 padded, L − q + 1 bare —
@@ -158,11 +169,15 @@ object Fuzzy {
       .join(shorts(right, "r"), col("__bl") === col("rlen"))
       .select("lid", "rid", "lnm", "rnm", "llen", "rlen")
     gramCand.unionByName(shortCand)
+  }
+
+  /** Shared exact-verify suffix: candidates → the true edit join. */
+  private def verifyCandidates(cand: DataFrame, k: Int): DataFrame =
+    cand
       .withColumn("edit_dist", levenshtein(col("lnm"), col("rnm")))
       .filter(col("edit_dist") <= k)
       .select(col("lid").as("l_id"), col("rid").as("r_id"),
         col("edit_dist").cast("long").as("edit_dist"))
-  }
 
   /** The DuckDB twin of [[qgramEditJoin]] as a WITH-clause body over
     * caller-supplied relations `lrel`/`rrel` (columns `id`, `name`) —
@@ -256,6 +271,16 @@ object Fuzzy {
     * subset, disjoint from the main arm by right length.
     */
   def segmentPairEditJoin(left: DataFrame, right: DataFrame,
+      idCol: String, nameCol: String, k: Int = 2): DataFrame =
+    verifyCandidates(
+      segmentPairCandidates(left, right, idCol, nameCol, k), k)
+
+  /** [[segmentPairEditJoin]]'s deduped candidate relation (segment-pair
+    * equi-join survivors ∪ short-right band arm, BEFORE the exact
+    * levenshtein verify) — exposed so scale probes can count candidates
+    * head-to-head against [[qgramCandidates]]. Columns
+    * `(lid, rid, lnm, rnm)`. */
+  def segmentPairCandidates(left: DataFrame, right: DataFrame,
       idCol: String, nameCol: String, k: Int = 2): DataFrame = {
     require(k >= 1, "need k >= 1")
     val nSeg = k + 2
@@ -340,10 +365,6 @@ object Fuzzy {
 
     mainCand.unionByName(shortCand)
       .distinct()
-      .withColumn("edit_dist", levenshtein(col("lnm"), col("rnm")))
-      .filter(col("edit_dist") <= k)
-      .select(col("lid").as("l_id"), col("rid").as("r_id"),
-        col("edit_dist").cast("long").as("edit_dist"))
   }
 
   /** The 64-word fixture vocabulary for the entity-resolution query —

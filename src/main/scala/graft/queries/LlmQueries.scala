@@ -1894,6 +1894,29 @@ object LlmQueries {
         .select("vec_id", "label")
     }),
 
+    // SemDeDup ON THE k-NN GRAPH — the corpus-vs-corpus composition the
+    // graph exists for: candidate pairs come from nnDescentGraph's
+    // converged edges (≥ τ), NOT from probing an index with the corpus
+    // as a query batch (N × in-cell occupancy) and not from IVF-cell
+    // confinement (which can split a duplicate cluster across cells).
+    // Components via the iterative min-label CC; keep = the component's
+    // min id (the CC label itself), singletons keep. The oracle replays
+    // the whole graph chain + a recursive-CTE CC.
+    "dedup_semdedup_graph" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val g = Similarity.nnDescentGraph(e, "vec_id", "embedding",
+        k = 5, rounds = 2)
+      val comp = Dedup.connectedComponents(
+        g.filter(col("sim") >= 0.35).select("qid", "nid"), "qid", "nid")
+      e.select(col("vec_id"))
+        .join(comp.select(col("doc_id").as("vec_id"), col("cluster_id")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("cluster_id").isNull ||
+            col("cluster_id") === col("vec_id"), lit("keep"))
+            .otherwise(lit("drop")).as("label"))
+    }),
+
     // END-TO-END CURATION PIPELINE — quality rules → exact dedup →
     // near-dup dedup → decontamination, STAGED (Curation.scala): the
     // pipeline's decisions collapse to one small cached drop-set built
@@ -3032,6 +3055,24 @@ object LlmQueries {
     "knn_graph" ->
       s"""WITH ${nnDescentCtes(5)}
          |SELECT qid, nid, rn AS rank, round(sim, 6) AS sim FROM b2""".stripMargin,
+
+    // the graph consumed by dedup: τ-thresholded converged edges →
+    // min-label components (recursive CTE) → keep the component label
+    "dedup_semdedup_graph" ->
+      s"""WITH RECURSIVE ${nnDescentCtes(5)},
+         |ge AS (SELECT qid, nid FROM b2 WHERE round(sim, 6) >= 0.35),
+         |edges AS (SELECT qid AS a, nid AS b FROM ge
+         |          UNION ALL SELECT nid, qid FROM ge),
+         |gnodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM gnodes
+         |  UNION
+         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT v.vec_id,
+         |       CASE WHEN c.cluster_id IS NULL OR c.cluster_id = v.vec_id
+         |            THEN 'keep' ELSE 'drop' END AS label
+         |FROM v LEFT JOIN comp c ON v.vec_id = c.id""".stripMargin,
 
     // the graph's recall row: restrict the converged graph to the %100
     // node sample and compare against the brute-force exact top-k for
