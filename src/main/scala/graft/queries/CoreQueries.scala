@@ -1252,19 +1252,34 @@ object CoreQueries {
           round(col("value") * 100).cast("long").as("value_cents"))
     }),
 
-    // One-pass column profiling (the data-quality precursor every
-    // ingest pipeline runs): row count, per-column distinct counts,
-    // null tally, min/max bounds, checksum — all map-side-combinable
-    // partial aggregates in a single scan.
-    "x_profile_events" -> ((s, dir) =>
-      events(s, dir).agg(
+    // Column profiling (the data-quality precursor every ingest
+    // pipeline runs): row count, per-column distinct counts, null
+    // tally, min/max bounds, checksum. TWO countDistinct in one
+    // aggregate plan via Expand — every input row replicated 3× and
+    // re-aggregated by (user_id, event_type, gid), so the profiling
+    // scan pays 3N row-evals and a distinct-keyed shuffle (r17 10×
+    // probe: 52×/decade). Splitting each distinct count into its own
+    // single-row aggregate keeps every leg Expand-free and map-side
+    // combinable, each scan column-pruned to exactly one parquet
+    // column; the single-row crossJoins are the structurally-licensed
+    // stats-row shape (PlanAuditSpec). Same values, schema, and column
+    // order — the oracle is unchanged.
+    "x_profile_events" -> ((s, dir) => {
+      val e = events(s, dir)
+      val main = e.agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("user_id")).as("n_users"),
-        countDistinct(col("event_type")).as("n_types"),
         sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_values"),
         min(col("ts")).as("min_ts"),
         max(col("ts")).as("max_ts"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      val nTypes = e.select("event_type").agg(
+        countDistinct(col("event_type")).as("n_types"))
+      main.crossJoin(broadcast(nTypes))
+        .select(col("n_rows"), col("n_users"), col("n_types"),
+          col("null_values"), col("min_ts"), col("max_ts"),
+          col("value_cents"))
+    }),
 
     // Approximate-query sketches (graft.llm.Sketches): deterministic
     // md5-hashed register builds, so even the ESTIMATES hash-match an
