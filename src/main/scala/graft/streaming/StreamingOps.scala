@@ -300,18 +300,19 @@ object StreamingOps {
     * NULL features when none qualifies — the same semantics the batch
     * oracle checks, per micro-batch.
     *
-    * Shape: watermarked stream LEFT OUTER stream-static join (equi keys +
-    * range residual — the static side is re-planned per micro-batch, no
-    * state) followed by a watermark-bounded `max_by(struct(featureTs,
-    * features), featureTs)` aggregate keyed by the full entity row.
-    * `max_by` skips NULL ordering keys, so an entity row whose join found
-    * nothing keeps one all-NULL feature struct — the left semantics
-    * survive the aggregate. State = one row per in-flight entity row,
-    * reclaimed at the watermark; append mode emits each enriched row
-    * exactly once, when its event time expires.
+    * Shape (r17): the static side contracts to ONE row per join key —
+    * `sort_array(collect_list(struct(featureTs, features)))` — so the
+    * stream-static LEFT OUTER join is 1:1 on the equi keys and the
+    * latest-pick is a native O(log h) binary search per entity row
+    * ([[graft.functions.AsOfPick]]); no pair explosion, no post-join
+    * aggregation state. Ties on featureTs resolve to the
+    * lexicographically-largest value tuple (a deterministic refinement
+    * of the previous max_by's unspecified tie winner).
     *
     * Identical duplicate entity rows collapse to one (the batch engine's
-    * A1 distinct-entity semantics). */
+    * A1 distinct-entity semantics) via watermarked dropDuplicates —
+    * state = one row per distinct in-flight entity, the same bound the
+    * old aggregate held, minus the feature history it buffered. */
   def enrichAsOf(
       entities: DataFrame,
       features: DataFrame,
@@ -338,27 +339,50 @@ object StreamingOps {
     require(reservedHits.isEmpty,
       s"columns collide with enrichAsOf's internal names: " +
         s"${reservedHits.mkString(", ")} — rename them")
+    // CONTRACTED static side (r17, guide §8 — decide with small rows):
+    // the feature relation collapses to ONE row per join key holding its
+    // time-sorted history array, the join becomes 1:1 on the equi keys,
+    // and the latest-pick is an O(log h) native binary search per entity
+    // row (graft.functions.AsOfPick). The previous formulation joined
+    // every entity row against EVERY feature row of its key inside the
+    // TTL window and reduced the pairs in a stateful max_by aggregate —
+    // a pair explosion quadratic in per-key event density, re-paid every
+    // micro-batch (r17 10× probe: 12.6×/decade, 2.26 s → 28.6 s; the 10×
+    // corpus densifies each user's history 10×). Null-ts feature rows
+    // never qualified under the old range condition and are filtered
+    // before the contraction; NULL entity ts yields NULL features
+    // (AsOfPick is null-intolerant), as before. The per-micro-batch
+    // re-aggregation of the static side remains — inherent to
+    // stream-static re-planning; at dimension sizes where even the
+    // contracted history relation is too hot to recompute, the scale
+    // path is [[enrichAsOfStreamStream]] or persisting the snapshot.
     val f = features.select(
       (joinKeys.map(c => col(c).as(s"__f_$c")) :+
         col(featureTsCol).as("__f_ts")) ++ featureCols.map(col): _*)
+      .filter(col("__f_ts").isNotNull)
+    val hist = f
+      .groupBy(joinKeys.map(c => col(s"__f_$c")): _*)
+      .agg(sort_array(collect_list(
+        struct(col("__f_ts") +: featureCols.map(col): _*))).as("__f_hist"))
     val keyCond = joinKeys
       .map(c => col(c) === col(s"__f_$c"))
       .reduce(_ && _)
-    val rangeCond =
-      if (ttlSeconds > 0)
-        col("__f_ts") <= col(entityTsCol) &&
-          col("__f_ts") >= col(entityTsCol) - expr(s"INTERVAL $ttlSeconds SECONDS")
-      else col("__f_ts") <= col(entityTsCol)
 
     val entityCols = entities.columns.toSeq
+    // the A1 distinct-entity semantics the aggregate used to provide:
+    // identical entity rows collapse to one; state = one row per
+    // distinct in-flight entity (watermark-reclaimed), exactly the old
+    // aggregation's state bound — but holding no feature history
     val joined = entities
       .withWatermark(entityTsCol, watermark)
-      .join(f, keyCond && rangeCond, "left_outer")
+      .dropDuplicates(entityCols)
+      .join(hist, keyCond, "left_outer")
     joined
-      .groupBy(entityCols.map(col): _*)
-      .agg(max_by(
-        struct(col("__f_ts") +: featureCols.map(col): _*),
-        col("__f_ts")).as("__best"))
+      .withColumn("__best",
+        org.apache.spark.sql.GraftSql.column(graft.functions.AsOfPick(
+          org.apache.spark.sql.GraftSql.expression(col("__f_hist")),
+          org.apache.spark.sql.GraftSql.expression(col(entityTsCol)),
+          ttlSeconds)))
       .select(entityCols.map(col) ++
         featureCols.map(c => col(s"__best.$c").as(c)): _*)
   }
