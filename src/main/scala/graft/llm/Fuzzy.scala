@@ -105,19 +105,22 @@ object Fuzzy {
               "pad=false (would be silently unmatchable): '"),
             nm, lit("'")))).otherwise(nm)
       df
-        // parallelism floor: the inputs are BYTE-tiny relations (names),
-        // so AQE broadcasts one side and the join would otherwise run in
-        // the other side's raw scan partitioning — a single small parquet
-        // file means ONE task grinding the entire gram-match output (at
-        // real scale inputs arrive in many partitions and this repartition
-        // is a no-op-cost shuffle of the small name relation)
-        .repartition(col(idCol))
-        .select(col(idCol).as(s"${p}id"), nm.as(s"${p}nm"),
+        // (no repartition here: the gram join below pins its exchanges
+        // on the join keys AFTER the explode — see gramCand — which is
+        // where the parallelism floor actually matters; an id-keyed
+        // shuffle of the pre-explode relation gets AQE-coalesced to one
+        // partition and would not survive to the join anyway)
+        // NARROW (r17, guide "shuffle keys, not payloads"): the name
+        // string is NOT carried through the explode/join/aggregate —
+        // 10.5M matched rows x 2 names dominated the exchange bytes and
+        // the 7.5M-entry aggregation state (GC-bound); names re-attach
+        // to the (tiny) filter-survivor set below
+        .select(col(idCol).as(s"${p}id"),
           length(nm).cast("long").as(s"${p}len"), gsrc.as(s"${p}gs"))
         .withColumn("__x", explode(expr(
           s"transform(sequence(1, char_length(${p}gs) - ${q - 1}), " +
             s"i -> struct(substr(${p}gs, i, $q) AS g, CAST(i AS BIGINT) AS p))")))
-        .select(col(s"${p}id"), col(s"${p}nm"), col(s"${p}len"),
+        .select(col(s"${p}id"), col(s"${p}len"),
           col("__x.g").as(s"${p}g"), col("__x.p").as(s"${p}p"))
     }
     // the ±k position band is part of the EQUI-KEY, not a post-join
@@ -141,16 +144,40 @@ object Fuzzy {
     // zero shared grams for a true pair (see scaladoc): pairs with BOTH
     // sides <= B route through the length-band completeness arm instead
     val B = (k * q - gramBase).toLong
-    val gramCand = lg.join(rg,
+    // JOIN-KEY-pinned exchanges (r17): the gram join's fan-out (10.5M
+    // matched rows from 5k x 5k names at sf0.1) is invisible to AQE's
+    // pre-join stats (both inputs are a few MB), so the planner-owned
+    // exchanges get coalesced to ONE partition and a single task grinds
+    // the whole match+count stage - and near the broadcast threshold the
+    // plan flip-flops between BHJ and single-partition SMJ run-to-run
+    // (measured 10 s vs 80 s bimodality). Repartitioning both sides on
+    // the exact equi-keys with a PINNED count (user REPARTITION_BY_NUM
+    // is exempt from AQE coalescing) makes the join reuse these
+    // exchanges in SMJ/SHJ mode and keeps the stream side spread in BHJ
+    // mode; defaultParallelism stays scale-adaptive.
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    // count filter over the narrow match relation. size(collect_set(p))
+    // == count(DISTINCT p) (positions are never null), but it plans as
+    // ONE ObjectHashAggregate with bounded per-group set state (<= gram
+    // count of a name) instead of the two-countDistinct Expand plan that
+    // replicated every matched row 2x before aggregating. Group keys are
+    // ids + lengths only; idCol must identify its row (true of every
+    // caller and of the oracle twin, which groups by (id, name) pairs —
+    // identical grouping when id is a key).
+    val hits = lg.repartition(par, col("lg"), col("ljp"))
+      .join(rg.repartition(par, col("rg"), col("rp")),
         col("lg") === col("rg") &&
           col("ljp") === col("rp") &&
           abs(col("llen") - col("rlen")) <= k)
-      .groupBy("lid", "rid", "lnm", "rnm", "llen", "rlen")
-      .agg(countDistinct(col("lp")).as("__lhits"),
-        countDistinct(col("rp")).as("__rhits"))
+      .groupBy("lid", "rid", "llen", "rlen")
+      .agg(size(collect_set(col("lp"))).cast("long").as("__lhits"),
+        size(collect_set(col("rp"))).cast("long").as("__rhits"))
       .filter(col("__lhits") >= col("llen") + gramBase - k * q &&
         col("__rhits") >= col("rlen") + gramBase - k * q)
       .filter(!(col("llen") <= B && col("rlen") <= B))
+    val gramCand = hits
+      .join(left.select(col(idCol).as("lid"), col(nameCol).as("lnm")), "lid")
+      .join(right.select(col(idCol).as("rid"), col(nameCol).as("rnm")), "rid")
       .select("lid", "rid", "lnm", "rnm", "llen", "rlen")
     // BOTH-short completeness arm: every (<= B, <= B) pair within the
     // ±k length band is a candidate — the band rides the equi-key (left
@@ -159,7 +186,10 @@ object Fuzzy {
     def shorts(df: DataFrame, p: String) = df
       .filter(length(col(nameCol)).cast("long") <= B &&
         (if (pad) lit(true) else length(col(nameCol)) >= q))
-      .repartition(col(idCol))
+      // pinned like the gram arm: the length-band explode + join below
+      // multiply this tiny relation past what AQE's pre-explode stats see
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(col(idCol).as(s"${p}id"), col(nameCol).as(s"${p}nm"),
         length(col(nameCol)).cast("long").as(s"${p}len"))
     val shortCand = shorts(left, "l")
@@ -305,14 +335,22 @@ object Fuzzy {
     } yield struct(lit(sA.toLong).as("sa"), lit(d.toLong).as("d"))): _*)
 
     val r0 = right
-      .repartition(col(idCol))
+      // pinned parallelism floor (see qgramCandidates): the segment-pair
+      // explode below multiplies this tiny relation past what AQE's
+      // pre-explode stats see, and an unpinned keyed repartition gets
+      // coalesced to one task
+      .repartition(right.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(col(idCol).as("rid"), col(nameCol).as("rnm"),
         length(col(nameCol)).cast("long").as("rlen"))
+    // NARROW (r17): the name string is not carried through the explode
+    // or the signature join — segments are derived here and the names
+    // re-attach to the deduped candidate set at the end
     val rMain = r0.filter(col("rlen") >= nSeg)
       .withColumn("__ab", explode(pairArr))
       .select(col("rid"), col("rnm"), col("rlen"),
         col("__ab.a").as("ra"), col("__ab.b").as("rb"))
-      .select(col("rid"), col("rnm"), col("rlen"), col("ra"), col("rb"),
+      .select(col("rid"), col("rlen"), col("ra"), col("rb"),
         col("rnm").substr(segStart(col("ra"), col("rlen")).cast("int"),
           segLen(col("ra"), col("rlen")).cast("int")).as("rsegA"),
         col("rnm").substr(segStart(col("rb"), col("rlen")).cast("int"),
@@ -322,7 +360,8 @@ object Fuzzy {
     // name length), never the corpus — broadcast is structural here
     val rLens = r0.select(col("rlen").as("ell")).distinct()
     val l0 = left
-      .repartition(col(idCol))
+      .repartition(left.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(col(idCol).as("lid"), col(nameCol).as("lnm"),
         length(col(nameCol)).cast("long").as("llen"))
     val lProbe = l0
@@ -341,17 +380,28 @@ object Fuzzy {
         segLen(col("__ab.b"), col("ell")).as("wB"))
       .filter(col("pA") >= 1 && col("pA") + col("wA") - 1 <= col("llen") &&
         col("pB") >= 1 && col("pB") + col("wB") - 1 <= col("llen"))
-      .select(col("lid"), col("lnm"), col("ell"), col("la"), col("lb"),
+      .select(col("lid"), col("ell"), col("la"), col("lb"),
         col("lnm").substr(col("pA").cast("int"), col("wA").cast("int"))
           .as("lsegA"),
         col("lnm").substr(col("pB").cast("int"), col("wB").cast("int"))
           .as("lsegB"))
 
-    val mainCand = lProbe.join(rMain,
+    // JOIN-KEY-pinned exchanges, same rationale as qgramCandidates: the
+    // probe side explodes ~(2k+1)·pairs·shifts (~390x at k = 2) past
+    // anything AQE's pre-join stats can see, so without a pinned
+    // repartition on the equi-keys the signature join runs in one
+    // AQE-coalesced partition (measured 11 s vs 80 s run-to-run at
+    // sf0.1 as the plan flip-flopped near the broadcast threshold)
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    val mainCand = lProbe
+      .repartition(par, col("lsegA"), col("lsegB"),
+        col("la"), col("lb"), col("ell"))
+      .join(rMain.repartition(par, col("rsegA"), col("rsegB"),
+          col("ra"), col("rb"), col("rlen")),
         col("lsegA") === col("rsegA") && col("lsegB") === col("rsegB") &&
           col("la") === col("ra") && col("lb") === col("rb") &&
           col("ell") === col("rlen"))
-      .select(col("lid"), col("rid"), col("lnm"), col("rnm"))
+      .select(col("lid"), col("rid"))
 
     // completeness arm for rights too short to host k+2 nonempty
     // segments (rlen ≤ k+1): a length-band join over that tiny subset —
@@ -361,10 +411,16 @@ object Fuzzy {
       .withColumn("__t", explode(array((-k to k).map(t => lit(t.toLong)): _*)))
       .withColumn("__bl", col("llen") + col("__t"))
       .join(rShort, col("__bl") === rShort("rlen"))
-      .select(col("lid"), col("rid"), col("lnm"), col("rnm"))
+      .select(col("lid"), col("rid"))
 
+    // dedup on the narrow (lid, rid) pairs, then re-attach names for the
+    // verify — two small equi-joins against the input relations (idCol
+    // must identify its row, as in every caller and the oracle twin)
     mainCand.unionByName(shortCand)
       .distinct()
+      .join(left.select(col(idCol).as("lid"), col(nameCol).as("lnm")), "lid")
+      .join(right.select(col(idCol).as("rid"), col(nameCol).as("rnm")), "rid")
+      .select(col("lid"), col("rid"), col("lnm"), col("rnm"))
   }
 
   /** The 64-word fixture vocabulary for the entity-resolution query —

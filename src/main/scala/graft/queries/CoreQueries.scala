@@ -1194,13 +1194,29 @@ object CoreQueries {
     //    (p_head ≈ 0.4 % here, the census ballpark), so this row is
     //    priced at the first probe decade only, like the dense
     //    knn_sparse_tfidf contrast.
+    // FIXTURE-expression lineage cut (r17): erName2/erDirty are deep
+    // integer-exact expression trees (nested proquint renders; erDirty
+    // references its name argument 6x, each re-expanding the whole
+    // tree), and the multi-way candidate joins reference the name
+    // relations at many plan sites - the composed logical plan reached
+    // multi-MB task binaries and the DRIVER spent ~20 s/run in
+    // optimizer+codegen across AQE stages while executors sat ~90 %
+    // idle (vmstat'd). A LAZY localCheckpoint on the 5 000-row name
+    // relations truncates the lineage to a plain (id, name) leaf: the
+    // synthesis still executes inside the timed region on every run
+    // (eager = false, and each bench rep builds a fresh DataFrame -
+    // nothing is reused across runs), while downstream plans shrink to
+    // ordinary column refs. At real scale names arrive as stored
+    // columns, so the expression tree is a fixture artifact, not
+    // operator cost - same license as the persisted serving batch.
     "x_er_names_seg" -> ((s, dir) => {
       val f = graft.llm.Fuzzy
       val d = Tables.read(s, dir, "documents").select(col("doc_id"))
       val left = d.select(col("doc_id").as("id"),
-        f.erName2(col("doc_id")).as("name"))
+        f.erName2(col("doc_id")).as("name")).localCheckpoint(false)
       val right = d.select(col("doc_id").as("id"),
         f.erDirty(f.erName2(col("doc_id")), col("doc_id")).as("name"))
+        .localCheckpoint(false)
       f.segmentPairEditJoin(left, right, "id", "name", k = 2)
     }),
 
@@ -1208,9 +1224,10 @@ object CoreQueries {
       val f = graft.llm.Fuzzy
       val d = Tables.read(s, dir, "documents").select(col("doc_id"))
       val left = d.select(col("doc_id").as("id"),
-        f.erName2(col("doc_id")).as("name"))
+        f.erName2(col("doc_id")).as("name")).localCheckpoint(false)
       val right = d.select(col("doc_id").as("id"),
         f.erDirty(f.erName2(col("doc_id")), col("doc_id")).as("name"))
+        .localCheckpoint(false)
       f.qgramEditJoin(left, right, "id", "name", q = 3, k = 2)
     }),
 
