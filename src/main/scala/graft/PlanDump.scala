@@ -6,10 +6,12 @@ import java.nio.file.{Files, Paths}
 /** Measurement tool (guide §1): dump `.explain("formatted")` for named
   * declared queries to `<outDir>/<name><suffix>.txt`.
   *
-  * The query is EXECUTED first (`toRdd.count()` on the same
-  * QueryExecution — see .claude/skills/verify: `df.count()` would build
-  * a separate QueryExecution and the inspected AdaptiveSparkPlan would
-  * never replan), so the dumped plan is the AQE FINAL plan with the
+  * The query is EXECUTED first via `toRdd.count()` on the SAME
+  * QueryExecution that is then explained. `df.count()` would be wrong
+  * twice over: it builds a separate QueryExecution (so the inspected
+  * AdaptiveSparkPlan never replans and still shows isFinalPlan=false),
+  * and it lets the optimizer prune the projection work being timed.
+  * Executing first means the dumped plan is the AQE FINAL plan with the
   * join strategies and AQEShuffleReads the bench actually runs.
   *
   * Usage: PlanDump <sfDir> <outDir> <suffix> <query...>

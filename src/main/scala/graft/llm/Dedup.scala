@@ -893,17 +893,32 @@ object Dedup {
     * the self-join and the drop is reported through `onDrop(nHot,
     * maxDf)` (the builder logs it), so at 100 TB a ubiquitous frame
     * costs one aggregate row, not k² join rows. The hot set is
-    * structurally tiny — at most (total item rows)/(nDocs·maxDfFraction)
-    * distinct items ≈ items-per-doc/maxDfFraction — so it broadcasts.
+    * EXPECTED tiny — at most (total item rows)/(nDocs·maxDfFraction)
+    * distinct items ≈ items-per-doc/maxDfFraction — but that bound
+    * scales with the per-doc item count, which is data, not structure
+    * (a long video contributes thousands of frame hashes). The
+    * broadcast hint is therefore CONDITIONAL on the measured count:
+    * `nHot` is already collected for the drop report, and only a hot
+    * set under [[HotBroadcastCap]] rows is hint-broadcast; past the cap
+    * the hint is omitted and AQE sizes the anti-join at runtime — the
+    * same no-cliff discipline as the drop-losers joins (r16 #1).
     *
     * Semantics note: pairs connected ONLY through hot items disappear —
     * the documented approximation that buys the bound, exactly as in
     * [[capPairsPerDoc]]; the oracle replays the gate, and
     * PairCapSpec proves the blowup on a planted ubiquitous frame. */
+  /** Hot-set broadcast ceiling for [[sharedItemPairs]]: 1M item hashes
+    * ≈ 16 MB framed — comfortably inside executor broadcast budgets and
+    * far under the 8 GB / 512M-row broadcast hard cap. Measured-count
+    * gate, not an estimate: `nHot` is an exact driver scalar by the time
+    * the join is built. */
+  val HotBroadcastCap: Long = 1000000L
+
   def sharedItemPairs(
       items: DataFrame, idCol: String, itemCol: String, nDocs: Long,
       sharedCol: String, minShared: Int = 2, maxDfFraction: Double = 0.5,
-      onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+      onDrop: (Long, Long) => Unit = (_, _) => (),
+      hotBroadcastCap: Long = HotBroadcastCap): DataFrame = {
     // distinct() up front makes the contract self-enforcing: df below is
     // then distinct-doc frequency (what the oracle counts) and the
     // shared-count agg can't double-count, even for a caller that passes
@@ -920,7 +935,13 @@ object Dedup {
     // corpus fingerprint) so the drop is observable, not silent
     val nHot = hot.count()
     if (nHot > 0) onDrop(nHot, maxDf)
-    val kept = it.join(broadcast(hot), Seq("__item"), "left_anti")
+    // conditional hint (see scaladoc): the measured nHot gates the
+    // broadcast, so a degenerate corpus (unbounded items-per-doc) can
+    // never force a corpus-scale collect onto the driver
+    val kept =
+      if (nHot <= hotBroadcastCap)
+        it.join(broadcast(hot), Seq("__item"), "left_anti")
+      else it.join(hot, Seq("__item"), "left_anti")
     kept.as("a").join(kept.as("b"),
         col("a.__item") === col("b.__item") &&
           col("a.__id") < col("b.__id"))

@@ -83,7 +83,16 @@ object Fuzzy {
     * ∪ both-short band arm, BEFORE the exact levenshtein verify) —
     * exposed so scale probes can count candidates, the quantity the
     * filter's fan-out argument is about. Columns
-    * `(lid, rid, lnm, rnm, llen, rlen)`. */
+    * `(lid, rid, lnm, rnm, llen, rlen)`.
+    *
+    * PRECONDITION: `idCol` must be UNIQUE within each input (a key for
+    * its row). The count filter groups by `(lid, rid, llen, rlen)` and
+    * the names re-attach by id equi-join, so duplicate ids would merge
+    * the gram counts of different same-length names and cross-product
+    * the re-attach — changing THIS exposed relation (the final
+    * [[qgramEditJoin]] output stays correct only because the exact
+    * levenshtein verify prunes the extras). Same precondition for
+    * [[segmentPairCandidates]]. */
   def qgramCandidates(left: DataFrame, right: DataFrame,
       idCol: String, nameCol: String, q: Int = 3, k: Int = 2,
       pad: Boolean = true): DataFrame = {
@@ -309,7 +318,12 @@ object Fuzzy {
     * equi-join survivors ∪ short-right band arm, BEFORE the exact
     * levenshtein verify) — exposed so scale probes can count candidates
     * head-to-head against [[qgramCandidates]]. Columns
-    * `(lid, rid, lnm, rnm)`. */
+    * `(lid, rid, lnm, rnm)`.
+    *
+    * PRECONDITION (same as [[qgramCandidates]]): `idCol` must be UNIQUE
+    * within each input — the candidate dedup and name re-attach key on
+    * ids, so duplicate ids would merge distinct rows' candidates and
+    * cross-product the re-attach in this exposed relation. */
   def segmentPairCandidates(left: DataFrame, right: DataFrame,
       idCol: String, nameCol: String, k: Int = 2): DataFrame = {
     require(k >= 1, "need k >= 1")

@@ -39,7 +39,14 @@ object Similarity {
   /** Brute-force cosine top-k: exact baseline. `queries` is the (small)
     * query-vector side — broadcast — and each corpus partition scores
     * locally; the only shuffle is the final per-query top-k window.
-    * Output: (qid, nid, rank, sim). */
+    * Output: (qid, nid, rank, sim).
+    *
+    * BATCH INVARIANT (the `broadcast(q)` license): `queries` must be a
+    * BOUNDED SERVING BATCH — this is the licensed brute-force yardstick,
+    * and every declared caller passes either the fixed 200-row batch or
+    * a small probe slice. A corpus-proportional batch does not belong
+    * here: corpus-vs-corpus retrieval is [[nnDescentKnnGraph]] (no
+    * broadcast, no driver collect). */
   def bruteForceKnn(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -47,6 +54,7 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
+    // broadcast licensed by the batch invariant above
     val scored = v.join(broadcast(q), col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
@@ -462,7 +470,13 @@ object Similarity {
     * Projected scores are dots of 6dp-rounded components (see
     * [[projectedVecs]]) so both engines select identical candidates.
     * Output: (qid, nid, rank, sim) — same contract as the other knn
-    * operators. */
+    * operators.
+    *
+    * BATCH INVARIANT (the broadcast licenses): `queries` must be a
+    * bounded serving batch — `qp` is |Q| projected rows, `topm` is
+    * m·|Q| id pairs, `q` is |Q| full vectors; all three broadcasts are
+    * batch-bounded, never corpus-bounded. Corpus-vs-corpus shapes are
+    * [[nnDescentKnnGraph]]'s job ([[bruteForceKnn]] note). */
   def projectRerankKnn(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, m: Int,
@@ -525,7 +539,10 @@ object Similarity {
     * search bit-for-bit. The min/max pass collects exactly 2·dim
     * scalars to the driver (the J1 coarse-range license) and enters the
     * plan as literals, so code assignment is a per-row projection.
-    * Output: (qid, nid, rank, sim) — sim is the QUANTIZED cosine. */
+    * Output: (qid, nid, rank, sim) — sim is the QUANTIZED cosine.
+    *
+    * BATCH INVARIANT: `queries` must be a bounded serving batch (the
+    * `broadcast(q)` license — see [[bruteForceKnn]]). */
   def sq8Knn(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int = 64): DataFrame = {
@@ -1384,7 +1401,12 @@ object Similarity {
     * each probed cell. The similarity is the QUANTIZED cosine
     * `<q, decode(n)> / (‖q‖·‖decode(n)‖)` in the fixed-point space
     * (scale cancels); recall vs the exact baseline is spec-measured.
-    * Output: (qid, nid, rank, sim). */
+    * Output: (qid, nid, rank, sim).
+    *
+    * BATCH INVARIANT: `queries` must be a bounded serving batch — the
+    * `broadcast(q)` ships |Q| LUTs of m·ksub doubles (≈1 KB each at the
+    * defaults), batch-bounded, never corpus-bounded (the
+    * [[bruteForceKnn]] license). */
   def pqKnn(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,

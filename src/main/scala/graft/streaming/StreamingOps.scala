@@ -312,7 +312,19 @@ object StreamingOps {
     * Identical duplicate entity rows collapse to one (the batch engine's
     * A1 distinct-entity semantics) via watermarked dropDuplicates —
     * state = one row per distinct in-flight entity, the same bound the
-    * old aggregate held, minus the feature history it buffered. */
+    * old aggregate held, minus the feature history it buffered. The
+    * dedup sits UPSTREAM of the join, so an identical entity row
+    * arriving in a later micro-batch is dropped and never re-joins the
+    * (re-planned) static snapshot: first-arrival-snapshot semantics —
+    * observable only if the "static" side gains rows between batches
+    * (e.g. a file source picking up new files); equivalent for a truly
+    * static side.
+    *
+    * Requirements: every feature column must be an ORDERABLE type (the
+    * history contraction sorts `struct(ts, features…)`; a map-typed
+    * feature column that worked under the old ts-only `max_by` fails
+    * analysis here — restructure such a column into an array of
+    * key/value structs, or split the map out of the enrichment). */
   def enrichAsOf(
       entities: DataFrame,
       features: DataFrame,
@@ -330,10 +342,12 @@ object StreamingOps {
     require(collisions.isEmpty,
       s"feature columns collide with entity columns: " +
         s"${collisions.mkString(", ")} — rename one side")
-    // the feature side is renamed to __f_* internally — an entity or
-    // feature column already named that way would make keyCond/rangeCond
-    // ambiguous or silently bind to the wrong side
-    val reserved = (joinKeys.map("__f_" + _) :+ "__f_ts").toSet
+    // the feature side is renamed to __f_* internally, the contracted
+    // history column is __f_hist, and the picked struct is __best — an
+    // entity or feature column already named any of these would make
+    // keyCond ambiguous or be silently replaced by withColumn
+    val reserved =
+      (joinKeys.map("__f_" + _) ++ Seq("__f_ts", "__f_hist", "__best")).toSet
     val reservedHits = reserved
       .intersect(entities.columns.toSet ++ featureCols)
     require(reservedHits.isEmpty,

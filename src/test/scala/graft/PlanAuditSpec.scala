@@ -167,10 +167,12 @@ class PlanAuditSpec extends SparkSpec {
     // this audit machine-asserts that NO LeftAnti join against such a
     // relation carries a static BROADCAST hint in any declared query
     // (AQE may still broadcast at runtime when the side actually fits —
-    // that is the correct, size-aware decision). Structurally-bounded
-    // broadcast anti-joins (e.g. the hot-item df gate, corpus-size-
-    // independent by construction) use other column names and stay
-    // licensed.
+    // that is the correct, size-aware decision). Measured-bounded
+    // broadcast anti-joins (e.g. the hot-item df gate, whose hint is
+    // CONDITIONAL on the exact driver-side count staying under
+    // Dedup.HotBroadcastCap — see sharedItemPairs) use other column
+    // names and stay licensed; their bound is a measured row count, not
+    // a structural guarantee.
     import org.apache.spark.sql.catalyst.plans.LeftAnti
     import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
     val dir = sf("sf0.001")

@@ -128,6 +128,49 @@ class PairCapSpec extends SparkSpec {
     assert(capped.size == 150 && capped.forall(_._3 == 3L))
   }
 
+  test("sharedItemPairs hot-set broadcast is MEASURED-count conditional: " +
+    "over the cap the hint is omitted (AQE sizes the anti-join) and the " +
+    "pair graph is unchanged") {
+    // VERDICT r17 #7: the hot set's size bound is items-per-doc /
+    // maxDfFraction — a DATA quantity (a long video contributes
+    // thousands of frame hashes), not a structural constant, so an
+    // unconditional broadcast(hot) was the same class of driver cliff
+    // as the deleted drop-losers hints. The gate is the exact nHot count
+    // the drop report already collects: under the cap the hint stays
+    // (bounded driver state by measurement), over it the hint must be
+    // GONE from the logical plan while results are identical.
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    val items = (0 until 12).flatMap { id =>
+      (Seq("hot_a", "hot_b") ++ (0 until 3).map(j => s"fam${id / 4}_$j"))
+        .map(item => (id.toLong, item))
+    }.toDF("doc_id", "frame_md5")
+    def run(cap: Long) =
+      Dedup.sharedItemPairs(items, "doc_id", "frame_md5", nDocs = 12,
+        sharedCol = "shared", maxDfFraction = 0.5, hotBroadcastCap = cap)
+    def hintedAnti(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftAnti &&
+            (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) ||
+             j.hint.leftHint.exists(_.strategy.contains(BROADCAST))) => j
+      }.size
+    val under = run(Dedup.HotBroadcastCap) // nHot = 2 ≤ cap: hint present
+    val over = run(1L)                     // nHot = 2 > 1: hint omitted
+    // `kept` feeds BOTH sides of the pair self-join, so the hinted
+    // anti-join subtree appears twice in the logical plan
+    assert(hintedAnti(under) == 2,
+      "expected the conditional broadcast hint under the cap")
+    assert(hintedAnti(over) == 0,
+      "expected NO broadcast hint once nHot exceeds the cap")
+    val a = under.select("id_a", "id_b", "shared")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = over.select("id_a", "id_b", "shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty,
+      "hint presence must never change the pair graph")
+  }
+
   test("sharedItemPairs is caller-discipline-proof: duplicated (doc, " +
     "item) rows change neither the df gate nor the shared counts") {
     import spark.implicits._
