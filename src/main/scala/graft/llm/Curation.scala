@@ -103,7 +103,12 @@ object Curation {
     val contam = fullScores
       .filter(col("contamination") >= tauContam)
       .select(col("doc_id"))
-    val drops = persistedView(
+    // sizedView, not persistedView (r18): the drop set is materialized
+    // with MEASURED statistics attached, so the curate anti-join plans
+    // its broadcast decision statically from the true size — and since
+    // callers cache this frame (curationDrops), the measurement is paid
+    // once per corpus snapshot, not per query
+    val drops = org.apache.spark.sql.GraftSql.sizedView(
       exactLosers.union(nearLosers).union(contam).distinct()
         .select(col("doc_id").as("__graft_drop")))
     unpersistCheckpoint(ranked)
@@ -121,11 +126,16 @@ object Curation {
     * amortized path). No broadcast hint: the drop set scales with the
     * duplicate + contamination MASS, which at web-crawl density is
     * corpus-proportional — a forced hint would collect it to the driver
-    * and OOM; AQE broadcasts at runtime when the set actually fits
-    * (the [[Dedup.dropNearDuplicates]] rule). */
+    * and OOM; the join plans from the drop set's MEASURED size
+    * ([[Dedup.antiJoinDropSized]]), broadcasting only when it truly
+    * fits. */
   def curate(
       corpus: DataFrame, idCol: String, textCol: String,
       drops: DataFrame): DataFrame =
+    // plain join: [[dropSet]] already attaches measured stats to the
+    // (cached) drop relation, so re-materializing per call would only
+    // add a scan+persist pass — the static broadcast decision works
+    // from the cached leaf's stats directly
     corpus.filter(TextAnalysis.qualityKeepExpr(col(textCol)))
       .join(drops, col(idCol) === col("__graft_drop"), "left_anti")
 }

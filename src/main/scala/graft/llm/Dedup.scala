@@ -213,8 +213,12 @@ object Dedup {
       .select(md5(normText(col(textCol))).as("__graft_h")).distinct()
     val nearIds = jaccardPairsAgainst(incoming, corpus, idCol, textCol, n, tau)
       .select(col("id_new").as("__graft_near")).distinct()
-    // no broadcast hints: the corpus hash set scales with the corpus —
-    // AQE picks broadcast when a side actually fits
+    // no broadcast hints, and deliberately NO measured-stats
+    // materialization here (unlike the loser sites' antiJoinDropSized):
+    // the hash relation is CORPUS-sized and the near-id subtree shares
+    // its incoming scan with the main pass — splitting either into its
+    // own sizedView job re-scans the inputs and measured +0.9–1.4 s at
+    // sf0.1 for nothing AQE's runtime sizing wasn't already doing.
     incoming
       .withColumn("__graft_h", md5(normText(col(textCol))))
       .join(corpusHashes, Seq("__graft_h"), "left_anti")
@@ -744,10 +748,9 @@ object Dedup {
       .filter(col("contamination") >= tau)
       .select(col("doc_id").as("__graft_contam"))
     // no broadcast hint: the flagged set is contamination-mass
-    // proportional (a dirty corpus can flag a large fraction) — AQE
-    // picks broadcast when the runtime size actually fits
-    corpus.join(flagged,
-      col(idCol) === col("__graft_contam"), "left_anti")
+    // proportional (a dirty corpus can flag a large fraction) —
+    // measured stats drive the decision (see antiJoinDropSized)
+    antiJoinDropSized(corpus, idCol, flagged)
   }
 
   /** End-to-end near-dup dedup MATERIALIZATION: the input rows minus
@@ -775,8 +778,26 @@ object Dedup {
     val losers = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("__graft_loser"))
-    df.join(losers, col(idCol) === col("__graft_loser"), "left_anti")
+    antiJoinDropSized(df, idCol, losers)
   }
+
+  /** The drop-losers LEFT ANTI join, planned from MEASURED statistics
+    * (r18, guide §3.1/§2.3): the loser relation is materialized
+    * (`GraftSql.sizedView` — bare ids only, exact size attached to the
+    * leaf), so STATIC planning broadcasts it when it truly fits and the
+    * corpus side is never shuffled at all — the r17 hint deletion was
+    * scale-correct but left AQE running a full corpus-side shuffle map
+    * stage (payload columns included) before electing broadcast at
+    * runtime; measured stats recover the hint-era plan without the
+    * hint's 100 TB driver cliff, because a corpus-proportional loser set
+    * MEASURES big and plans as a sort-merge anti-join. The
+    * materialization itself is work the query's anti-join would do
+    * anyway (the loser subtree executes once either way), re-run fresh
+    * per invocation — nothing is reused across runs. */
+  private[graft] def antiJoinDropSized(
+      df: DataFrame, idCol: String, losers: DataFrame): DataFrame =
+    df.join(org.apache.spark.sql.GraftSql.sizedView(losers),
+      col(idCol) === col(losers.columns.head), "left_anti")
 
   /** Near-dup dedup that keeps the highest-QUALITY member of each
     * cluster instead of the smallest id — the curation semantics a real
@@ -803,7 +824,7 @@ object Dedup {
     val losers = clusters.join(winners, "cluster_id")
       .filter(col("doc_id") =!= col("keep"))
       .select(col("doc_id").as("__graft_loser"))
-    df.join(losers, col(idCol) === col("__graft_loser"), "left_anti")
+    antiJoinDropSized(df, idCol, losers)
   }
 
   /** The (doc_id, lo, hi) 64-bit fingerprint relation behind

@@ -1636,7 +1636,7 @@ object Similarity {
     val losers = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("__graft_loser"))
-    df.join(losers, col(idCol) === col("__graft_loser"), "left_anti")
+    Dedup.antiJoinDropSized(df, idCol, losers)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup with
@@ -1692,8 +1692,7 @@ object Similarity {
     val losers = members
       .join(winners, members("id") === winners("__keep"), "left_anti")
       .select(col("id").as("__graft_loser"))
-    df.join(losers, col(idCol) === col("__graft_loser"),
-      "left_anti")
+    Dedup.antiJoinDropSized(df, idCol, losers)
   }
 
   /** Embedding-cosine near-dup pairs above `tau`, via bucketed candidates:

@@ -2335,8 +2335,7 @@ object LlmQueries {
       val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("__graft_loser"))
-      hashes.join(losers,
-          col("doc_id") === col("__graft_loser"), "left_anti")
+      Dedup.antiJoinDropSized(hashes, "doc_id", losers)
         .select("doc_id", "lo", "hi")
     }),
 
@@ -2383,8 +2382,7 @@ object LlmQueries {
       val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("__graft_loser"))
-      fps.join(losers,
-          col("doc_id") === col("__graft_loser"), "left_anti")
+      Dedup.antiJoinDropSized(fps, "doc_id", losers)
         .select("doc_id", "fp", "lo", "hi")
     }),
 
@@ -2447,8 +2445,7 @@ object LlmQueries {
       val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("__graft_loser"))
-      all.join(losers,
-          col("doc_id") === col("__graft_loser"), "left_anti")
+      Dedup.antiJoinDropSized(all, "doc_id", losers)
     }),
 
     // ISO-BMFF SAMPLE-TABLE demux over real MP4 containers (ftyp/mdat/
@@ -2481,8 +2478,7 @@ object LlmQueries {
       val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("__graft_loser"))
-      all.join(losers,
-          col("doc_id") === col("__graft_loser"), "left_anti")
+      Dedup.antiJoinDropSized(all, "doc_id", losers)
     }),
 
     // WEB-CRAWL URL canonicalization (round 12): the normalization pass
