@@ -330,19 +330,21 @@ object TextAnalysis {
       chunkTokens: Int = 64): DataFrame = {
     val k = chunkTokens
     require(k > 0, "chunkTokens must be positive")
+    // stride = k ⇒ the overlap windows ARE the fixed chunks: identical
+    // count (⌊max(n−1,0)/k⌋+1 ≡ max(⌈n/k⌉,1)), identical text and token
+    // counts — one native pass (see [[graft.functions.ChunkWindows]])
     val pre = df.select(col(idCol).as("doc_id"),
       words(col(textCol)).as("__w"))
-    val chunks = expr(
-      s"""element_at(transform(array(__w), arr ->
-         |  transform(sequence(0,
-         |      greatest(CAST(ceil(size(arr) / $k.0D) AS INT), 1) - 1),
-         |    i -> struct(i AS ci,
-         |                concat_ws(' ', slice(arr, i * $k + 1, $k)) AS ct,
-         |                greatest(least(size(arr) - i * $k, $k), 0) AS nt))),
-         |  1)""".stripMargin)
-    pre.select(col("doc_id"), explode(chunks).as("c"))
+    pre.select(col("doc_id"), explode(chunkWindows(col("__w"), k, k)).as("c"))
       .select(col("doc_id"), col("c.ci").as("chunk_idx"),
         col("c.ct").as("chunk_text"), col("c.nt").as("n_tokens"))
+  }
+
+  /** [[graft.functions.ChunkWindows]] as a Column. */
+  private def chunkWindows(wordsCol: Column, k: Int, s: Int): Column = {
+    import org.apache.spark.sql.GraftSql
+    GraftSql.column(graft.functions.ChunkWindows(
+      GraftSql.expression(wordsCol), k, s))
   }
 
   /** SLIDING-WINDOW chunking with overlap — the RAG retrieval layout
@@ -368,17 +370,14 @@ object TextAnalysis {
     val s = stride
     require(k > 0 && s > 0 && s <= k,
       "need 0 < stride <= chunkTokens")
+    // one native pass per row (r18): the previous `transform(sequence,
+    // i -> struct(…, concat_ws(slice(…)), …))` formulation ran
+    // INTERPRETED lambdas per window, each re-walking the token array —
+    // 14.7×/decade on the 10× standing bench; the compiled window loop
+    // in [[graft.functions.ChunkWindows]] emits the identical rows
     val pre = df.select(col(idCol).as("doc_id"),
       words(col(textCol)).as("__w"))
-    val chunks = expr(
-      s"""element_at(transform(array(__w), arr ->
-         |  transform(sequence(0,
-         |      CAST(greatest(size(arr) - $k + $s - 1, 0) div $s AS INT)),
-         |    i -> struct(i AS ci, i * $s AS st,
-         |                concat_ws(' ', slice(arr, i * $s + 1, $k)) AS ct,
-         |                least(size(arr) - i * $s, $k) AS nt))),
-         |  1)""".stripMargin)
-    pre.select(col("doc_id"), explode(chunks).as("c"))
+    pre.select(col("doc_id"), explode(chunkWindows(col("__w"), k, s)).as("c"))
       .select(col("doc_id"), col("c.ci").as("chunk_idx"),
         col("c.st").as("start_tok"), col("c.ct").as("chunk_text"),
         col("c.nt").as("n_tokens"))

@@ -231,6 +231,46 @@ class LlmSpec extends SparkSpec {
     assert(joined.filter(col("max_nt") > k).count() == 0)
   }
 
+  test("native ChunkWindows ≡ the interpreted column formulation it " +
+    "replaced (r18), including empty/short/sentinel docs") {
+    // the r18 optimization swapped the transform(sequence, i ->
+    // struct(..slice..)) interpreted-lambda chain for one compiled pass
+    // (graft.functions.ChunkWindows); this pins row-for-row equality of
+    // the two formulations on awkward shapes: empty text (one window,
+    // nt = 0), single token, exactly k, k+1, and multi-window tails
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSql
+    val (k, s) = (5, 2)
+    val fixture = Seq(
+      (1L, ""), (2L, "a"), (3L, "a b c d e"), (4L, "a b c d e f"),
+      (5L, "  padded   whitespace   doc  "),
+      (6L, (1 to 23).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pre = fixture.select(col("doc_id"),
+      TextOps.words(col("text")).as("__w"))
+    val oldForm = expr(
+      s"""element_at(transform(array(__w), arr ->
+         |  transform(sequence(0,
+         |      CAST(greatest(size(arr) - $k + $s - 1, 0) div $s AS INT)),
+         |    i -> struct(i AS ci, i * $s AS st,
+         |                concat_ws(' ', slice(arr, i * $s + 1, $k)) AS ct,
+         |                least(size(arr) - i * $s, $k) AS nt))),
+         |  1)""".stripMargin)
+    val newForm = GraftSql.column(graft.functions.ChunkWindows(
+      GraftSql.expression(col("__w")), k, s))
+    val both = pre.select(col("doc_id"),
+      explode(arrays_zip(oldForm.as("o"), newForm.as("n"))).as("z"))
+    assert(both.filter(
+      col("z.o.ci") =!= col("z.n.ci") || col("z.o.st") =!= col("z.n.st") ||
+        col("z.o.ct") =!= col("z.n.ct") || col("z.o.nt") =!= col("z.n.nt"))
+      .count() == 0, "native and column chunk windows must agree row-for-row")
+    // and the window COUNTS agree (arrays_zip pads a length mismatch
+    // with nulls, which the field comparison above would miss if BOTH
+    // sides of a padded row were null)
+    assert(pre.filter(size(oldForm) =!= size(newForm)).count() == 0,
+      "native and column window counts must agree")
+  }
+
   test("overlap chunking: exact slices, full coverage, stride spacing") {
     import spark.implicits._
     val (k, s) = (7, 3) // awkward: windows share 4 tokens, tails ragged
